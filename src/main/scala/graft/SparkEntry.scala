@@ -1,13 +1,404 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data ops), each with a DuckDB oracle in
+  * `oracleSql` where ANSI-SQL-expressible.
+  *
+  * Cross-engine determinism rules used throughout (Spark vs DuckDB must
+  * produce hash-identical values):
+  *  - money/double aggregates: per-row CAST to DECIMAL (exact, order-
+  *    independent summation), final CAST back to DOUBLE;
+  *  - ratios/thresholds: integer arithmetic only (a*k >= b, never a/b);
+  *  - every query ends in a deterministic ORDER BY with a unique key;
+  *  - DuckDB regexp_replace needs the 'g' flag to match Spark's
+  *    global-by-default behavior;
+  *  - all float vector math in DOUBLE with left-to-right summation
+  *    (`aggregate`+`zip_with` ≡ DuckDB `list_sum`+`list_transform`).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal sum of a double column, returned as double. */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 4) =
+    sum(c.cast(s"decimal(38,$scale)")).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q04_dim_join")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (SURVEY §2.1–2.7) --------------------------
+    "q01_pricing_agg" -> ((s, d) => { // A1/A4: map-side-combinable agg
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+          (dsum(col("l_discount"), 6) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q02_multicol_filter" -> ((s, d) => { // F1: LIKE-chain predicate
+      t(s, d, "orders")
+        .where((col("o_orderpriority").contains("URGENT") ||
+          col("o_orderstatus") === "F") && col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(500)
+    }),
+    "q03_in_list" -> ((s, d) => // F2: IN-list pushdown
+      t(s, d, "customer")
+        .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+    "q04_dim_join" -> ((s, d) => { // J1: fact ⋈ broadcast dims
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("n_name")
+    }),
+    "q05_semi_join" -> ((s, d) => { // J3: EXISTS
+      val urgent = t(s, d, "orders").where(col("o_orderpriority").contains("URGENT"))
+      t(s, d, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+    "q06_anti_join" -> ((s, d) => { // J5: NOT EXISTS (the dedup shape)
+      val urgent = t(s, d, "orders").where(col("o_orderpriority").contains("URGENT"))
+      t(s, d, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_acctbal").orderBy("c_custkey")
+    }),
+    "q07_latest_order" -> ((s, d) => { // J4/W3: last-value per key (checkpoint carry)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey")
+    }),
+    "q08_topk_per_group" -> ((s, d) => { // W2/O5: priority-frontier primitive
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("l_suppkey", "rn", "l_orderkey", "l_linenumber")
+        .orderBy("l_suppkey", "rn")
+    }),
+    "q09_case_classify" -> ((s, d) => { // F7/F8: status classification
+      val cnt = t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      t(s, d, "customer")
+        .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+        .withColumn("class",
+          when(col("c_acctbal") < 0, "delinquent")
+            .when(col("n_orders") === 0, "inactive")
+            .when(col("n_orders") >= 20, "vip")
+            .otherwise("normal"))
+        .groupBy("class").agg(count(lit(1)).as("n"))
+        .orderBy("class")
+    }),
+    "q10_sort_limit" -> ((s, d) => // O1/O2: global top-k
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(50)),
+    "q11_offset_page" -> ((s, d) => // O3: offset/limit paging
+      t(s, d, "orders")
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_orderstatus")
+        .offset(100).limit(50)),
+    "q12_union_distinct" -> ((s, d) => { // set ops: frontier-merge shape
+      val a = t(s, d, "orders").where(col("o_orderpriority").contains("URGENT"))
+        .select(col("o_custkey").as("custkey"))
+      val b = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      a.union(b).distinct().orderBy("custkey")
+    }),
+    "q13_except" -> ((s, d) => {
+      val rich = t(s, d, "customer").where(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      val urgent = t(s, d, "orders").where(col("o_orderpriority").contains("URGENT"))
+        .select(col("o_custkey").as("custkey"))
+      rich.except(urgent).orderBy("custkey")
+    }),
+    "q14_intersect" -> ((s, d) => {
+      val rich = t(s, d, "customer").where(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      val urgent = t(s, d, "orders").where(col("o_orderpriority").contains("URGENT"))
+        .select(col("o_custkey").as("custkey"))
+      rich.intersect(urgent).orderBy("custkey")
+    }),
+    "q15_grouped_having" -> ((s, d) => // F5: HAVING-style group filter
+      t(s, d, "part")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum(col("p_size").cast("long")).as("total_size"))
+        .where(col("n") >= 10)
+        .orderBy("p_brand")),
+    "q16_running_sum" -> ((s, d) => { // W: running aggregate
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem").where(col("l_suppkey") <= 20)
+        .withColumn("running_qty", sum(col("l_quantity").cast("long")).over(w))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+    "q17_events_daily" -> ((s, d) => // time-bucketed agg (streaming-ready shape)
+      t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type", "day")),
+    "q18_sessionize" -> ((s, d) => { // gaps-and-islands sessionization
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+    "q25_yearly_nation_rank" -> ((s, d) => { // join + window rank
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val per = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).as("yr"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      per.withColumn("rnk", row_number().over(
+          Window.partitionBy("yr").orderBy(col("total").desc, col("n_name"))))
+        .where(col("rnk") <= 5)
+        .select("yr", "rnk", "n_name", "n_orders")
+        .orderBy("yr", "rnk")
+    }),
+
+    // ---- training-data ops (text) -----------------------------------
+    "q19_text_stats" -> ((s, d) => // lang-id + quality + token counting
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.punctCount(col("text")).as("n_punct"),
+        TextOps.stopwordCount(col("text")).as("n_stop"),
+        TextOps.langGuess(col("text")).as("lang_guess"),
+        TextOps.qualityOk(col("text")).as("quality_ok"))
+        .orderBy("doc_id")),
+    "q20_exact_dedup" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
+    "q21_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3)),
+    "q24_lang_distribution" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")),
+    "q26_minhash_lsh" -> ((s, d) => // rows-only: sketch-based near-dup
+      Dedup.minhashLshPairs(t(s, d, "documents"))),
+    "q27_simhash" -> ((s, d) => // rows-only: hamming<=3 near-dup
+      Dedup.simhashPairs(t(s, d, "documents"))),
+
+    // ---- training-data ops (vectors) --------------------------------
+    "q22_ann_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), queryVecId = 0L, k = 10)),
+    "q23_embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), threshold = 0.4)),
+    "q28_ann_lsh" -> ((s, d) => // rows-only: LSH-bucketed ANN (recall<1)
+      Similarity.lshTopK(t(s, d, "embeddings"), dim = 64, nBits = 8,
+        queryVecId = 0L, k = 10)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_multicol_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE (o_orderpriority LIKE '%URGENT%' OR o_orderstatus = 'F')
+        |  AND o_totalprice > 100000
+        |ORDER BY o_orderkey LIMIT 500""".stripMargin,
+    "q03_in_list" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') ORDER BY c_custkey""".stripMargin,
+    "q04_dim_join" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority LIKE '%URGENT%')
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority LIKE '%URGENT%')
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_latest_order" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q08_topk_per_group" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    "q09_case_classify" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'delinquent'
+        |  WHEN n_orders = 0 THEN 'inactive'
+        |  WHEN n_orders >= 20 THEN 'vip' ELSE 'normal' END AS class,
+        |  COUNT(*) AS n
+        |FROM (SELECT c_custkey, c_acctbal,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |  FROM customer)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+    "q11_offset_page" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+    "q12_union_distinct" ->
+      """SELECT DISTINCT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '%URGENT%'
+        |  UNION ALL
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY custkey""".stripMargin,
+    "q13_except" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '%URGENT%'
+        |ORDER BY custkey""".stripMargin,
+    "q14_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '%URGENT%'
+        |ORDER BY custkey""".stripMargin,
+    "q15_grouped_having" ->
+      """SELECT p_brand, COUNT(*) AS n, SUM(CAST(p_size AS BIGINT)) AS total_size
+        |FROM part GROUP BY 1 HAVING COUNT(*) >= 10 ORDER BY 1""".stripMargin,
+    "q16_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 20
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q17_events_daily" ->
+      """SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q18_sessionize" ->
+      """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |    FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_yearly_nation_rank" ->
+      """SELECT yr, rnk, n_name, n_orders FROM (
+        |  SELECT yr, n_name, n_orders,
+        |    row_number() OVER (PARTITION BY yr ORDER BY total DESC, n_name) AS rnk
+        |  FROM (
+        |    SELECT year(o_orderdate) AS yr, n_name, COUNT(*) AS n_orders,
+        |      CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+        |    FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    GROUP BY 1, 2))
+        |WHERE rnk <= 5 ORDER BY yr, rnk""".stripMargin,
+    "q19_text_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+        |  len(regexp_extract_all(text, '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS n_stop,
+        |  CASE WHEN length(text) = 0 THEN 'empty'
+        |    WHEN (length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))) * 10 > length(text) THEN 'cjk'
+        |    ELSE 'latin' END AS lang_guess,
+        |  (CASE WHEN length(trim(text)) = 0 THEN 0
+        |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END >= 20)
+        |  AND (len(regexp_extract_all(text, '\b(the|a|an|and|of|to|in|is|it|for)\b')) * 50
+        |       >= CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |  AND (len(regexp_extract_all(text, '[.,!?;:]')) * 5
+        |       <= CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS quality_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q20_exact_dedup" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents
+        |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |ORDER BY keep_id""".stripMargin,
+    "q21_ngram_jaccard" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+        |  WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, common, sa.nsh AS na, sb.nsh AS nb
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE common * 2 >= sa.nsh + sb.nsh - common
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q24_lang_distribution" ->
+      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT e.vec_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.qe,
+        |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> 0),
+        |topk AS (SELECT vec_id FROM sims ORDER BY cos DESC, vec_id LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS rank, vec_id
+        |FROM topk ORDER BY rank""".stripMargin,
+    "q23_embedding_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding,
+        |    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
 }

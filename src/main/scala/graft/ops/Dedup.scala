@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.core.TextSketch
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a `documents(doc_id, text, ...)`
+  * table, from cheap-exact to sketch-based near-dup.
+  *
+  * Scale notes (the 100 TB story):
+  *  - exact dedup groups by a 128-bit fingerprint, never by the text
+  *    itself — the shuffle carries 16 bytes + id per row, not bodies.
+  *  - n-gram Jaccard joins on shingle hashes (8 bytes), and prunes
+  *    with a document-frequency cap so stop-shingles don't create
+  *    O(n²) hot buckets (classic skew kill switch).
+  *  - MinHash-LSH turns the all-pairs problem into an equi-join on
+  *    band hashes: the only shuffle is by band value; candidate
+  *    verification re-checks exact Jaccard, so LSH can only ADD
+  *    recall loss, never precision loss.
+  *  - SimHash pairs join on 4×16-bit bands (pigeonhole: hamming ≤ 3
+  *    ⇒ ≥1 equal band), verified with bit_count(a^b) in codegen.
+  */
+object Dedup {
+
+  /** One row per distinct normalized text: the surviving doc_id (min),
+    * the duplicate count, and the fingerprint. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+      .orderBy("keep_id")
+
+  /** Exact word-n-gram Jaccard near-dup pairs, fully relational (no
+    * sketches, no UDFs) — the brute-force baseline the sketch variants
+    * are judged against. Output is all-integer so the oracle compare
+    * is exact: (doc_a, doc_b, common, na, nb) for pairs with
+    * jaccard >= 1/2 (common*2 >= na+nb-common).
+    *
+    * `maxShingleDf` drops shingles appearing in more than that many
+    * docs before the self-join — the skew guard at scale. Disabled
+    * (Int.MaxValue) in oracle queries so DuckDB SQL stays identical.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
+                        maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val words = docs.select(
+      col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("w"))
+    // shingle strings (not hashes) so the DuckDB oracle can reproduce
+    // them verbatim; the hashed variant is minhashLshPairs below.
+    val shingles = words
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("s"))
+      .distinct()
+    val pruned =
+      if (maxShingleDf == Int.MaxValue) shingles
+      else {
+        val df = shingles.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxShingleDf)
+        shingles.join(df.select("s"), "s")
+      }
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val a = pruned.as("a"); val b = pruned.as("b")
+    val pairs = a.join(b,
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("nsh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("nsh", "nb"), "doc_b")
+      .where(col("common") * 2 >= col("na") + col("nb") - col("common"))
+      .select("doc_a", "doc_b", "common", "na", "nb")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH banding near-dup pairs: sketch per doc (UDF),
+    * equi-join on band hashes, exact-Jaccard verification on the
+    * shingle-hash arrays (array_intersect on longs — precise). */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, numPerms: Int = 64,
+                      rowsPerBand: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val shingleUdf = udf((t: String) => TextSketch.shingleHashes(t, n))
+    val bandsUdf = udf((sh: Array[Long]) =>
+      TextSketch.bandHashes(TextSketch.minhashSignature(sh, numPerms), rowsPerBand))
+    val sketched = docs
+      .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("bands", bandsUdf(col("sh")))
+    val banded = sketched.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sk = sketched.select(col("doc_id"), col("sh"))
+    cand
+      .join(sk.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
+      .join(sk.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("union_n", size(col("sha")) + size(col("shb")) - col("common"))
+      .where(col("common") >= col("union_n") * threshold)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("union_n"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= maxDist,
+    * candidates bucketed by 4×16-bit bands (pigeonhole-complete for
+    * maxDist <= 3). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band bucketing is only complete for hamming <= 3")
+    val simUdf = udf((t: String) => TextSketch.simhash64(t))
+    val bandUdf = udf((s: Long) => TextSketch.simhashBands(s))
+    val sk = docs
+      .select(col("doc_id"), simUdf(col("text")).as("sim"))
+      .where(col("sim") =!= 0L)
+      .withColumn("band", explode(bandUdf(col("sim"))))
+    val pairs = sk.as("a").join(sk.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .distinct()
+    pairs
+      .withColumn("dist", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .where(col("dist") <= maxDist)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold. Brute-force
+    * self-join baseline; `Similarity.lshBuckets` is the scale path. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+}

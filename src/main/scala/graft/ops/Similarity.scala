@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * All vector math is built from higher-order Catalyst functions
+  * (`zip_with` + `aggregate`) in DOUBLE precision with left-to-right
+  * summation, so results are bit-deterministic and reproducible by the
+  * DuckDB oracle. No UDF in the hot path.
+  */
+object Similarity {
+
+  /** Left-to-right double-precision dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k by cosine similarity to one query vector.
+    * Output: (rank, vec_id) — ints only, exact to compare.
+    *
+    * Scale shape: one scan + a global top-k (TakeOrdered, no full
+    * sort shuffle); the query vector rides as a literal/broadcast.
+    */
+  def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = emb.where(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qCol = typedLit(q)
+    emb.where(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), cosine(col("embedding"), qCol).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))))
+      .select(col("rank"), col("vec_id"))
+      .orderBy("rank")
+  }
+
+  /** Random-hyperplane LSH bucket assignment (Charikar'02): `nBits`
+    * fixed pseudo-random hyperplanes; bucket = sign-bit string. The
+    * scale path for ANN: candidates = same bucket (or neighboring
+    * buckets via multi-probe), searched brute-force within bucket.
+    * Hyperplanes are seeded deterministically — no RNG state. */
+  def lshBuckets(emb: DataFrame, dim: Int, nBits: Int): DataFrame = {
+    // deterministic "random" hyperplanes from splitmix64 → (-1, 1)
+    val planes: Array[Array[Double]] = Array.tabulate(nBits) { b =>
+      Array.tabulate(dim) { d =>
+        var z = (b.toLong << 32 | d.toLong) + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        (z.toDouble / Long.MaxValue.toDouble)
+      }
+    }
+    val bucket = planes.zipWithIndex
+      .map { case (p, i) =>
+        when(dot(col("embedding"), typedLit(p.toSeq)) >= 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+    emb.select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  /** ANN via LSH: top-k within the query's bucket (single-probe).
+    * Recall < 1 by design; compare against bruteForceTopK in tests. */
+  def lshTopK(emb: DataFrame, dim: Int, nBits: Int,
+              queryVecId: Long, k: Int): DataFrame = {
+    val buckets = lshBuckets(emb, dim, nBits)
+    val withB = emb.join(buckets, "vec_id")
+    val qRow = withB.where(col("vec_id") === queryVecId)
+      .select(col("embedding"), col("bucket")).head()
+    val q = qRow.getSeq[Float](0)
+    val qBucket = qRow.getLong(1)
+    withB.where(col("bucket") === qBucket && col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), cosine(col("embedding"), typedLit(q)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+}
