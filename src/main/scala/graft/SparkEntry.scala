@@ -33,6 +33,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q04_dim_join")(spark, "/root/testdata/sf0.001")
 
+  /** Memoized 2-wave crawl over the deterministic tiny fixture — backs
+    * the rows-only crawl queries (q31–q33). Output bytes are a pure
+    * function of the fixture seed, so repeated Verify runs hash equal. */
+  private val crawlDir = new java.util.concurrent.atomic.AtomicReference[String]()
+  private def crawlFixtureRun(s: SparkSession): crawl.SnapshotStore =
+    crawlDir.synchronized {
+      if (crawlDir.get == null) {
+        val dir = java.nio.file.Files.createTempDirectory("entrycrawl").toString
+        val fx = crawl.FixtureCfg(nHosts = 8, baseArticles = 6,
+          growthPerWave = 3, hotHostFactor = 3)
+        val cc = crawl.CrawlConfig(hostBuckets = 4, salt = 2,
+          expectedUrlsPerBucket = 2048, cuckooCapacityPerBucket = 4096)
+        crawl.WaveEngine.run(s, new crawl.SnapshotStore(dir),
+          w => crawl.FixtureGen.pages(s, fx, w),
+          crawl.FixtureGen.hosts(s, fx), crawl.FixtureGen.robots(s, fx), 2, cc)
+        crawlDir.set(dir)
+      }
+      new crawl.SnapshotStore(crawlDir.get)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY §2.1–2.7) --------------------------
     "q01_pricing_agg" -> ((s, d) => { // A1/A4: map-side-combinable agg
@@ -212,6 +232,35 @@ object SparkEntry {
     "q27_simhash" -> ((s, d) => // rows-only: hamming<=3 near-dup
       Dedup.simhashPairs(t(s, d, "documents"))),
 
+    // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
+    "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
+      t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .where(col("k") > 50)
+        .orderBy("event_id")),
+    "q30_url_canon" -> ((s, d) => { // north rule: URL canonicalization
+      val messy = concat(
+        lit("HTTP://WWW"), col("doc_id") % 7, lit(".Example.COM:80/Dir/P%41ge"),
+        col("doc_id"), lit(".HTML?q=a%2fb&y=2#Frag"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        ops.UrlOps.canonicalize(messy).as("url_canon"),
+        ops.UrlOps.host(messy).as("host"))
+        .orderBy("doc_id")
+    }),
+    "q31_crawl_frontier" -> ((s, _) => // rows-only: politeness schedule
+      crawlFixtureRun(s).readDeltas(s, "frontier", 1).get
+        .select("wave", "host", "seq", "url", "sched_ms", "title")
+        .orderBy("wave", "host", "seq")),
+    "q32_crawl_articles" -> ((s, _) => // rows-only: wave output store
+      crawlFixtureRun(s).readDeltas(s, "articles", 1).get
+        .select("url", "wave", "host", "seq", "title", "content")
+        .orderBy("url")),
+    "q33_crawl_metrics" -> ((s, _) => // rows-only: per-host wave metrics
+      crawlFixtureRun(s).readDeltas(s, "metrics", 1).get
+        .orderBy("wave", "host")),
+
     // ---- training-data ops (vectors) --------------------------------
     "q22_ann_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), queryVecId = 0L, k = 10)),
@@ -377,6 +426,17 @@ object SparkEntry {
     "q24_lang_distribution" ->
       """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin,
+    "q30_url_canon" ->
+      """SELECT doc_id,
+        |  'http://www' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/Dir/PAge'
+        |    || CAST(doc_id AS VARCHAR) || '.HTML?q=a%2Fb&y=2' AS url_canon,
+        |  'www' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q22_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sims AS (

@@ -17,6 +17,12 @@ import java.util.regex.Pattern
 object UrlCanon {
 
   private val hostPat = Pattern.compile("https?://([^/\\r\\n ]+)")
+  // host() is OUR canonicalization primitive (north rule), not the
+  // reference's — it must accept any scheme casing; rootSiteUrl below
+  // stays byte-faithful to the reference's case-sensitive regex
+  // (Common/HtmlHelper.cs:24).
+  private val hostPatCI =
+    Pattern.compile("https?://([^/\\r\\n ]+)", Pattern.CASE_INSENSITIVE)
 
   /** Reference-compatible root-site extraction: `scheme://authority`
     * if the URL parses, else the lowercased input. */
@@ -30,7 +36,7 @@ object UrlCanon {
     * empty string when the URL has no http(s) authority. */
   def host(url: String): String = {
     if (url == null) return ""
-    val m = hostPat.matcher(url)
+    val m = hostPatCI.matcher(url)
     if (!m.find()) return ""
     var auth = m.group(1)
     val at = auth.lastIndexOf('@')
@@ -81,6 +87,64 @@ object UrlCanon {
 
   private def isHex(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** Resolve a possibly-relative URL against a base page URL, mirroring
+    * the reference's `new Uri(baseUri, url)` absolutization
+    * (/root/reference/Source/WebCrawler/Common/HtmlHelper.cs:33-47)
+    * without java.net.URI's DNS/IDN machinery. Handles absolute URLs,
+    * protocol-relative `//host/p`, root-relative `/p`, query-only `?q`,
+    * and path-relative forms with `.`/`..` segment removal. */
+  def resolve(base: String, rel: String): String = {
+    if (rel == null || rel.isEmpty) return if (base == null) "" else base
+    val r = rel.trim
+    if (r.regionMatches(true, 0, "http://", 0, 7) ||
+        r.regionMatches(true, 0, "https://", 0, 8)) return r
+    val b = if (base == null) "" else base.trim
+    val scheme =
+      if (b.regionMatches(true, 0, "https://", 0, 8)) "https"
+      else if (b.regionMatches(true, 0, "http://", 0, 7)) "http"
+      else return r
+    if (r.startsWith("//")) return scheme + ":" + r
+    val rest = b.substring(scheme.length + 3)
+    val slash = rest.indexOf('/')
+    val auth = if (slash < 0) rest else rest.substring(0, slash)
+    val basePathQ = if (slash < 0) "/" else rest.substring(slash)
+    val root = scheme + "://" + auth
+    if (r.startsWith("/")) return root + removeDotSegments(r)
+    if (r.startsWith("?")) {
+      val q = basePathQ.indexOf('?')
+      val p = if (q >= 0) basePathQ.substring(0, q) else basePathQ
+      return root + p + r
+    }
+    if (r.startsWith("#")) return b
+    // path-relative: replace last segment of the base path
+    val q = basePathQ.indexOf('?')
+    val basePath = if (q >= 0) basePathQ.substring(0, q) else basePathQ
+    val dir = basePath.substring(0, basePath.lastIndexOf('/') + 1)
+    root + removeDotSegments(dir + r)
+  }
+
+  /** RFC 3986 §5.2.4 dot-segment removal on an absolute path. */
+  private def removeDotSegments(path: String): String = {
+    val q = path.indexOf('?')
+    val (p, query) = if (q >= 0) (path.substring(0, q), path.substring(q)) else (path, "")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val segs = p.split("/", -1)
+    var i = 0
+    while (i < segs.length) {
+      segs(i) match {
+        case "."  => // skip
+        case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+        case s    => out += s
+      }
+      i += 1
+    }
+    val trailingSlash = p.endsWith("/") || p.endsWith("/.") || p.endsWith("/..")
+    var joined = out.mkString("/")
+    if (!joined.startsWith("/")) joined = "/" + joined.dropWhile(_ == '/')
+    if (trailingSlash && !joined.endsWith("/")) joined += "/"
+    joined + query
+  }
 
   /** Full canonical form: lowercase scheme+authority host, strip
     * userinfo-less default ports (:80 http / :443 https), drop the

@@ -1,0 +1,255 @@
+package graft.crawl
+
+import java.sql.Timestamp
+import java.time.LocalDateTime
+
+import graft.core.{ArticleExtractor, UrlCanon}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic synthetic web fixture — the engine's input table in the
+  * contractual shape (BASELINE.json input_hint: url, warc_ts, html:binary,
+  * text, lang). No wall clock, no RNG, no network: every byte is a pure
+  * function of (cfg.seed, host, article index, wave), so the same table
+  * can be regenerated at any scale for tests (tiny), the DuckDB-style
+  * oracle (small) and the local[8]/local[32] scaling benchmark (large).
+  *
+  * The site population mirrors the reference's operating envelope
+  * (seed-list crawling, /root/reference/Source/WebCrawler/Crawlers/
+  * ArticleCrawler.cs:118-262) plus the fixture mix FIXTURES.md §2 calls
+  * for: one "hot" host owning a large share of all URLs (skew tests),
+  * one host that goes broken at wave 2 (broken tracking,
+  * ArticleCrawler.cs:210-232), one robots-blocked host and one
+  * robots-delay-overridden host (north-rule politeness additions).
+  */
+final case class FixtureCfg(
+    nHosts: Int = 20,
+    baseArticles: Int = 30,  // articles per regular host at wave 0
+    growthPerWave: Int = 5,  // new articles per host per wave
+    hotHostFactor: Int = 10, // host 0 has this × the volume (skew)
+    seed: Long = 42L) {
+  require(nHosts >= 6, "fixture roles need at least 6 hosts")
+}
+
+object FixtureGen {
+
+  /** Host roles (by index) — documented fixture contract. */
+  val HotHost = 0          // owns hotHostFactor× the articles
+  val MultiInflightHost = 1 // max_in_flight = 2 (north-rule politeness)
+  val SlowDelayHost = 2    // robots crawl-delay override
+  val RobotsBlockedHost = 3 // robots disallows its whole /a/ tree
+  val BrokenAtWave2Host = 4 // home page vanishes from wave 2 on
+  val ShufflingHost = 5    // catalog re-dates items every wave, so the
+                           // lasthandled stop re-schedules old URLs and
+                           // the seen-filter dedup path actually fires
+                           // (the catalog-reorder case the reference's
+                           // UNIQUE key absorbs, MySQLSchema.sql:14)
+
+  def hostName(i: Int): String = f"h$i%03d.example.com"
+  def homeUrl(i: Int): String = s"http://${hostName(i)}/"
+
+  def articleCount(cfg: FixtureCfg, i: Int, wave: Int): Int = {
+    val n = cfg.baseArticles + wave * cfg.growthPerWave
+    if (i == HotHost) n * cfg.hotHostFactor else n
+  }
+
+  /** Canonical article URL (what UrlCanon.canonicalize yields). */
+  def articleUrl(i: Int, j: Int): String =
+    s"http://${hostName(i)}/a/$j.html"
+
+  /** Deterministic small hash for variant selection. */
+  private def h(cfg: FixtureCfg, i: Int, j: Int, salt: Int): Long = {
+    var x = cfg.seed ^ (i.toLong << 40) ^ (j.toLong << 8) ^ salt
+    x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL
+    x ^= (x >>> 33); x *= 0xc4ceb9fe1a85ec53L
+    x ^ (x >>> 33)
+  }
+
+  /** The messy href the home page actually carries — uppercase hosts,
+    * explicit :80, fragments, relative forms — all of which canonicalize
+    * back to [[articleUrl]] (exercises UrlCanon end-to-end). */
+  def messyHref(cfg: FixtureCfg, i: Int, j: Int): String =
+    (math.floorMod(h(cfg, i, j, 1), 5) match {
+      case 0 => s"/a/$j.html"
+      case 1 => s"HTTP://${hostName(i).toUpperCase}:80/a/$j.html"
+      case 2 => s"/a/$j.html#comments"
+      case 3 => s"a/$j.html"
+      case _ => articleUrl(i, j)
+    })
+
+  def publishedAt(i: Int, j: Int): LocalDateTime =
+    LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(7L * j + i)
+
+  /** The date the CATALOG page displays for an item (what frontier
+    * ordering sees). For the shuffling host it is a per-wave pseudo-
+    * random permutation; everywhere else it equals the article's own
+    * published date. */
+  def catalogDate(cfg: FixtureCfg, i: Int, j: Int, wave: Int): LocalDateTime =
+    if (i == ShufflingHost)
+      LocalDateTime.of(2024, 1, 1, 0, 0)
+        .plusMinutes(math.floorMod(h(cfg, i, j, 7000 + wave), 500000L))
+    else publishedAt(i, j)
+
+  def warcTs(i: Int, j: Int): Timestamp =
+    Timestamp.valueOf(LocalDateTime.of(2024, 6, 1, 0, 0).plusMinutes(i * 1440L + j))
+
+  def isZh(cfg: FixtureCfg, i: Int, j: Int): Boolean =
+    math.floorMod(h(cfg, i, j, 2), 5) == 0
+
+  def articleTitle(i: Int, j: Int): String = s"Story number $j from site $i"
+
+  private def fmtDate(dt: LocalDateTime): String =
+    f"${dt.getYear}%04d-${dt.getMonthValue}%02d-${dt.getDayOfMonth}%02d " +
+      f"${dt.getHour}%02d:${dt.getMinute}%02d"
+
+  /** Deterministic article body long enough (>180 chars/window) to
+    * trigger the text-density extractor's start condition
+    * (Analyzers/Html2Article.cs:307-365 semantics). */
+  private def bodyParagraphs(cfg: FixtureCfg, i: Int, j: Int): Seq[String] = {
+    val nPar = 3 + math.floorMod(h(cfg, i, j, 3), 3).toInt
+    (0 until nPar).map { p =>
+      val words = (0 until 18).map(w =>
+        s"w${math.floorMod(h(cfg, i, j, 100 + p * 31 + w), 9973)}")
+      s"Paragraph $p of story $j on host $i: " + words.mkString(" ") + "."
+    }
+  }
+
+  def articleHtml(cfg: FixtureCfg, i: Int, j: Int): String = {
+    val dt = publishedAt(i, j)
+    val author =
+      if (isZh(cfg, i, j)) "作者：张伟" else s"作者：Reporter${math.floorMod(h(cfg, i, j, 4), 50)}"
+    val paras = bodyParagraphs(cfg, i, j)
+      .map(p => s"<p>$p</p>").mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html>
+       |<head><title>${articleTitle(i, j)}</title>
+       |<script>var x=${j};</script>
+       |<style>.c{color:red}</style>
+       |</head>
+       |<body>
+       |<header><a href="/">Home</a> <a href="/about.html">About</a></header>
+       |<h1>${articleTitle(i, j)}</h1>
+       |<div class="meta">${fmtDate(dt)} $author</div>
+       |<!-- tracking comment -->
+       |<div class="article">
+       |$paras
+       |</div>
+       |<footer><a href="/contact.html">Contact</a></footer>
+       |</body>
+       |</html>
+       |""".stripMargin
+  }
+
+  /** Home (catalog) page at a given wave: lists the wave's article set
+    * in ascending-j order (the engine must do the newest-first sort
+    * itself, ArticleCrawler.cs:137-148), with messy hrefs, a dated
+    * <span> per item, and nav/footer noise links that the noise-area
+    * filter must drop (Analyzers/HtmlAnalyzer.cs:370-375). */
+  def homeHtml(cfg: FixtureCfg, i: Int, wave: Int): String = {
+    val n = articleCount(cfg, i, wave)
+    val items = (0 until n).map { j =>
+      s"""<li><a href="${messyHref(cfg, i, j)}">${articleTitle(i, j)}</a>""" +
+        s"""<span class="d">${fmtDate(catalogDate(cfg, i, j, wave))}</span></li>"""
+    }.mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html>
+       |<head><title>${hostName(i)} — news</title></head>
+       |<body>
+       |<nav><a href="/">Home</a> <a href="/arch.html">Archive</a>
+       |<a href="/tags.html">Tags</a> <a href="/feed.xml">Feed</a></nav>
+       |<h1>Latest stories</h1>
+       |<ul class="list">
+       |$items
+       |</ul>
+       |<footer><a href="/about.html">About</a> <a href="#top">Top</a>
+       |<a href="javascript:void(0)">Share</a></footer>
+       |</body>
+       |</html>
+       |""".stripMargin
+  }
+
+  /** Expected extracted text for an article — the `text` oracle column
+    * (per-row invariant: the pipeline must reproduce these bytes). */
+  def articleText(cfg: FixtureCfg, i: Int, j: Int): String =
+    ArticleExtractor.extract(articleHtml(cfg, i, j)).content
+
+  def lang(cfg: FixtureCfg, i: Int, j: Int): String =
+    if (isZh(cfg, i, j)) "zh" else "en"
+
+  def brokenAtWave(i: Int): Option[Int] =
+    if (i == BrokenAtWave2Host) Some(2) else None
+
+  // ---- Spark builders ---------------------------------------------------
+
+  /** The web snapshot visible to wave `wave` (articles + home pages).
+    * Distributed generation: spark.range over a precomputed per-host
+    * offset table, so it scales to the bench sizes without driver
+    * materialization. */
+  def pages(spark: SparkSession, cfg: FixtureCfg, wave: Int): Dataset[Page] = {
+    import spark.implicits._
+    val counts = (0 until cfg.nHosts).map(i => articleCount(cfg, i, wave))
+    val offsets = counts.scanLeft(0L)(_ + _).toArray // length nHosts+1
+    val total = offsets.last
+    val articles = spark.range(total).mapPartitions { ids =>
+      ids.map { id =>
+        // binary search host for this global index
+        var lo = 0; var hi = cfg.nHosts - 1
+        while (lo < hi) {
+          val mid = (lo + hi + 1) >>> 1
+          if (offsets(mid) <= id) lo = mid else hi = mid - 1
+        }
+        val i = lo
+        val j = (id - offsets(i)).toInt
+        val html = articleHtml(cfg, i, j)
+        Page(articleUrl(i, j), warcTs(i, j),
+          html.getBytes("UTF-8"), articleText(cfg, i, j), lang(cfg, i, j))
+      }
+    }
+    val homes = spark.range(cfg.nHosts).mapPartitions { ids =>
+      ids.flatMap { idl =>
+        val i = idl.toInt
+        val gone = brokenAtWave(i).exists(wave >= _)
+        if (gone) Iterator.empty
+        else Iterator.single(Page(
+          UrlCanon.canonicalize(homeUrl(i)), warcTs(i, 0),
+          homeHtml(cfg, i, wave).getBytes("UTF-8"), "", "en"))
+      }
+    }
+    articles.unionByName(homes)
+  }
+
+  def crawlDelayMs(i: Int): Long = 100L * (i % 3 + 1)
+  def maxInFlight(i: Int): Int = if (i == MultiInflightHost) 2 else 1
+
+  def hosts(spark: SparkSession, cfg: FixtureCfg): Dataset[HostConfig] = {
+    import spark.implicits._
+    spark.range(cfg.nHosts).map { idl =>
+      val i = idl.toInt
+      HostConfig(
+        host_id = i,
+        host = hostName(i),
+        home = homeUrl(i),
+        rank = cfg.nHosts - i, // lower index = higher priority
+        enabled = true,
+        crawl_delay_ms = crawlDelayMs(i),
+        max_in_flight = maxInFlight(i))
+    }
+  }
+
+  def robotsFor(i: Int): RobotsRules = i match {
+    case RobotsBlockedHost => RobotsRules(Seq("/a/"), None)
+    case SlowDelayHost     => RobotsRules(Seq.empty, Some(500L))
+    case _                 => RobotsRules(Seq.empty, None)
+  }
+
+  final case class RobotsRow(host: String, disallow: Seq[String],
+                             crawl_delay_ms: Option[Long])
+
+  def robots(spark: SparkSession, cfg: FixtureCfg): Dataset[RobotsRow] = {
+    import spark.implicits._
+    spark.range(cfg.nHosts).map { idl =>
+      val i = idl.toInt
+      val r = robotsFor(i)
+      RobotsRow(hostName(i), r.disallow, r.crawl_delay_ms)
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft.crawl
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-exact table store: Parquet wave partitions + an atomic JSON
+  * manifest per wave.
+  *
+  * This is the `FrontierStore` seam SURVEY.md §7 calls for: production
+  * target is an Iceberg catalog (each wave = one Iceberg snapshot; the
+  * commit point is the snapshot swap), but no Iceberg runtime ships in
+  * /opt/spark/jars, so the local binding reproduces the property that
+  * matters — **a wave is either fully visible or not at all** — with a
+  * manifest file committed by atomic rename. Readers resolve data paths
+  * only through committed manifests, so a crash mid-wave leaves orphan
+  * parquet dirs that are never read, and re-running the wave overwrites
+  * them before re-committing (same recovery contract as the reference's
+  * `ContinueCrawlAsync` re-queue + UNIQUE-key dedup,
+  * /root/reference/Source/WebCrawler/DataLayer/MySQLDataLayer.cs:440-454).
+  *
+  * Layout:
+  * {{{
+  *   root/data/<table>/wave=<N>/   parquet
+  *   root/manifests/wave-<N>.json  commit record (atomic rename)
+  * }}}
+  */
+final class SnapshotStore(val root: String) extends Serializable {
+
+  private def manifestDir: Path = Paths.get(root, "manifests")
+  private def manifestPath(wave: Int): Path =
+    manifestDir.resolve(f"wave-$wave%06d.json")
+
+  def dataPath(table: String, wave: Int): String =
+    s"$root/data/$table/wave=$wave"
+
+  def isCommitted(wave: Int): Boolean = Files.exists(manifestPath(wave))
+
+  /** Largest N such that waves 0..N are ALL committed (a gap means the
+    * later manifests are strays from an aborted future run). */
+  def lastCommittedWave: Option[Int] = {
+    var w = 0
+    while (isCommitted(w)) w += 1
+    if (w == 0) None else Some(w - 1)
+  }
+
+  /** Atomically commit a wave: write the manifest to a temp file, then
+    * rename into place (the snapshot swap). `tables` maps table name →
+    * row count (informational lineage; the path layout is fixed). */
+  def commit(wave: Int, tables: Map[String, Long]): Unit = {
+    Files.createDirectories(manifestDir)
+    val body = tables.toSeq.sortBy(_._1).map { case (t, n) =>
+      s"""    "$t": {"path": "${dataPath(t, wave)}", "rows": $n}"""
+    }.mkString(",\n")
+    val json = s"""{\n  "wave": $wave,\n  "tables": {\n$body\n  }\n}\n"""
+    val tmp = manifestDir.resolve(f".wave-$wave%06d.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifestPath(wave), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Drop manifests AFTER `wave` (used by tests to simulate a crash /
+    * time-travel to an older snapshot; data dirs stay — unreadable). */
+  def rollbackTo(wave: Int): Unit = {
+    var w = wave + 1
+    while (isCommitted(w)) { Files.delete(manifestPath(w)); w += 1 }
+  }
+
+  def write(df: DataFrame, table: String, wave: Int): Long = {
+    val out = df.cache()
+    val n = out.count()
+    out.write.mode("overwrite").parquet(dataPath(table, wave))
+    out.unpersist()
+    n
+  }
+
+  /** Read one table at one committed wave; empty-schema-safe via
+    * caller-provided fallback. */
+  def read(spark: SparkSession, table: String, wave: Int): DataFrame = {
+    require(isCommitted(wave), s"wave $wave not committed")
+    spark.read.parquet(dataPath(table, wave))
+  }
+
+  /** Union of a delta table across all committed waves 0..upTo
+    * (e.g. the append-only articles store). */
+  def readDeltas(spark: SparkSession, table: String, upTo: Int): Option[DataFrame] = {
+    val paths = (0 to upTo).filter(isCommitted).map(dataPath(table, _))
+      .filter(p => Files.exists(Paths.get(p)))
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.Multimodal
+import graft.streaming.StreamOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("streaming windowed counts with watermark (MemoryStream)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.windowedEventCounts(df, "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    mem.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0),
+      (ts(11), "click", 4.0), (ts(3), "buy", 8.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT event_type, n, total FROM win_counts ORDER BY win_start, event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(rows.toSeq == Seq(("buy", 1L, 8.0), ("click", 2L, 3.0), ("click", 1L, 4.0)))
+  }
+
+  test("streaming URL-seen dedup drops in-watermark duplicates") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "url")
+    val q = StreamOps.streamingSeenFilter(df, "1 hour")
+      .writeStream.format("memory").queryName("dedup_urls")
+      .outputMode("append").start()
+    mem.addData((ts(1), "http://a/1"), (ts(2), "http://a/1"),
+      (ts(3), "http://a/2"))
+    q.processAllAvailable()
+    val n = spark.sql("SELECT count(*) FROM dedup_urls").head().getLong(0)
+    q.stop()
+    assert(n == 2)
+  }
+
+  test("streaming politeness admission enforces per-host budget") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamOps.HostEvent]
+    val q = StreamOps.politenessAdmission(mem.toDS(), maxPerWindow = 2,
+      windowMs = 60000L)
+      .writeStream.format("memory").queryName("admission")
+      .outputMode("append").start()
+    mem.addData(
+      StreamOps.HostEvent("h1", "u1", ts(1)),
+      StreamOps.HostEvent("h1", "u2", ts(1)),
+      StreamOps.HostEvent("h1", "u3", ts(1)), // over budget in window
+      StreamOps.HostEvent("h2", "u4", ts(1)),
+      StreamOps.HostEvent("h1", "u5", ts(3))) // next window, admitted
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT url, admitted FROM admission ORDER BY url")
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    q.stop()
+    assert(rows.toSeq == Seq("u1" -> true, "u2" -> true, "u3" -> false,
+      "u4" -> true, "u5" -> true))
+  }
+
+  test("multimodal decode/features/frames are deterministic and shaped") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image", Array.tabulate(1000)(_.toByte)),
+      (2L, "video", Array.tabulate(5000)(i => (i * 7).toByte)),
+      (3L, "audio", Array.tabulate(300)(i => (i * 3).toByte)))
+      .toDF("doc_id", "kind", "media")
+    val info = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    assert(info.map(_.n_bytes).toSeq == Seq(1000L, 5000L, 300L))
+    assert(info.forall(i => i.width >= 64 && i.height >= 64))
+    assert(info.filter(_.kind == "image").forall(_.duration_ms == 0L))
+    // determinism: second run produces identical rows
+    assert(Multimodal.decode(media).collect().sortBy(_.doc_id).toSeq ==
+      info.toSeq)
+
+    val feats = Multimodal.features(media, dim = 8).collect()
+    assert(feats.length == 3)
+    assert(feats.forall(_.getAs[Seq[Float]]("feature").size == 8))
+
+    val frames = Multimodal.sampleFrames(media, n = 4)
+    val fr = frames.collect()
+    assert(fr.length == 4 && fr.forall(_.getAs[Long]("doc_id") == 2L))
+
+    // size balancing keeps all rows
+    assert(Multimodal.balanceBySize(media, 2).count() == 3)
+  }
+
+  test("registered SQL functions back the same core implementations") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT url_canon('HTTP://A.COM:80/x%2fy#f') AS c,
+        |       url_host('https://U@B.com:8080/p') AS h,
+        |       normalize_text('  a   b ') AS t,
+        |       extract_title('<html><head><title>T1</title></head></html>') AS ti
+        |""".stripMargin).head()
+    assert(r.getString(0) == "http://a.com/x%2Fy")
+    assert(r.getString(1) == "b.com")
+    assert(r.getString(2) == "a b")
+    assert(r.getString(3) == "T1")
+  }
+}

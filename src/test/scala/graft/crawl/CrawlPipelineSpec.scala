@@ -1,0 +1,195 @@
+package graft.crawl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end equivalence of the distributed wave engine against the
+  * sequential reference-semantics oracle (SURVEY.md §5.3), plus resume,
+  * politeness and skew contracts. */
+class CrawlPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  val fx = FixtureCfg(nHosts = 8, baseArticles = 6, growthPerWave = 3,
+    hotHostFactor = 3)
+  val cc = CrawlConfig(maxPerHostPerWave = 100, hostBuckets = 4, salt = 2,
+    expectedUrlsPerBucket = 2048, cuckooCapacityPerBucket = 4096)
+  val nWaves = 3
+
+  private def newStore(): SnapshotStore =
+    new SnapshotStore(Files.createTempDirectory("crawlstore").toString)
+
+  private def runAll(store: SnapshotStore, waves: Int): Seq[WaveEngine.WaveResult] =
+    WaveEngine.run(spark, store,
+      w => FixtureGen.pages(spark, fx, w),
+      FixtureGen.hosts(spark, fx),
+      FixtureGen.robots(spark, fx), waves, cc)
+
+  lazy val store: SnapshotStore = { val s = newStore(); runAll(s, nWaves); s }
+  lazy val oracle: CrawlOracle.OResult = CrawlOracle.run(fx, nWaves)
+
+  private def frontierRows(s: SnapshotStore) =
+    s.readDeltas(spark, "frontier", nWaves - 1).get
+      .select("wave", "host", "seq", "url", "sched_ms").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3), r.getLong(4)))
+      .toSet
+
+  test("crawl ordering: frontier schedule equals the oracle's") {
+    val expected = oracle.schedule
+      .map(t => (t.wave, t.host, t.seq, t.url, t.schedMs)).toSet
+    assert(frontierRows(store) == expected)
+  }
+
+  test("URL-seen set and insertion waves equal the oracle's") {
+    val got = store.readDeltas(spark, "articles", nWaves - 1).get
+      .select("url", "wave", "host").collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    val expected = oracle.seen.view.mapValues(v => (v._1, v._2)).toMap
+    assert(got.keySet == expected.keySet)
+    assert(got == expected)
+  }
+
+  test("per-row invariant: byte-identical extracted text per url") {
+    val got = store.readDeltas(spark, "articles", nWaves - 1).get
+      .select("url", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == oracle.seen.size)
+    got.foreach { case (url, content) =>
+      assert(content == oracle.seen(url)._3, s"text mismatch for $url")
+    }
+  }
+
+  test("carried checkpoints (lasthandled) match; broken host is stamped") {
+    val state = store.read(spark, "state", nWaves - 1)
+      .select("host", "lasthandled", "broken_since").collect()
+    val last = state.map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    oracle.lasthandled.foreach { case (h, u) =>
+      assert(last(h).contains(u), s"lasthandled mismatch for $h")
+    }
+    val broken = state.filter(r => !r.isNullAt(2)).map(_.getString(0)).toSet
+    assert(broken == oracle.brokenHosts)
+    // broken host keeps its pre-failure checkpoint
+    val bh = FixtureGen.hostName(FixtureGen.BrokenAtWave2Host)
+    assert(last(bh) == oracle.lasthandled.get(bh))
+  }
+
+  test("robots: blocked host schedules nothing and is counted") {
+    val m = store.readDeltas(spark, "metrics", nWaves - 1).get.collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getAs[Int]("robots_denied"), r.getAs[Int]("inserted")))).toMap
+    val rb = FixtureGen.hostName(FixtureGen.RobotsBlockedHost)
+    (0 until nWaves).foreach { w =>
+      val (denied, inserted) = m((w, rb))
+      assert(inserted == 0)
+      assert(denied == oracle.robotsDenied.getOrElse((w, rb), 0))
+    }
+  }
+
+  test("seen-filter dedup fires for the catalog-shuffling host") {
+    val m = store.readDeltas(spark, "metrics", nWaves - 1).get
+      .groupBy("wave").sum("deduped").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expected = (0 until nWaves).map(w =>
+      w -> oracle.dedupedPerWave.getOrElse(w, 0).toLong).toMap
+    assert(m == expected)
+    assert(expected.values.sum > 0, "fixture must exercise the dedup path")
+  }
+
+  test("politeness: sched_ms follows crawl-delay over max-in-flight lanes") {
+    val rows = frontierRows(store)
+    val mi = FixtureGen.hostName(FixtureGen.MultiInflightHost)
+    val sd = FixtureGen.hostName(FixtureGen.SlowDelayHost)
+    rows.filter(_._2 == mi).foreach { case (_, _, seq, _, ms) =>
+      assert(ms == (seq / 2).toLong * FixtureGen.crawlDelayMs(FixtureGen.MultiInflightHost))
+    }
+    rows.filter(_._2 == sd).foreach { case (_, _, seq, _, ms) =>
+      assert(ms == seq.toLong * 500L) // robots crawl-delay override
+    }
+    // per-host seq is dense and unique (sequential politeness order)
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, g) =>
+      val seqs = g.map(_._3).toSeq.sorted
+      assert(seqs == (0 until g.size))
+    }
+  }
+
+  test("per-partition lineage rows cover every extracted row") {
+    val lineage = store.readDeltas(spark, "lineage", nWaves - 1).get.collect()
+    val byWave = lineage.groupBy(_.getInt(0))
+      .view.mapValues(_.map(_.getAs[Long]("rows")).sum).toMap
+    val metrics = store.readDeltas(spark, "metrics", nWaves - 1).get
+      .groupBy("wave").sum("fetched_ok").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    metrics.foreach { case (w, n) =>
+      assert(byWave.getOrElse(w, 0L) == n, s"lineage rows != fetched at wave $w")
+    }
+  }
+
+  test("snapshot-exact resume: crash after wave 0 replays to identical store") {
+    val s2 = newStore()
+    runAll(s2, 2)              // waves 0,1 committed
+    s2.rollbackTo(0)           // "crash": wave 1 manifest lost, dirty data remains
+    assert(s2.lastCommittedWave.contains(0))
+    runAll(s2, nWaves)         // resumes: wave 0 skipped, 1..2 recomputed
+    def dump(s: SnapshotStore) =
+      s.readDeltas(spark, "articles", nWaves - 1).get
+        .select("url", "wave", "host", "content").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    assert(dump(s2) == dump(store))
+    val f2 = frontierRows(s2)
+    assert(f2 == frontierRows(store))
+  }
+
+  test("re-running a committed wave is a no-op returning stored metrics") {
+    val r = WaveEngine.runWave(spark, store,
+      FixtureGen.pages(spark, fx, 1), FixtureGen.hosts(spark, fx),
+      FixtureGen.robots(spark, fx), 1, cc)
+    val m = store.read(spark, "metrics", 1)
+      .groupBy().sum("inserted").head().getLong(0)
+    assert(r.inserted == m)
+  }
+
+  test("intra-wave syndication: duplicate canonical url keeps min (host, seq)") {
+    import spark.implicits._
+    val arts = (0 until 3).map { j =>
+      val html =
+        s"""<html><head><title>Shared $j</title></head><body>
+           |<h1>Shared $j</h1><div>2024-02-0${j + 1} 10:00</div>
+           |<p>${("shared body text that is long enough to extract " * 8) + j}</p>
+           |</body></html>""".stripMargin
+      Page(s"http://c.example.com/a/$j.html",
+        java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
+        html.getBytes("UTF-8"), "", "en")
+    }
+    def home(hostUrl: String) = {
+      val lis = (0 until 3).map(j =>
+        s"""<li><a href="http://c.example.com/a/$j.html">Shared story $j</a>""" +
+          s"""<span>2024-02-0${j + 1} 10:00</span></li>""").mkString
+      Page(hostUrl, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
+        s"<html><body><ul>$lis</ul></body></html>".getBytes("UTF-8"), "", "en")
+    }
+    val pages = spark.createDataset(
+      arts :+ home("http://a.example.com/") :+ home("http://b.example.com/"))
+    val hosts = spark.createDataset(Seq(
+      HostConfig(1, "a.example.com", "http://a.example.com/", 1, enabled = true, 100L, 1),
+      HostConfig(2, "b.example.com", "http://b.example.com/", 2, enabled = true, 100L, 1)))
+    val robots = spark.emptyDataset[FixtureGen.RobotsRow]
+    val s3 = newStore()
+    WaveEngine.runWave(spark, s3, pages, hosts, robots, 0, cc)
+    val got = s3.read(spark, "articles", 0)
+      .select("url", "host").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == 3)
+    assert(got.values.toSet == Set("a.example.com"))
+  }
+}
