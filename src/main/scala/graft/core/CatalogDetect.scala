@@ -114,6 +114,14 @@ object CatalogDetect {
   private[core] def urlTemplate(url: String): String =
     digitRun.matcher(url).replaceAll("\u0000d")
 
+  /** Rule-editor assist (U12, Analyzers/HtmlAnalyzer.cs:99-153): the
+    * URL template of the page's winning link group — the engine's analog
+    * of the reference's iteration-XPath suggestion (`…/li[*]/a`). */
+  def detectListTemplate(html: String, baseUrl: String): Option[String] = {
+    val items = detect(html, baseUrl)
+    items.headOption.map(i => urlTemplate(i.url).replace("\u0000d", "{d}"))
+  }
+
   /** Auto-detect the article list of a catalog page. `baseUrl` is the
     * page's own URL (for relative-href resolution, honoring the same
     * semantics as HtmlHelper.ResolveUrls, Common/HtmlHelper.cs:49-82). */

@@ -124,6 +124,39 @@ object UrlCanon {
     root + removeDotSegments(dir + r)
   }
 
+  private val hrefSrcAttr = Pattern.compile(
+    "(?i)\\b(href|src)\\s*=\\s*(\"([^\"]*)\"|'([^']*)')")
+  private val baseHrefPat = Pattern.compile(
+    "(?is)<base\\b[^>]*?href\\s*=\\s*(\"([^\"]*)\"|'([^']*)')")
+
+  /** Rewrite every `href`/`src` attribute in an HTML fragment to its
+    * absolute form, honoring `<base href>` — the U8 surface
+    * (/root/reference/Source/WebCrawler/Common/HtmlHelper.cs:49-82).
+    * `javascript:`/`#`/`data:`/`mailto:` values pass through untouched. */
+  def resolveHtmlUrls(html: String, pageUrl: String): String = {
+    if (html == null || html.isEmpty) return if (html == null) "" else html
+    val bm = baseHrefPat.matcher(html)
+    val base =
+      if (bm.find())
+        Option(bm.group(2)).orElse(Option(bm.group(3))).getOrElse(pageUrl)
+      else pageUrl
+    val m = hrefSrcAttr.matcher(html)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val attr = m.group(1)
+      val v = Option(m.group(3)).orElse(Option(m.group(4))).getOrElse("")
+      val lower = v.trim.toLowerCase(Locale.ROOT)
+      val out =
+        if (v.isEmpty || lower.startsWith("#") || lower.startsWith("javascript") ||
+            lower.startsWith("data:") || lower.startsWith("mailto:")) v
+        else resolve(base, v)
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement(s"""$attr="$out""""))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
   /** RFC 3986 §5.2.4 dot-segment removal on an absolute path. */
   private def removeDotSegments(path: String): String = {
     val q = path.indexOf('?')

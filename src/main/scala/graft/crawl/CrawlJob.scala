@@ -32,7 +32,7 @@ object CrawlJob {
       .appName("graft-crawl")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(opts.getOrElse("loglevel", "WARN"))
     import spark.implicits._
 
     val fx = FixtureCfg(
@@ -49,16 +49,20 @@ object CrawlJob {
       opts.get("pages") match {
         case Some(tpl) => w =>
           spark.read.parquet(tpl.replace("{wave}", w.toString)).as[Page]
-        case None => w => FixtureGen.pages(spark, fx, w)
+        case None =>
+          val dir = s"$storeDir/_fixture_pages"
+          w => FixtureGen.pagesParquet(spark, fx, w, dir)
       }
 
     val store = new SnapshotStore(storeDir)
-    val results = WaveEngine.run(spark, store, pagesAt,
-      FixtureGen.hosts(spark, fx), FixtureGen.robots(spark, fx), waves, cc)
-    results.foreach { r =>
-      println(s"""{"wave":${r.wave},"scheduled":${r.scheduled},""" +
-        s""""fetched":${r.fetched},"inserted":${r.inserted},""" +
-        s""""deduped":${r.deduped},"failed":${r.failed}}""")
+    (0 until waves).foreach { w =>
+      val t0 = System.nanoTime()
+      val r = WaveEngine.runWave(spark, store, pagesAt(w),
+        FixtureGen.hosts(spark, fx), FixtureGen.robots(spark, fx), w, cc)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"wave":${r.wave},"scheduled":${r.scheduled},""" +
+        f""""fetched":${r.fetched},"inserted":${r.inserted},""" +
+        f""""deduped":${r.deduped},"failed":${r.failed},"sec":$sec%.2f}""")
     }
     spark.stop()
   }

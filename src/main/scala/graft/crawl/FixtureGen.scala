@@ -27,7 +27,7 @@ final case class FixtureCfg(
     growthPerWave: Int = 5,  // new articles per host per wave
     hotHostFactor: Int = 10, // host 0 has this × the volume (skew)
     seed: Long = 42L) {
-  require(nHosts >= 6, "fixture roles need at least 6 hosts")
+  require(nHosts >= 8, "fixture roles need at least 8 hosts")
 }
 
 object FixtureGen {
@@ -43,6 +43,12 @@ object FixtureGen {
                            // the seen-filter dedup path actually fires
                            // (the catalog-reorder case the reference's
                            // UNIQUE key absorbs, MySQLSchema.sql:14)
+  val GbHost = 6           // article pages declare + encode GB2312
+                           // (charset sniff path, HtmlHelper.cs:296-330)
+  val JsonFeedHost = 7     // rule-driven host: catalog is a JSONP feed
+                           // fetched via page-url revise (S4/U13) and
+                           // parsed with a JPath rule (HtmlAnalyzer JPath
+                           // branch) instead of HTML auto-detection
 
   def hostName(i: Int): String = f"h$i%03d.example.com"
   def homeUrl(i: Int): String = s"http://${hostName(i)}/"
@@ -93,7 +99,7 @@ object FixtureGen {
     Timestamp.valueOf(LocalDateTime.of(2024, 6, 1, 0, 0).plusMinutes(i * 1440L + j))
 
   def isZh(cfg: FixtureCfg, i: Int, j: Int): Boolean =
-    math.floorMod(h(cfg, i, j, 2), 5) == 0
+    i == GbHost || math.floorMod(h(cfg, i, j, 2), 5) == 0
 
   def articleTitle(i: Int, j: Int): String = s"Story number $j from site $i"
 
@@ -105,7 +111,7 @@ object FixtureGen {
     * trigger the text-density extractor's start condition
     * (Analyzers/Html2Article.cs:307-365 semantics). */
   private def bodyParagraphs(cfg: FixtureCfg, i: Int, j: Int): Seq[String] = {
-    val nPar = 3 + math.floorMod(h(cfg, i, j, 3), 3).toInt
+    val nPar = 8 + math.floorMod(h(cfg, i, j, 3), 5).toInt
     (0 until nPar).map { p =>
       val words = (0 until 18).map(w =>
         s"w${math.floorMod(h(cfg, i, j, 100 + p * 31 + w), 9973)}")
@@ -119,9 +125,12 @@ object FixtureGen {
       if (isZh(cfg, i, j)) "作者：张伟" else s"作者：Reporter${math.floorMod(h(cfg, i, j, 4), 50)}"
     val paras = bodyParagraphs(cfg, i, j)
       .map(p => s"<p>$p</p>").mkString("\n")
+    val metaCharset = if (i == GbHost)
+      """<meta http-equiv="Content-Type" content="text/html; charset=gb2312">"""
+    else """<meta charset="utf-8">"""
     s"""<!DOCTYPE html>
        |<html>
-       |<head><title>${articleTitle(i, j)}</title>
+       |<head>$metaCharset<title>${articleTitle(i, j)}</title>
        |<script>var x=${j};</script>
        |<style>.c{color:red}</style>
        |</head>
@@ -167,6 +176,30 @@ object FixtureGen {
        |""".stripMargin
   }
 
+  def feedUrl(i: Int): String = s"http://${hostName(i)}/api/feed.jsonp"
+
+  /** Single-line JSONP feed for the rule-driven host — the shape the
+    * reference's TrimJsonP + JPath rules consume (HtmlHelper.cs:287-292;
+    * HtmlAnalyzer JPath branch). Lists the wave's article set with
+    * catalog dates; item URLs are root-relative. */
+  def feedJson(cfg: FixtureCfg, i: Int, wave: Int): String = {
+    val n = articleCount(cfg, i, wave)
+    val items = (0 until n).map { j =>
+      val dt = catalogDate(cfg, i, j, wave)
+      s"""{"u": "/a/$j.html", "t": "${articleTitle(i, j)}", """ +
+        f""""d": "${dt.getYear}%04d-${dt.getMonthValue}%02d-${dt.getDayOfMonth}%02d ${dt.getHour}%02d:${dt.getMinute}%02d"}"""
+    }.mkString(", ")
+    s"""loadCatalog({"items": [$items]});"""
+  }
+
+  def ruleFor(i: Int): Option[RuleSpec] =
+    if (i == JsonFeedHost)
+      Some(RuleSpec("JPath", "$.items[*]", url_field = "u",
+        title_field = "t", date_field = "d",
+        page_url_revise_exp = Some("/$"),
+        page_url_revise_rep = Some("/api/feed.jsonp")))
+    else None
+
   /** Expected extracted text for an article — the `text` oracle column
     * (per-row invariant: the pipeline must reproduce these bytes). */
   def articleText(cfg: FixtureCfg, i: Int, j: Int): String =
@@ -200,8 +233,11 @@ object FixtureGen {
         val i = lo
         val j = (id - offsets(i)).toInt
         val html = articleHtml(cfg, i, j)
+        // GbHost pages are stored in their DECLARED non-UTF-8 encoding —
+        // the engine must sniff the meta charset to round-trip the text
+        val enc = if (i == GbHost) "GB2312" else "UTF-8"
         Page(articleUrl(i, j), warcTs(i, j),
-          html.getBytes("UTF-8"), articleText(cfg, i, j), lang(cfg, i, j))
+          html.getBytes(enc), articleText(cfg, i, j), lang(cfg, i, j))
       }
     }
     val homes = spark.range(cfg.nHosts).mapPartitions { ids =>
@@ -209,12 +245,28 @@ object FixtureGen {
         val i = idl.toInt
         val gone = brokenAtWave(i).exists(wave >= _)
         if (gone) Iterator.empty
+        else if (i == JsonFeedHost) Iterator.single(Page(
+          UrlCanon.canonicalize(feedUrl(i)), warcTs(i, 0),
+          feedJson(cfg, i, wave).getBytes("UTF-8"), "", "en"))
         else Iterator.single(Page(
           UrlCanon.canonicalize(homeUrl(i)), warcTs(i, 0),
           homeHtml(cfg, i, wave).getBytes("UTF-8"), "", "en"))
       }
     }
     articles.unionByName(homes)
+  }
+
+  /** Materialize a wave's page snapshot to parquet once and read it
+    * back — the realistic input shape (columnar scan, column pruning,
+    * pushdown), and it keeps the generator's per-page extraction from
+    * re-running on every downstream action. */
+  def pagesParquet(spark: SparkSession, cfg: FixtureCfg, wave: Int,
+                   dir: String): Dataset[Page] = {
+    import spark.implicits._
+    val path = s"$dir/pages_wave=$wave"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      pages(spark, cfg, wave).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).as[Page]
   }
 
   def crawlDelayMs(i: Int): Long = 100L * (i % 3 + 1)
@@ -231,7 +283,8 @@ object FixtureGen {
         rank = cfg.nHosts - i, // lower index = higher priority
         enabled = true,
         crawl_delay_ms = crawlDelayMs(i),
-        max_in_flight = maxInFlight(i))
+        max_in_flight = maxInFlight(i),
+        rule = ruleFor(i))
     }
   }
 

@@ -40,6 +40,30 @@ final case class RobotsRules(
     crawl_delay_ms: Option[Long] // overrides HostConfig when present
 )
 
+/** Per-host extraction rule (≈ one `atc_websiterules` row,
+  * /root/reference/Source/MySQLSchema.sql:44-61, flattened for the lake
+  * schema). `match_type` ∈ Regex | JPath (see core.RuleEngine);
+  * page-url revise = S4/U13 (fetch a rewritten catalog URL, e.g. an
+  * AJAX feed); item-url revise = the rule's content-URL rewrite. */
+final case class RuleSpec(
+    match_type: String,
+    item_exp: String,
+    url_field: String = "url",
+    title_field: String = "title",
+    date_field: String = "date",
+    page_url_revise_exp: Option[String] = None,
+    page_url_revise_rep: Option[String] = None,
+    item_url_revise_exp: Option[String] = None,
+    item_url_revise_rep: Option[String] = None)
+
+object RuleSpec {
+  def toCatalogRule(r: RuleSpec): graft.core.CatalogRule =
+    graft.core.CatalogRule(r.match_type, r.item_exp, r.url_field,
+      r.title_field, r.date_field,
+      for { e <- r.page_url_revise_exp; p <- r.page_url_revise_rep } yield (e, p),
+      for { e <- r.item_url_revise_exp; p <- r.item_url_revise_rep } yield (e, p))
+}
+
 final case class HostConfig(
     host_id: Int,
     host: String,          // registered host, lowercase
@@ -47,7 +71,8 @@ final case class HostConfig(
     rank: Int,             // priority score (≈ atc_websites.rank)
     enabled: Boolean,
     crawl_delay_ms: Long,  // politeness budget
-    max_in_flight: Int)    // per-host concurrent fetches (reference: 1)
+    max_in_flight: Int,    // per-host concurrent fetches (reference: 1)
+    rule: Option[RuleSpec] = None) // None ⇒ auto-detect catalogs
 
 final case class HostState(
     host: String,
@@ -102,8 +127,16 @@ final case class PartitionLineage(
     rows: Long,
     hosts: Long)
 
-/** Bloom-then-Cuckoo seen-filter state, one row per host-hash bucket. */
+/** Bloom-then-Cuckoo seen-filter state, one row per host-hash bucket.
+  * BOTH sketches are carried wave-to-wave and merged incrementally
+  * (Bloom union is lossless; Cuckoo supports insert+delete), so no wave
+  * ever re-scans the committed article store to rebuild filters. The
+  * Bloom's fpp degrades as it fills past its sizing
+  * (CrawlConfig.expectedUrlsPerBucket) — degradation only costs extra
+  * exact anti-join probes, never correctness; rebuild offline (e.g.
+  * SeenFilter.buildBlooms over the article store) when saturated. */
 final case class SeenSketch(
     bucket: Int,
     cuckoo: Array[Byte],
-    n_urls: Long)
+    n_urls: Long,
+    bloom: Option[Array[Byte]] = None)

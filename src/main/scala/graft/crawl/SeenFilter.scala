@@ -54,33 +54,90 @@ object SeenFilter {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** Build per-bucket Bloom filters from (bucket, url) pairs. */
+  /** One bucket's sketches: the per-wave-rebuilt Bloom and the carried
+    * Cuckoo. Lives as a DATASET keyed by bucket — never collected to the
+    * driver, never broadcast: every stage that needs a sketch cogroups
+    * with this by bucket, so each sketch is deserialized exactly once
+    * per wave regardless of parallelism. (A broadcast map looks simpler
+    * but anti-scales: every task deserializes the whole sketch set, so
+    * total probe-prep work grows linearly with partition count —
+    * measured 4× slower at local[32] than local[8] before this design.) */
+  final case class BucketSketch(bucket: Int, bloom: Option[Array[Byte]],
+                                cuckoo: Option[Array[Byte]])
+
+  /** Per-bucket Bloom filters from (bucket, url) pairs: shuffle the RAW
+    * pairs (volume independent of parallelism) and build each filter in
+    * one reduce-side pass. */
   def buildBlooms(pairs: Dataset[(Int, String)], expectedPerBucket: Long,
-                  fpp: Double = 0.01): Map[Int, Array[Byte]] = {
+                  fpp: Double = 0.01): Dataset[(Int, Array[Byte])] = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val agg = new BloomAgg(expectedPerBucket, fpp)
-    pairs.groupByKey(_._1).agg(agg.toColumn.name("bloom"))
-      .collect().toMap
+    pairs.groupByKey(_._1).mapGroups { (b, it) =>
+      val bf = BloomFilter.create(math.max(64L, expectedPerBucket), fpp)
+      it.foreach(p => bf.putString(p._2))
+      (b, bf.serialize())
+    }
+  }
+
+  /** Zip the rebuilt blooms with the carried cuckoo state into the
+    * per-bucket sketch table. */
+  def bucketSketches(blooms: Dataset[(Int, Array[Byte])],
+                     carried: Dataset[SeenSketch]): Dataset[BucketSketch] = {
+    val spark = blooms.sparkSession
+    import spark.implicits._
+    blooms.groupByKey(_._1).cogroup(carried.groupByKey(_.bucket)) {
+      (b, bl, ck) =>
+        Iterator.single(BucketSketch(b,
+          bl.buffered.headOption.map(_._2),
+          ck.buffered.headOption.map(_.cuckoo)))
+    }
+  }
+
+  /** Probe: cogroup the wave's (bucket, article) rows with the sketch
+    * table; emit (article, maybeSeen). No false negatives (the Bloom is
+    * rebuilt from the full committed URL set); "maybe" rows go to the
+    * exact anti-join downstream. */
+  def probe(keyed: Dataset[(Int, ArticleRow)],
+            sketches: Dataset[BucketSketch]): Dataset[(ArticleRow, Boolean)] = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed.groupByKey(_._1).cogroup(sketches.groupByKey(_.bucket)) {
+      (_, rows, skIt) =>
+        val sk = skIt.buffered.headOption
+        val bloom = sk.flatMap(_.bloom).map(BloomFilter.deserialize)
+        val cuckoo = sk.flatMap(_.cuckoo).map(CuckooFilter.deserialize)
+        rows.map { case (_, a) =>
+          val h = BloomFilter.hash64(a.url)
+          val maybe = bloom.exists(_.mightContain(h)) ||
+            cuckoo.exists(_.contains(h))
+          (a, maybe)
+        }
+    }
   }
 
   /** Merge a wave's newly inserted (bucket, url) pairs into the carried
-    * per-bucket Cuckoo sketches. Old sketches ride in as a map (they are
-    * per-bucket and bounded); output covers all buckets that have state. */
-  def updateCuckoos(spark: SparkSession, inserted: Dataset[(Int, String)],
-                    old: Map[Int, Array[Byte]], capacity: Int): Dataset[SeenSketch] = {
+    * per-bucket sketches (Cuckoo AND Bloom, both incremental) — cogroup
+    * by bucket, no driver round-trip; untouched buckets pass through. */
+  def updateSketches(inserted: Dataset[(Int, String)],
+                     carried: Dataset[SeenSketch], capacity: Int,
+                     expectedPerBucket: Long, fpp: Double): Dataset[SeenSketch] = {
+    val spark = inserted.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(old)
-    val touched = inserted.groupByKey(_._1).mapGroups { (b, urls) =>
-      val cf = bc.value.get(b).map(CuckooFilter.deserialize)
-        .getOrElse(CuckooFilter.create(capacity))
-      var n = 0L
-      urls.foreach { case (_, u) => cf.insertString(u); n += 1 }
-      SeenSketch(b, cf.serialize(), cf.size.toLong)
-    }.cache()
-    val touchedBuckets = touched.select("bucket").as[Int].collect().toSet
-    val untouched = old.view.filterKeys(!touchedBuckets.contains(_)).toSeq
-      .map { case (b, bytes) => SeenSketch(b, bytes, CuckooFilter.deserialize(bytes).size.toLong) }
-    touched.unionByName(spark.createDataset(untouched))
+    inserted.groupByKey(_._1).cogroup(carried.groupByKey(_.bucket)) {
+      (b, ins, old) =>
+        val prev = old.buffered.headOption
+        if (ins.isEmpty) prev.iterator
+        else {
+          val cf = prev.map(s => CuckooFilter.deserialize(s.cuckoo))
+            .getOrElse(CuckooFilter.create(capacity))
+          val bf = prev.flatMap(_.bloom).map(BloomFilter.deserialize)
+            .getOrElse(BloomFilter.create(math.max(64L, expectedPerBucket), fpp))
+          ins.foreach { case (_, u) =>
+            cf.insertString(u); bf.putString(u)
+          }
+          Iterator.single(SeenSketch(b, cf.serialize(), cf.size.toLong,
+            Some(bf.serialize())))
+        }
+    }
   }
 }

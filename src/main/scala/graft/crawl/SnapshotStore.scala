@@ -74,6 +74,12 @@ final class SnapshotStore(val root: String) extends Serializable {
     n
   }
 
+  /** Write without the row-count job (manifest records -1). One Spark
+    * action instead of two — the wave engine calls this for tables whose
+    * counts it already derives from the metrics roll-up. */
+  def writeNoCount(df: DataFrame, table: String, wave: Int): Unit =
+    df.write.mode("overwrite").parquet(dataPath(table, wave))
+
   /** Read one table at one committed wave; empty-schema-safe via
     * caller-provided fallback. */
   def read(spark: SparkSession, table: String, wave: Int): DataFrame = {

@@ -2,7 +2,6 @@ package graft.crawl
 
 import java.sql.Timestamp
 
-import graft.core.filters.{BloomFilter, CuckooFilter}
 import graft.core.{ArticleExtractor, CatalogDetect, UrlCanon}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -12,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * public accessors. */
 final case class HostWork(
     host: String, host_id: Int, home: String, rank: Int,
-    crawl_delay_ms: Long, max_in_flight: Int,
+    crawl_delay_ms: Long, max_in_flight: Int, rule: Option[RuleSpec],
     lasthandled: Option[String], broken_since: Option[Timestamp],
     robots_disallow: Seq[String], robots_delay_ms: Option[Long],
     robots_wave: Int, html: Option[Array[Byte]], fetched_ts: Option[Timestamp])
@@ -34,7 +33,8 @@ final case class CrawlConfig(
     salt: Int = 4,                // skew salt per host bucket (S)
     bloomFpp: Double = 0.01,
     expectedUrlsPerBucket: Long = 100000L,
-    cuckooCapacityPerBucket: Int = 1 << 17,
+    cuckooCapacityPerBucket: Int = 1 << 14, // ~64 KiB serialized/bucket;
+    // scale hostBuckets×salt (and this) together for bigger seen-sets
     fetchPartitions: Int = 0)     // 0 = leave to AQE / input partitioning
 
 /** One wave of the crawl — the Spark re-expression of the reference's
@@ -158,8 +158,19 @@ object WaveEngine {
     //    (broadcast is only legal on the small side of an inner join;
     //    missing homes are recovered with a cheap anti-join against the
     //    small fetched set — the pages table is scanned, never shuffled)
+    // rule-driven page-URL revise (S4/U13) happens BEFORE the fetch —
+    // the revised URL (e.g. an AJAX feed endpoint) is what gets looked up
+    val homeCanonUdf = udf { (home: String, exp: String, rep: String) =>
+      val revised =
+        if (exp != null && rep != null)
+          java.util.regex.Pattern
+            .compile(exp, java.util.regex.Pattern.CASE_INSENSITIVE)
+            .matcher(home).replaceAll(rep)
+        else home
+      UrlCanon.canonicalize(revised)
+    }
     val homeTargets = seeded.withColumn("home_canon",
-      udf((h: String) => UrlCanon.canonicalize(h)).apply($"home"))
+      homeCanonUdf($"home", $"rule.page_url_revise_exp", $"rule.page_url_revise_rep"))
     val homesOk = pages.toDF()
       .select($"url".as("home_canon"), $"html", $"warc_ts".as("fetched_ts"))
       .join(broadcast(homeTargets), Seq("home_canon"), "inner")
@@ -173,7 +184,7 @@ object WaveEngine {
 
     val work = fetchedHomes.select(
       $"host", $"host_id", $"home", $"rank",
-      col("crawl_delay_ms"), $"max_in_flight",
+      col("crawl_delay_ms"), $"max_in_flight", $"rule",
       $"lasthandled", $"broken_since",
       coalesce($"robots_disallow", $"r_disallow", typedLit(Seq.empty[String]))
         .as("robots_disallow"),
@@ -198,10 +209,18 @@ object WaveEngine {
                   w.robots_disallow, w.robots_delay_ms, robotsW),
                 homeOk = false, catalogFound = 0, robotsDenied = 0, Nil)
             case Some(bytes) =>
-              val html = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-              val items = CatalogDetect.detect(html, w.home)
+              val html = graft.core.CharsetDetect.decode(bytes)
+              // rule-driven (Regex/JPath) or auto-detected catalog; item
+              // URLs resolve against the (revised) fetched page URL
+              val items = w.rule match {
+                case Some(r) =>
+                  val cr = RuleSpec.toCatalogRule(r)
+                  graft.core.RuleEngine.detect(html,
+                    graft.core.RuleEngine.revisePageUrl(w.home, cr), cr)
+                case None => CatalogDetect.detect(html, w.home)
+              }
               val hc = HostConfig(w.host_id, w.host, w.home, w.rank,
-                enabled = true, w.crawl_delay_ms, w.max_in_flight)
+                enabled = true, w.crawl_delay_ms, w.max_in_flight, w.rule)
               val (tasks, denied) = scheduleHost(wave, hc, items,
                 w.lasthandled, w.robots_disallow, w.robots_delay_ms, maxPer)
               val newLast = items.sortBy { i2 =>
@@ -229,12 +248,6 @@ object WaveEngine {
     val fetched = pages.toDF()
       .join(broadcast(tasksDF), Seq("url"), "inner")
 
-    // tasks whose URL is absent from the page snapshot = fetch failures
-    // (reference counts them per site, ArticleCrawler.cs:187-196)
-    val fetchFails = tasksDF
-      .join(fetched.select($"url"), Seq("url"), "left_anti")
-      .select($"host", $"url").as[(String, String)].cache()
-
     // -- host-hash salted repartitioning (north rule): the CPU-heavy
     //    extract stage is the crawler's "fetch executor queue" — key it
     //    by (host-hash × salt + url-hash % salt) so a hot domain spreads
@@ -254,13 +267,21 @@ object WaveEngine {
         Option[Timestamp], Array[Byte], Timestamp)]
       .mapPartitions { rows =>
         rows.map { case (url, host, w, seq, catTitle, pub, b, wts) =>
-          val d = ArticleExtractor.extract(
-            new String(b, java.nio.charset.StandardCharsets.UTF_8))
+          // charset-aware decode (meta sniff, GBK/GB2312 supported — U11)
+          val d = ArticleExtractor.extract(graft.core.CharsetDetect.decode(b))
           val title = if (d.title.nonEmpty) d.title else catTitle
           ArticleRow(url, host, w, seq, title, d.content,
             d.published.map(Timestamp.valueOf).orElse(pub), d.author, wts)
         }
       }.cache()
+
+    // tasks whose URL is absent from the page snapshot = fetch failures
+    // (reference counts them per site, ArticleCrawler.cs:187-196).
+    // Anti-join against the CACHED extracted set (≡ fetched urls, since
+    // the fetch-join is inner) so the big pages table isn't re-scanned.
+    val fetchFails = tasksDF
+      .join(extracted.toDF().select($"url"), Seq("url"), "left_anti")
+      .select($"host", $"url").as[(String, String)].cache()
 
     // -- per-partition lineage rows (north rule)
     val lineage = extracted
@@ -269,49 +290,29 @@ object WaveEngine {
       .select(lit(wave).as("wave"), lit("extract").as("stage"),
         $"partition_id", $"rows", $"hosts").as[PartitionLineage]
 
-    // -- URL-seen: bloom (rebuilt, broadcast) → cuckoo (carried) → exact
-    val seenSketches: Map[Int, Array[Byte]] =
+    // -- URL-seen: bloom (rebuilt from committed urls) → cuckoo
+    //    (carried) → exact anti-join. Everything keyed by salted
+    //    host-hash bucket and cogrouped — sketches are never collected
+    //    or broadcast, so probe-prep work is independent of parallelism.
+    //    Probe semantics: the Bloom covers the FULL committed URL set,
+    //    so "both say no" ⇒ definitely unseen (no false negatives); any
+    //    "yes" routes to the exact anti-join (false positives can never
+    //    lose rows).
+    val carriedSeen: Dataset[SeenSketch] =
       if (wave > 0 && store.isCommitted(prevWave))
         store.read(spark, "seen", prevWave).as[SeenSketch]
-          .collect().map(s => s.bucket -> s.cuckoo).toMap
-      else Map.empty
+      else spark.emptyDataset[SeenSketch]
 
     val existing: Option[DataFrame] =
       if (wave > 0) store.readDeltas(spark, "articles", prevWave) else None
 
-    val blooms: Map[Int, Array[Byte]] = existing match {
-      case None => Map.empty
-      case Some(art) =>
-        SeenFilter.buildBlooms(
-          art.select($"host", $"url").as[(String, String)]
-            .map { case (h, u) =>
-              (SeenFilter.bucket(h, u, cfg.hostBuckets, cfg.salt), u) },
-          cfg.expectedUrlsPerBucket, cfg.bloomFpp)
-    }
-
-    val bBlooms = spark.sparkContext.broadcast(blooms)
-    val bCuckoos = spark.sparkContext.broadcast(seenSketches)
     val hb = cfg.hostBuckets; val sl = cfg.salt
-    // Probe semantics: the Bloom stage is rebuilt from the FULL committed
-    // URL set, so "bloom no AND cuckoo no" ⇒ definitely unseen (no false
-    // negatives); any "yes" routes the row to the exact anti-join (false
-    // positives can never lose rows). Sketches deserialize once per
-    // partition per bucket, not per row.
-    val classified = extracted.mapPartitions { rows =>
-      val bloomCache = scala.collection.mutable.HashMap.empty[Int, BloomFilter]
-      val cuckooCache = scala.collection.mutable.HashMap.empty[Int, CuckooFilter]
-      rows.map { a =>
-        val bkt = SeenFilter.bucket(a.host, a.url, hb, sl)
-        val hash = BloomFilter.hash64(a.url)
-        val maybeBloom = bBlooms.value.contains(bkt) &&
-          bloomCache.getOrElseUpdate(bkt,
-            BloomFilter.deserialize(bBlooms.value(bkt))).mightContain(hash)
-        val maybeCuckoo = !maybeBloom && bCuckoos.value.contains(bkt) &&
-          cuckooCache.getOrElseUpdate(bkt,
-            CuckooFilter.deserialize(bCuckoos.value(bkt))).contains(hash)
-        (a, maybeBloom || maybeCuckoo)
-      }
-    }.cache()
+    // both sketches ride in the carried state (incrementally merged at
+    // commit time) — no article-store scan to rebuild filters per wave
+    val sketches = carriedSeen.map(s =>
+      SeenFilter.BucketSketch(s.bucket, s.bloom, Option(s.cuckoo)))
+    val keyed = extracted.map(a => (SeenFilter.bucket(a.host, a.url, hb, sl), a))
+    val classified = SeenFilter.probe(keyed, sketches).cache()
 
     val definitelyNew = classified.filter(!_._2).map(_._1)
     val maybeSeen = classified.filter(_._2).map(_._1)
@@ -331,20 +332,23 @@ object WaveEngine {
       .withColumn("rn", row_number().over(dedupW))
       .where($"rn" === 1).drop("rn").as[ArticleRow].cache()
 
-    // -- metrics per host (A4 roll-up)
-    val perHostNew = newArticles.groupBy($"host").agg(count(lit(1)).as("inserted"))
-    val perHostFetched = extracted.groupBy($"host").agg(count(lit(1)).as("fetched_ok"))
-    val perHostFail = fetchFails.toDF("host", "url")
-      .groupBy($"host").agg(count(lit(1)).as("task_failed"))
-    val perHostSched = tasks.groupBy($"host").agg(count(lit(1)).as("scheduled"))
+    // -- metrics per host (A4 roll-up): ONE tagged union + ONE groupBy
+    //    instead of four separate aggregate-join plans — same result,
+    //    a quarter of the driver planning/codegen and one shuffle.
+    val tagged = tasks.toDF().select($"host", lit("s").as("k"))
+      .unionByName(extracted.toDF().select($"host", lit("f").as("k")))
+      .unionByName(fetchFails.toDF("host", "url").select($"host", lit("x").as("k")))
+      .unionByName(newArticles.toDF().select($"host", lit("i").as("k")))
+    val counts = tagged.groupBy($"host").agg(
+      count(when($"k" === "s", 1)).as("scheduled"),
+      count(when($"k" === "f", 1)).as("fetched_ok"),
+      count(when($"k" === "x", 1)).as("task_failed"),
+      count(when($"k" === "i", 1)).as("inserted"))
     val hostFacts = outcomes.map(o => (o.state.host, o.catalogFound,
       o.robotsDenied, !o.homeOk)).toDF("host", "catalog_found", "robots_denied", "home_failed")
 
     val metrics = hostFacts
-      .join(perHostSched, Seq("host"), "left")
-      .join(perHostFetched, Seq("host"), "left")
-      .join(perHostFail, Seq("host"), "left")
-      .join(perHostNew, Seq("host"), "left")
+      .join(counts, Seq("host"), "left")
       .select(
         lit(wave).as("wave"), $"host",
         $"catalog_found",
@@ -358,10 +362,11 @@ object WaveEngine {
         coalesce($"inserted", lit(0L)).cast("int").as("inserted"))
       .as[WaveMetrics]
 
-    // -- carried seen-state update (cuckoo insert of this wave's inserts)
-    val newSeen = SeenFilter.updateCuckoos(spark,
+    // -- carried seen-state update (bloom + cuckoo insert of the inserts)
+    val newSeen = SeenFilter.updateSketches(
       newArticles.map(a => (SeenFilter.bucket(a.host, a.url, hb, sl), a.url)),
-      seenSketches, cfg.cuckooCapacityPerBucket)
+      carriedSeen, cfg.cuckooCapacityPerBucket,
+      cfg.expectedUrlsPerBucket, cfg.bloomFpp)
 
     val newState = outcomes.map(_.state)
 
@@ -369,22 +374,24 @@ object WaveEngine {
     //    coalesce to one file (they are ≤ seed-list rows); articles keep
     //    their partitioning.
     val mCached = metrics.toDF().coalesce(1).cache()
-    val nArticles = store.write(newArticles.toDF(), "articles", wave)
-    val nFrontier = store.write(tasks.toDF().coalesce(1), "frontier", wave)
-    val nState = store.write(newState.toDF().coalesce(1), "state", wave)
-    val nSeen = store.write(newSeen.toDF().coalesce(1), "seen", wave)
-    val nMetrics = store.write(mCached, "metrics", wave)
-    val nLineage = store.write(lineage.toDF().coalesce(1), "lineage", wave)
-    store.commit(wave, Map(
-      "articles" -> nArticles, "frontier" -> nFrontier, "state" -> nState,
-      "seen" -> nSeen, "metrics" -> nMetrics, "lineage" -> nLineage))
+    store.writeNoCount(newArticles.toDF(), "articles", wave)
+    store.writeNoCount(tasks.toDF().coalesce(1), "frontier", wave)
+    store.writeNoCount(newState.toDF().coalesce(1), "state", wave)
+    store.writeNoCount(newSeen.toDF().coalesce(1), "seen", wave)
+    store.writeNoCount(mCached, "metrics", wave)
+    store.writeNoCount(lineage.toDF().coalesce(1), "lineage", wave)
 
     // wave totals from the (cached) metrics roll-up — one job, no extra
-    // recomputation of the task/extract lineage
+    // recomputation of the task/extract lineage; per-table row counts in
+    // the manifest come from the same aggregate.
     val agg = mCached.groupBy().agg(
       sum("scheduled"), sum("fetched_ok"), sum("deduped"),
-      sum("fetch_failed")).head()
+      sum("fetch_failed"), sum("inserted"), count(lit(1))).head()
     def g(i: Int) = if (agg.isNullAt(i)) 0L else agg.getLong(i)
+    val nArticles = g(4)
+    store.commit(wave, Map(
+      "articles" -> nArticles, "frontier" -> g(0), "state" -> g(5),
+      "seen" -> -1L, "metrics" -> g(5), "lineage" -> -1L))
     val res = WaveResult(wave, g(0), g(1), nArticles, g(2), g(3))
     outcomes.unpersist(); tasks.unpersist(); fetchFails.unpersist()
     extracted.unpersist(); classified.unpersist(); newArticles.unpersist()

@@ -136,11 +136,22 @@ object Dedup {
   /** Embedding near-dup pairs: cosine >= threshold. Brute-force
     * self-join baseline; `Similarity.lshBuckets` is the scale path. */
   def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.crossJoin(b)
+    // Precompute norms once per vector (O(n·d)) and repartition the
+    // streamed side so the O(n²) pair stage spreads over all cores — a
+    // single-file parquet read otherwise runs the whole cross join in
+    // one task. Pair arithmetic (dot/(na·nb)) matches the DuckDB oracle
+    // formula exactly, so threshold-boundary rows agree bit-for-bit.
+    val parts = emb.sparkSession.sessionState.conf.numShufflePartitions
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+      .repartition(parts, col("id_a"))
+    val b = withNorm.select(col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(broadcast(b))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
       .orderBy("id_a", "id_b")

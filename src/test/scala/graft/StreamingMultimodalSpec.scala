@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import graft.ops.Multimodal
 import graft.streaming.StreamOps
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.streaming.MemoryStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 class StreamingMultimodalSpec extends AnyFunSuite {

@@ -16,6 +16,10 @@ class CrawlPipelineSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // micro-wave latency: the hot path is typed mapPartitions, so
+      // whole-stage codegen only adds per-plan janino compiles here
+      .config("spark.sql.codegen.wholeStage", "false")
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -30,9 +34,12 @@ class CrawlPipelineSpec extends AnyFunSuite {
   private def newStore(): SnapshotStore =
     new SnapshotStore(Files.createTempDirectory("crawlstore").toString)
 
+  private lazy val pagesDir =
+    Files.createTempDirectory("crawlpages").toString
+
   private def runAll(store: SnapshotStore, waves: Int): Seq[WaveEngine.WaveResult] =
     WaveEngine.run(spark, store,
-      w => FixtureGen.pages(spark, fx, w),
+      w => FixtureGen.pagesParquet(spark, fx, w, pagesDir),
       FixtureGen.hosts(spark, fx),
       FixtureGen.robots(spark, fx), waves, cc)
 
