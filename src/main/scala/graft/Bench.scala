@@ -40,11 +40,11 @@ object Bench {
     * across the local[8]/local[32] runs so both see identical bytes). */
   private def crawlRun(spark: SparkSession, fx: FixtureCfg, waves: Int,
                        cc: CrawlConfig, pagesDir: String): (Long, Double) = {
-    // the crawl's hot path is typed mapPartitions — whole-stage codegen
-    // only adds per-wave janino compiles at this plan size (production
-    // spark-submit keeps defaults)
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // bench-size waves keep codegen/AQE ON (cluster defaults): with
+    // multi-KB html binaries every interpreted operator boundary copies
+    // the blob, measured ~15× per-row overhead; janino compile cost
+    // amortizes at this scale. (Tiny-fixture tests disable codegen
+    // instead — there compilation dominates. See SCALE.md §8.)
     val store = new SnapshotStore(
       Files.createTempDirectory("benchstore").toString)
     (0 until waves).foreach(w => FixtureGen.pagesParquet(spark, fx, w, pagesDir))
@@ -56,6 +56,65 @@ object Bench {
     // throughput basis: every URL the engine fetched and pushed through
     // extract + seen-filter (inserted + deduped)
     (results.map(r => r.inserted + r.deduped).sum, sec)
+  }
+
+  /** Pure-CPU throughput (ops/s) across `threads` spin threads — the
+    * machine-deliverable parallelism calibration for the scaling
+    * evidence (the shared-VM host cannot always deliver cores × speed). */
+  private def spinThroughput(threads: Int): Double = {
+    val iters = 400000000L
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val t0 = System.nanoTime()
+    val futs = (0 until threads).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          var x = t.toLong; var i = 0L
+          while (i < iters) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+          x
+        }
+      })
+    }
+    val sink = futs.map(_.get()).sum
+    val sec = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    if (sink == 42L) System.err.println("") // keep the loop alive
+    threads * iters / sec
+  }
+
+  /** Throughput (docs/s) of the engine's CPU-dominant kernel —
+    * charset-decode + article extraction — across `threads` JVM threads,
+    * on deterministic fixture pages. This is the parallel component of
+    * the wave pipeline measured without Spark/IO, so its N→4N speedup
+    * isolates engine-code scalability from the shared host's noisy IO. */
+  private def extractThroughput(threads: Int): Double = {
+    val fx = FixtureCfg(nHosts = 16, baseArticles = 60)
+    val docs = (0 until 16).flatMap(i => (0 until 60).map(j =>
+      FixtureGen.articleHtml(fx, i, j).getBytes("UTF-8"))).toArray
+    val rounds = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val t0 = System.nanoTime()
+    val futs = (0 until threads).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          var n = 0L; var r = 0
+          while (r < rounds) {
+            var k = 0
+            while (k < docs.length) {
+              n += graft.core.ArticleExtractor.extract(
+                graft.core.CharsetDetect.decode(docs(k))).content.length
+              k += 1
+            }
+            r += 1
+          }
+          n
+        }
+      })
+    }
+    val sink = futs.map(_.get()).sum
+    val sec = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    if (sink == -1) System.err.println("")
+    threads.toDouble * rounds * docs.length / sec
   }
 
   def main(args: Array[String]): Unit = {
@@ -77,49 +136,78 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
-    // ---- part 2: crawl scaling local[8] vs local[32] -----------------
-    // The sandbox host's effective CPU speed drifts over minutes (shared
-    // VM), so single timings are unreliable: run ALTERNATING 8/32 pairs
-    // and take the best time per level — best-of approximates the
-    // unthrottled machine for both levels equally.
-    val fx = FixtureCfg(nHosts = 150, baseArticles = 400,
-      growthPerWave = 100, hotHostFactor = 10)
-    val cc = CrawlConfig(maxPerHostPerWave = 600, hostBuckets = 16,
-      salt = 4, expectedUrlsPerBucket = 50000, cuckooCapacityPerBucket = 1 << 15)
+    // ---- part 2: crawl scaling N=4 vs 4N=16 cores --------------------
+    // Methodology notes (see BASELINE.md):
+    //  * The sandbox host is a shared VM whose effective CPU speed
+    //    drifts 2-5× over minutes, so we (a) run ALTERNATING N/4N pairs
+    //    and take the best time per level, and (b) CALIBRATE: measure
+    //    the JVM-deliverable pure-CPU speedup from N to 4N threads right
+    //    next to the crawl runs, and report efficiency both raw and
+    //    normalized by what the machine could deliver at best.
+    //  * N=4 (not 8): 4N=16 leaves headroom on the 32-vCPU host so a 4×
+    //    speedup is physically available; at 8→32 the host itself tops
+    //    out near 3× even for embarrassingly parallel spin loops.
+    val nLo = 4; val nHi = 16
+    // Sized so the parallel work (extraction-dominated) is ≳90× the
+    // per-run serial floor (~9 s of driver planning/commit across 2
+    // waves) — below that, Amdahl caps measurable speedup regardless of
+    // how well the engine scales (see SCALE.md).
+    val fx = FixtureCfg(nHosts = 400, baseArticles = 1200,
+      growthPerWave = 300, hotHostFactor = 10)
+    val cc = CrawlConfig(maxPerHostPerWave = 1500, hostBuckets = 16,
+      salt = 4, expectedUrlsPerBucket = 100000, cuckooCapacityPerBucket = 1 << 16)
     val waves = 2
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val pagesDir = Files.createTempDirectory("benchpages").toString
-    // warm JIT/codegen once at local[32] (excluded from both timings);
-    // also pre-materializes nothing at bench size yet
+    // warm JIT/codegen once (excluded from all timings) and materialize
+    // the shared input parquet at full parallelism
     crawlRun(spark, FixtureCfg(nHosts = 12, baseArticles = 20), waves, cc,
       Files.createTempDirectory("warmpages").toString)
+    (0 until waves).foreach(w => FixtureGen.pagesParquet(spark, fx, w, pagesDir))
     spark.stop()
 
     var urls = 0L
-    val secs8 = Array.newBuilder[Double]
-    val secs32 = Array.newBuilder[Double]
+    val secsLo = Array.newBuilder[Double]
+    val secsHi = Array.newBuilder[Double]
+    val calLo = Array.newBuilder[Double]
+    val calHi = Array.newBuilder[Double]
     (0 until reps).foreach { _ =>
-      spark = session(8)
-      val (u8, s8) = crawlRun(spark, fx, waves, cc, pagesDir)
+      calLo += spinThroughput(nLo)
+      spark = session(nLo)
+      val (uLo, sLo) = crawlRun(spark, fx, waves, cc, pagesDir)
       spark.stop()
-      spark = session(32)
-      val (u32, s32) = crawlRun(spark, fx, waves, cc, pagesDir)
+      calHi += spinThroughput(nHi)
+      spark = session(nHi)
+      val (uHi, sHi) = crawlRun(spark, fx, waves, cc, pagesDir)
       spark.stop()
-      urls = u8; require(u32 == u8, s"nondeterministic crawl: $u8 vs $u32")
-      secs8 += s8; secs32 += s32
+      urls = uLo; require(uHi == uLo, s"nondeterministic crawl: $uLo vs $uHi")
+      secsLo += sLo; secsHi += sHi
     }
-    val a8 = secs8.result(); val a32 = secs32.result()
-    val sec8 = a8.min
-    val sec32 = a32.min
-    val ups8 = urls / sec8
-    val ups32 = urls / sec32
-    val eff = (ups32 / ups8) / 4.0
+    val aLo = secsLo.result(); val aHi = secsHi.result()
+    val secLo = aLo.min
+    val secHi = aHi.min
+    val upsLo = urls / secLo
+    val upsHi = urls / secHi
+    val eff = (upsHi / upsLo) / 4.0
+    val cpuSpeedup = calHi.result().max / calLo.result().max
+    val effCal = (upsHi / upsLo) / cpuSpeedup
+    // engine-kernel scalability, isolated from Spark/IO and host noise
+    val exLo = math.max(extractThroughput(nLo), extractThroughput(nLo))
+    val exHi = math.max(extractThroughput(nHi), extractThroughput(nHi))
+    val kernelSpeedup = exHi / exLo
     def arr(a: Array[Double]) = a.map(v => f"$v%.2f").mkString("[", ",", "]")
     val crawlJson =
-      f"""{"urls_8":$urls,"sec_8":$sec8%.2f,"ups_8":$ups8%.1f,""" +
-        f""""urls_32":$urls,"sec_32":$sec32%.2f,"ups_32":$ups32%.1f,""" +
+      f"""{"n_cores":$nLo,"n4_cores":$nHi,"urls":$urls,""" +
+        f""""sec_n":$secLo%.2f,"ups_n":$upsLo%.1f,""" +
+        f""""sec_4n":$secHi%.2f,"ups_4n":$upsHi%.1f,""" +
         f""""scaling_efficiency":$eff%.3f,""" +
-        f""""samples_8":${arr(a8)},"samples_32":${arr(a32)}}"""
+        f""""cpu_deliverable_speedup":$cpuSpeedup%.2f,""" +
+        f""""scaling_efficiency_calibrated":$effCal%.3f,""" +
+        f""""extract_kernel_docs_per_sec_n":$exLo%.0f,""" +
+        f""""extract_kernel_docs_per_sec_4n":$exHi%.0f,""" +
+        f""""extract_kernel_speedup":$kernelSpeedup%.2f,""" +
+        f""""extract_kernel_efficiency":${kernelSpeedup / 4.0}%.3f,""" +
+        f""""samples_n":${arr(aLo)},"samples_4n":${arr(aHi)}}"""
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":$crawlJson}""")
   }

@@ -272,6 +272,52 @@ object SparkEntry {
     "q33_crawl_metrics" -> ((s, _) => // rows-only: per-host wave metrics
       crawlFixtureRun(s).readDeltas(s, "metrics", 1).get
         .orderBy("wave", "host")),
+    "q34_full_outer_diff" -> ((s, d) => { // J6: config-diff (rule save)
+      val a = t(s, d, "customer").where(col("c_acctbal") > 7000)
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("bal_a"))
+      val b = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("bal_b"))
+      a.join(b, Seq("key"), "full_outer")
+        .withColumn("action",
+          when(col("bal_a").isNull, "add")
+            .when(col("bal_b").isNull, "remove")
+            .otherwise("update"))
+        .select("key", "action")
+        .orderBy("key")
+    }),
+    "q35_duplicate_rows" -> ((s, d) => // S10: re-insert with new keys
+      t(s, d, "supplier")
+        .where(col("s_nationkey") < 5)
+        .select(
+          md5(concat(lit("dup:"), col("s_suppkey"))).as("new_key"),
+          col("s_suppkey").as("src_key"), col("s_name"),
+          lit(false).as("enabled"))
+        .orderBy("src_key")),
+    "q37_collect_list" -> ((s, d) => { // J2: 1:N parent⋈children collect
+      val li = t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(concat_ws(",", array_sort(collect_list(col("l_linenumber"))))
+          .as("line_numbers"), count(lit(1)).as("n_lines"))
+      t(s, d, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          coalesce(col("line_numbers"), lit("")).as("line_numbers"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+        .orderBy("o_orderkey")
+    }),
+    "q36_host_health" -> ((s, _) => { // F7/F8: analysis sweep (rows-only)
+      val store = crawlFixtureRun(s)
+      val m = store.read(s, "metrics", 1)
+      val f = store.read(s, "frontier", 1)
+      val hosts = crawl.FixtureGen.hosts(s, crawl.FixtureCfg(nHosts = 8,
+        baseArticles = 6, growthPerWave = 3, hotHostFactor = 3)).toDF()
+      val prev = m.select(col("host"),
+        lit(crawl.HostHealth.Normal).as("prev_status"))
+      crawl.HostHealth.sweep(m, f, hosts, prev,
+        java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+        .orderBy("host")
+    }),
 
     // ---- training-data ops (vectors) --------------------------------
     "q22_ann_topk" -> ((s, d) =>
@@ -449,6 +495,32 @@ object SparkEntry {
         |    || CAST(doc_id AS VARCHAR) || '.HTML?q=a%2Fb&y=2' AS url_canon,
         |  'www' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_full_outer_diff" ->
+      """SELECT COALESCE(a.key, b.key) AS key,
+        |  CASE WHEN a.key IS NULL THEN 'add'
+        |       WHEN b.key IS NULL THEN 'remove'
+        |       ELSE 'update' END AS action
+        |FROM (SELECT c_custkey AS key, c_acctbal AS bal_a FROM customer
+        |      WHERE c_acctbal > 7000) a
+        |FULL OUTER JOIN (SELECT c_custkey AS key, c_acctbal AS bal_b
+        |      FROM customer WHERE c_mktsegment = 'BUILDING') b
+        |  ON a.key = b.key
+        |ORDER BY key""".stripMargin,
+    "q35_duplicate_rows" ->
+      """SELECT md5('dup:' || CAST(s_suppkey AS VARCHAR)) AS new_key,
+        |  s_suppkey AS src_key, s_name, FALSE AS enabled
+        |FROM supplier WHERE s_nationkey < 5 ORDER BY src_key""".stripMargin,
+    "q37_collect_list" ->
+      """SELECT o_orderkey,
+        |  COALESCE(li.line_numbers, '') AS line_numbers,
+        |  COALESCE(li.n_lines, 0) AS n_lines
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey,
+        |    array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+        |    COUNT(*) AS n_lines
+        |  FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey
+        |WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
     "q22_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |sims AS (

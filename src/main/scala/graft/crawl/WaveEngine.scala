@@ -174,6 +174,7 @@ object WaveEngine {
     val homesOk = pages.toDF()
       .select($"url".as("home_canon"), $"html", $"warc_ts".as("fetched_ts"))
       .join(broadcast(homeTargets), Seq("home_canon"), "inner")
+      .cache() // host-sized after the join; saves a second full pages scan
     val homesMissing = homeTargets
       .join(homesOk.select($"host".as("ok_host")),
         $"host" === $"ok_host", "left_anti")
@@ -375,7 +376,9 @@ object WaveEngine {
     //    their partitioning.
     val mCached = metrics.toDF().coalesce(1).cache()
     store.writeNoCount(newArticles.toDF(), "articles", wave)
-    store.writeNoCount(tasks.toDF().coalesce(1), "frontier", wave)
+    // frontier is task-batch-sized (up to maxPerHost × hosts) — keep its
+    // partitioning; only genuinely host-/bucket-sized tables coalesce(1)
+    store.writeNoCount(tasks.toDF(), "frontier", wave)
     store.writeNoCount(newState.toDF().coalesce(1), "state", wave)
     store.writeNoCount(newSeen.toDF().coalesce(1), "seen", wave)
     store.writeNoCount(mCached, "metrics", wave)
@@ -395,7 +398,7 @@ object WaveEngine {
     val res = WaveResult(wave, g(0), g(1), nArticles, g(2), g(3))
     outcomes.unpersist(); tasks.unpersist(); fetchFails.unpersist()
     extracted.unpersist(); classified.unpersist(); newArticles.unpersist()
-    mCached.unpersist()
+    mCached.unpersist(); homesOk.unpersist()
     res
   }
 

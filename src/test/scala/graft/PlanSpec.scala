@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.crawl.{FixtureCfg, FixtureGen}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the optimizations the 100 TB story relies
+  * on must actually appear in `.explain` output (SCALE.md):
+  * filter/column pushdown into parquet scans, broadcast joins on
+  * dimension/task sides, and column pruning on the pages table. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters push down to the parquet scan (q02)") {
+    val plan = planOf(SparkEntry.queries("q02_multicol_filter")(spark, dir))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice)"), plan.take(2000))
+    assert(plan.contains("StringContains(o_orderpriority,URGENT)"), plan.take(2000))
+  }
+
+  test("dimension join broadcasts the small side (q04)") {
+    val plan = planOf(SparkEntry.queries("q04_dim_join")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("IN-list reaches the scan as pushed filter (q03)") {
+    val plan = planOf(SparkEntry.queries("q03_in_list")(spark, dir))
+    assert(plan.contains("In(c_mktsegment"), plan.take(2000))
+  }
+
+  test("pages scan is column-pruned: fetch join reads only url/html/warc_ts") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("planpages").toString
+    val pages = FixtureGen.pagesParquet(spark,
+      FixtureCfg(nHosts = 8, baseArticles = 3), 0, tmp)
+    // the engine's fetch-join shape: pages ⋈ broadcast(small url set)
+    val tasks = Seq(FixtureGen.articleUrl(1, 0), FixtureGen.articleUrl(2, 1))
+      .toDF("url")
+    val joined = pages.toDF().select("url", "html", "warc_ts")
+      .join(broadcast(tasks), Seq("url"))
+    val plan = planOf(joined)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    val readSchema = "ReadSchema: struct<url:string,warc_ts:timestamp,html:binary".r
+      .findFirstIn(plan)
+      .orElse("ReadSchema: struct<url:string,html:binary,warc_ts:timestamp".r
+        .findFirstIn(plan))
+    assert(readSchema.isDefined || plan.contains("html"), plan.take(3000))
+    // the text/lang columns must NOT be read
+    assert(!plan.contains("text:string"), "pages scan reads pruned columns")
+  }
+
+  test("anti-join dedup shape broadcasts the small probe side") {
+    import spark.implicits._
+    val seen = Seq("u1", "u2").toDF("url")
+    val incoming = Seq("u2", "u3", "u4").toDF("url")
+    val plan = planOf(incoming.join(seen, Seq("url"), "left_anti"))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(3000))
+  }
+}
