@@ -41,7 +41,7 @@ object SparkEntry {
     crawlDir.synchronized {
       if (crawlDir.get == null) {
         val dir = java.nio.file.Files.createTempDirectory("entrycrawl").toString
-        val fx = crawl.FixtureCfg(nHosts = 8, baseArticles = 6,
+        val fx = crawl.FixtureCfg(nHosts = 10, baseArticles = 6,
           growthPerWave = 3, hotHostFactor = 3)
         val cc = crawl.CrawlConfig(hostBuckets = 4, salt = 2,
           expectedUrlsPerBucket = 2048, cuckooCapacityPerBucket = 4096)
@@ -310,7 +310,7 @@ object SparkEntry {
       val store = crawlFixtureRun(s)
       val m = store.read(s, "metrics", 1)
       val f = store.read(s, "frontier", 1)
-      val hosts = crawl.FixtureGen.hosts(s, crawl.FixtureCfg(nHosts = 8,
+      val hosts = crawl.FixtureGen.hosts(s, crawl.FixtureCfg(nHosts = 10,
         baseArticles = 6, growthPerWave = 3, hotHostFactor = 3)).toDF()
       val prev = m.select(col("host"),
         lit(crawl.HostHealth.Normal).as("prev_status"))
@@ -406,13 +406,14 @@ object SparkEntry {
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '%URGENT%'
         |ORDER BY custkey""".stripMargin,
     "q15_grouped_having" ->
-      """SELECT p_brand, COUNT(*) AS n, SUM(CAST(p_size AS BIGINT)) AS total_size
+      """SELECT p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size
         |FROM part GROUP BY 1 HAVING COUNT(*) >= 10 ORDER BY 1""".stripMargin,
     "q16_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
         |FROM lineitem WHERE l_suppkey <= 20
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q17_events_daily" ->
@@ -420,7 +421,8 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q18_sessionize" ->
-      """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+      """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
         |FROM (
         |  SELECT user_id,
         |    CASE WHEN prev_ts IS NULL
@@ -482,7 +484,7 @@ object SparkEntry {
         |WHERE common * 2 >= sa.nsh + sb.nsh - common
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q24_lang_distribution" ->
-      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q29_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -1,0 +1,106 @@
+package graft.core
+
+import java.util.Locale
+
+/** Effective robots policy for one user-agent: path-prefix rules plus an
+  * optional crawl-delay. The engine caches this per host in its carried
+  * state (the north rule's "robots.txt cache") and re-parses on TTL
+  * expiry (CrawlConfig.robotsTtlWaves). */
+final case class RobotsPolicy(
+    disallow: Seq[String],
+    allow: Seq[String],
+    crawl_delay_ms: Option[Long]) {
+  def allows(path: String): Boolean = RobotsTxt.allowed(path, this)
+}
+
+object RobotsPolicy {
+  val empty: RobotsPolicy = RobotsPolicy(Nil, Nil, None)
+}
+
+/** Minimal robots.txt parser (RFC 9309 subset, plus the de-facto
+  * `Crawl-delay` extension):
+  *
+  *  - groups = one or more `User-agent` lines followed by rule lines;
+  *  - group selection: the most specific matching user-agent token wins
+  *    (longest token that is a case-insensitive prefix of ours, `*`
+  *    matching everything at specificity 0); ALL groups at the winning
+  *    specificity merge;
+  *  - `Disallow` / `Allow` values are path prefixes (empty Disallow =
+  *    no restriction); evaluation is longest-match-wins, Allow winning
+  *    ties — Google semantics. `*`/`$` wildcards are NOT interpreted
+  *    (documented subset; such patterns match literally);
+  *  - `Crawl-delay` is (possibly fractional) seconds → milliseconds;
+  *  - `#` comments and unknown keys are ignored.
+  */
+object RobotsTxt {
+
+  def parse(text: String, userAgent: String): RobotsPolicy = {
+    if (text == null || text.isEmpty) return RobotsPolicy.empty
+    val ua = userAgent.toLowerCase(Locale.ROOT)
+
+    // group = (uaTokens, disallow, allow, delayMs)
+    final case class Group(
+        uas: Vector[String], dis: Vector[String], alw: Vector[String],
+        delay: Option[Long])
+    val groups = Vector.newBuilder[Group]
+    var curUas = Vector.empty[String]
+    var curDis = Vector.empty[String]
+    var curAlw = Vector.empty[String]
+    var curDelay: Option[Long] = None
+    var inRules = false // rule lines seen since the last User-agent run
+    def flush(): Unit = {
+      if (curUas.nonEmpty) groups += Group(curUas, curDis, curAlw, curDelay)
+      curUas = Vector.empty; curDis = Vector.empty; curAlw = Vector.empty
+      curDelay = None; inRules = false
+    }
+    text.linesIterator.foreach { raw =>
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val key = line.substring(0, ci).trim.toLowerCase(Locale.ROOT)
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) flush()
+            curUas :+= value.toLowerCase(Locale.ROOT)
+          case "disallow" if curUas.nonEmpty =>
+            inRules = true; if (value.nonEmpty) curDis :+= value
+          case "allow" if curUas.nonEmpty =>
+            inRules = true; if (value.nonEmpty) curAlw :+= value
+          case "crawl-delay" if curUas.nonEmpty =>
+            inRules = true
+            try { curDelay = Some(math.round(value.toDouble * 1000.0)) }
+            catch { case _: NumberFormatException => }
+          case _ => // sitemap / unknown keys: ignored
+        }
+      }
+    }
+    flush()
+
+    // specificity of the best-matching UA token per group; -1 = no match
+    def spec(g: Group): Int = g.uas.foldLeft(-1) { (best, tok) =>
+      val s =
+        if (tok == "*") 0
+        else if (ua.startsWith(tok)) tok.length
+        else -1
+      math.max(best, s)
+    }
+    val all = groups.result()
+    val bestSpec = all.map(spec).foldLeft(-1)(math.max)
+    if (bestSpec < 0) return RobotsPolicy.empty
+    val winning = all.filter(g => spec(g) == bestSpec)
+    RobotsPolicy(
+      winning.flatMap(_.dis),
+      winning.flatMap(_.alw),
+      winning.flatMap(_.delay).headOption)
+  }
+
+  /** Longest-match-wins evaluation, Allow winning ties; no matching rule
+    * ⇒ allowed. */
+  def allowed(path: String, p: RobotsPolicy): Boolean = {
+    def longest(rules: Seq[String]): Int =
+      rules.foldLeft(-1)((b, r) => if (path.startsWith(r)) math.max(b, r.length) else b)
+    val d = longest(p.disallow)
+    if (d < 0) true else longest(p.allow) >= d
+  }
+}

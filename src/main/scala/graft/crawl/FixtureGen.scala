@@ -27,7 +27,7 @@ final case class FixtureCfg(
     growthPerWave: Int = 5,  // new articles per host per wave
     hotHostFactor: Int = 10, // host 0 has this × the volume (skew)
     seed: Long = 42L) {
-  require(nHosts >= 8, "fixture roles need at least 8 hosts")
+  require(nHosts >= 10, "fixture roles need at least 10 hosts")
 }
 
 object FixtureGen {
@@ -49,6 +49,19 @@ object FixtureGen {
                            // fetched via page-url revise (S4/U13) and
                            // parsed with a JPath rule (HtmlAnalyzer JPath
                            // branch) instead of HTML auto-detection
+  val MissingPagesHost = 8 // catalog lists articles whose pages are
+                           // ABSENT from the snapshot: every scheduled
+                           // fetch fails, so the lasthandled checkpoint
+                           // must NOT advance ("Failed as nothing
+                           // succeeded", ArticleCrawler.cs:200-210) and
+                           // the same articles are retried next wave
+  val UndatedCatalogHost = 9 // catalog lists newest-first with SOME
+                           // items undated: the reference sorts by
+                           // published only when ALL items have dates
+                           // (ArticleCrawler.cs:137-144), so detection
+                           // order must be preserved here. Its robots
+                           // also carries an Allow override (longest-
+                           // match-wins evaluation, RobotsTxt)
 
   def hostName(i: Int): String = f"h$i%03d.example.com"
   def homeUrl(i: Int): String = s"http://${hostName(i)}/"
@@ -94,6 +107,21 @@ object FixtureGen {
       LocalDateTime.of(2024, 1, 1, 0, 0)
         .plusMinutes(math.floorMod(h(cfg, i, j, 7000 + wave), 500000L))
     else publishedAt(i, j)
+
+  /** Catalog date as the LIST PAGE shows it — None when the page omits
+    * the date (UndatedCatalogHost, odd items), which must force the
+    * engine to keep detection order (ArticleCrawler.cs:137-144). */
+  def catalogDateOpt(cfg: FixtureCfg, i: Int, j: Int, wave: Int): Option[LocalDateTime] =
+    if (i == UndatedCatalogHost && j % 2 == 1) None
+    else Some(catalogDate(cfg, i, j, wave))
+
+  /** The order the catalog page lists its items in. The undated host
+    * lists newest-first (as real undated news lists do); everyone else
+    * ascending (so the engine must do the newest-first sort itself). */
+  def catalogOrder(cfg: FixtureCfg, i: Int, wave: Int): Seq[Int] = {
+    val n = articleCount(cfg, i, wave)
+    if (i == UndatedCatalogHost) (0 until n).reverse else 0 until n
+  }
 
   def warcTs(i: Int, j: Int): Timestamp =
     Timestamp.valueOf(LocalDateTime.of(2024, 6, 1, 0, 0).plusMinutes(i * 1440L + j))
@@ -154,10 +182,10 @@ object FixtureGen {
     * <span> per item, and nav/footer noise links that the noise-area
     * filter must drop (Analyzers/HtmlAnalyzer.cs:370-375). */
   def homeHtml(cfg: FixtureCfg, i: Int, wave: Int): String = {
-    val n = articleCount(cfg, i, wave)
-    val items = (0 until n).map { j =>
-      s"""<li><a href="${messyHref(cfg, i, j)}">${articleTitle(i, j)}</a>""" +
-        s"""<span class="d">${fmtDate(catalogDate(cfg, i, j, wave))}</span></li>"""
+    val items = catalogOrder(cfg, i, wave).map { j =>
+      val dateSpan = catalogDateOpt(cfg, i, j, wave)
+        .map(dt => s"""<span class="d">${fmtDate(dt)}</span>""").getOrElse("")
+      s"""<li><a href="${messyHref(cfg, i, j)}">${articleTitle(i, j)}</a>$dateSpan</li>"""
     }.mkString("\n")
     s"""<!DOCTYPE html>
        |<html>
@@ -223,7 +251,7 @@ object FixtureGen {
     val offsets = counts.scanLeft(0L)(_ + _).toArray // length nHosts+1
     val total = offsets.last
     val articles = spark.range(total).mapPartitions { ids =>
-      ids.map { id =>
+      ids.flatMap { id =>
         // binary search host for this global index
         var lo = 0; var hi = cfg.nHosts - 1
         while (lo < hi) {
@@ -232,12 +260,16 @@ object FixtureGen {
         }
         val i = lo
         val j = (id - offsets(i)).toInt
-        val html = articleHtml(cfg, i, j)
-        // GbHost pages are stored in their DECLARED non-UTF-8 encoding —
-        // the engine must sniff the meta charset to round-trip the text
-        val enc = if (i == GbHost) "GB2312" else "UTF-8"
-        Page(articleUrl(i, j), warcTs(i, j),
-          html.getBytes(enc), articleText(cfg, i, j), lang(cfg, i, j))
+        if (i == MissingPagesHost) Iterator.empty // catalog-only host:
+        // its article pages 404 → every scheduled fetch fails
+        else {
+          val html = articleHtml(cfg, i, j)
+          // GbHost pages are stored in their DECLARED non-UTF-8 encoding —
+          // the engine must sniff the meta charset to round-trip the text
+          val enc = if (i == GbHost) "GB2312" else "UTF-8"
+          Iterator.single(Page(articleUrl(i, j), warcTs(i, j),
+            html.getBytes(enc), articleText(cfg, i, j), lang(cfg, i, j)))
+        }
       }
     }
     val homes = spark.range(cfg.nHosts).mapPartitions { ids =>
@@ -288,21 +320,49 @@ object FixtureGen {
     }
   }
 
-  def robotsFor(i: Int): RobotsRules = i match {
-    case RobotsBlockedHost => RobotsRules(Seq("/a/"), None)
-    case SlowDelayHost     => RobotsRules(Seq.empty, Some(500L))
-    case _                 => RobotsRules(Seq.empty, None)
+  /** RAW robots.txt text per host — what the engine actually parses
+    * (graft.core.RobotsTxt) and caches in HostState. */
+  def robotsTxtFor(i: Int): String = i match {
+    case RobotsBlockedHost =>
+      """# articles are off-limits for every crawler
+        |User-agent: *
+        |Disallow: /a/
+        |""".stripMargin
+    case SlowDelayHost =>
+      """User-agent: *
+        |Crawl-delay: 9
+        |
+        |User-agent: graftbot
+        |Crawl-delay: 0.5
+        |""".stripMargin
+    case UndatedCatalogHost =>
+      """User-agent: *
+        |Disallow: /a/
+        |Allow: /a/1
+        |""".stripMargin
+    case _ =>
+      """User-agent: *
+        |Disallow:
+        |""".stripMargin
   }
 
-  final case class RobotsRow(host: String, disallow: Seq[String],
-                             crawl_delay_ms: Option[Long])
+  /** The INTENDED policy per host (hand-written, independent of the
+    * parser) — what the oracle uses; RobotsTxtSpec pins
+    * parse(robotsTxtFor(i), "graftbot") == robotsFor(i). */
+  def robotsFor(i: Int): graft.core.RobotsPolicy = i match {
+    case RobotsBlockedHost   => graft.core.RobotsPolicy(Seq("/a/"), Nil, None)
+    case SlowDelayHost       => graft.core.RobotsPolicy(Nil, Nil, Some(500L))
+    case UndatedCatalogHost  => graft.core.RobotsPolicy(Seq("/a/"), Seq("/a/1"), None)
+    case _                   => graft.core.RobotsPolicy.empty
+  }
+
+  final case class RobotsRow(host: String, robots_txt: String)
 
   def robots(spark: SparkSession, cfg: FixtureCfg): Dataset[RobotsRow] = {
     import spark.implicits._
     spark.range(cfg.nHosts).map { idl =>
       val i = idl.toInt
-      val r = robotsFor(i)
-      RobotsRow(hostName(i), r.disallow, r.crawl_delay_ms)
+      RobotsRow(hostName(i), robotsTxtFor(i))
     }
   }
 }

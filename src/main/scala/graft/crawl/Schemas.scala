@@ -35,10 +35,9 @@ final case class Page(
     text: String,         // expected extracted text (oracle bytes)
     lang: String)
 
-final case class RobotsRules(
-    disallow: Seq[String],       // path prefixes
-    crawl_delay_ms: Option[Long] // overrides HostConfig when present
-)
+// Robots policy (disallow/allow prefixes + crawl-delay) lives in
+// graft.core.RobotsPolicy; raw robots.txt text is parsed by
+// graft.core.RobotsTxt and cached per host in [[HostState]].
 
 /** Per-host extraction rule (≈ one `atc_websiterules` row,
   * /root/reference/Source/MySQLSchema.sql:44-61, flattened for the lake
@@ -78,9 +77,11 @@ final case class HostState(
     host: String,
     lasthandled: Option[String],     // newest handled URL (checkpoint)
     broken_since: Option[Timestamp], // first-failure stamp
-    robots_disallow: Seq[String],    // cached robots.txt rules
+    robots_disallow: Seq[String],    // cached parsed robots.txt rules
+    robots_allow: Seq[String],
     robots_delay_ms: Option[Long],
-    robots_wave: Int)                // wave the robots cache was filled
+    robots_wave: Int)                // wave the robots cache was parsed
+                                     // (TTL: CrawlConfig.robotsTtlWaves)
 
 /** One article fetch scheduled by the politeness stage. `seq` is the
   * deterministic within-host order (newest-published first, reference
@@ -138,5 +139,10 @@ final case class PartitionLineage(
 final case class SeenSketch(
     bucket: Int,
     cuckoo: Array[Byte],
-    n_urls: Long,
-    bloom: Option[Array[Byte]] = None)
+    n_urls: Long,                       // urls actually held by the cuckoo
+    bloom: Option[Array[Byte]] = None,
+    // cuckoo inserts rejected because the bucket's table saturated: such
+    // urls stay covered by the Bloom (dedup correctness holds) but CANNOT
+    // be TTL-evicted — a non-zero value tells operators to resize
+    // CrawlConfig.cuckooCapacityPerBucket (or add buckets)
+    n_dropped: Long = 0L)

@@ -15,14 +15,15 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
   *    — host-affine so a host's URLs live in S adjacent buckets (TTL
   *    eviction per host stays cheap), salted so a hot domain spreads over
   *    S buckets instead of one (north-rule skew handling);
-  *  - **Bloom**: rebuilt per wave from the committed articles table with
-  *    a map-side-combining typed [[Aggregator]] (partial filters merge
-  *    by OR), broadcast to the probe side — at 10^10-URL scale only
-  *    probable-duplicates ever shuffle;
-  *  - **Cuckoo**: the *carried* per-bucket sketch state (supports delete
-  *    → recrawl TTL eviction between waves without a rebuild), updated
-  *    incrementally with each wave's inserts and committed in the
-  *    snapshot;
+  *  - BOTH sketches are per-bucket Dataset state CARRIED wave-to-wave
+  *    and merged incrementally at commit ([[updateSketches]]): Bloom
+  *    union is lossless, Cuckoo supports insert+delete (→ recrawl TTL
+  *    eviction without a rebuild). Nothing is ever collected to the
+  *    driver or broadcast — probe and update both cogroup by bucket
+  *    (see [[BucketSketch]] for why broadcast anti-scales);
+  *  - [[buildBlooms]] is the OFFLINE rebuild path (re-derive a bucket's
+  *    Bloom from the committed article store when saturation has pushed
+  *    fpp too high — Schemas.SeenSketch scaladoc);
   *  - probe: `definitely new` (both sketches say no — false negatives are
   *    impossible) skips the shuffle entirely; `maybe seen` falls back to
   *    an exact left-anti join against the committed URL set, so false
@@ -79,24 +80,10 @@ object SeenFilter {
     }
   }
 
-  /** Zip the rebuilt blooms with the carried cuckoo state into the
-    * per-bucket sketch table. */
-  def bucketSketches(blooms: Dataset[(Int, Array[Byte])],
-                     carried: Dataset[SeenSketch]): Dataset[BucketSketch] = {
-    val spark = blooms.sparkSession
-    import spark.implicits._
-    blooms.groupByKey(_._1).cogroup(carried.groupByKey(_.bucket)) {
-      (b, bl, ck) =>
-        Iterator.single(BucketSketch(b,
-          bl.buffered.headOption.map(_._2),
-          ck.buffered.headOption.map(_.cuckoo)))
-    }
-  }
-
   /** Probe: cogroup the wave's (bucket, article) rows with the sketch
-    * table; emit (article, maybeSeen). No false negatives (the Bloom is
-    * rebuilt from the full committed URL set); "maybe" rows go to the
-    * exact anti-join downstream. */
+    * table; emit (article, maybeSeen). No false negatives (every
+    * committed url was inserted into its bucket's carried Bloom at
+    * commit time); "maybe" rows go to the exact anti-join downstream. */
   def probe(keyed: Dataset[(Int, ArticleRow)],
             sketches: Dataset[BucketSketch]): Dataset[(ArticleRow, Boolean)] = {
     val spark = keyed.sparkSession
@@ -132,11 +119,17 @@ object SeenFilter {
             .getOrElse(CuckooFilter.create(capacity))
           val bf = prev.flatMap(_.bloom).map(BloomFilter.deserialize)
             .getOrElse(BloomFilter.create(math.max(64L, expectedPerBucket), fpp))
+          // count cuckoo saturation drops: dedup still holds via the
+          // Bloom, but dropped urls can't be TTL-evicted — surfaced in
+          // SeenSketch.n_dropped so operators know to resize capacity
+          var dropped = 0L
           ins.foreach { case (_, u) =>
-            cf.insertString(u); bf.putString(u)
+            if (!cf.insertString(u)) dropped += 1
+            bf.putString(u)
           }
           Iterator.single(SeenSketch(b, cf.serialize(), cf.size.toLong,
-            Some(bf.serialize())))
+            Some(bf.serialize()),
+            prev.map(_.n_dropped).getOrElse(0L) + dropped))
         }
     }
   }

@@ -13,12 +13,18 @@ final case class HostWork(
     host: String, host_id: Int, home: String, rank: Int,
     crawl_delay_ms: Long, max_in_flight: Int, rule: Option[RuleSpec],
     lasthandled: Option[String], broken_since: Option[Timestamp],
-    robots_disallow: Seq[String], robots_delay_ms: Option[Long],
-    robots_wave: Int, html: Option[Array[Byte]], fetched_ts: Option[Timestamp])
+    robots_disallow: Seq[String], robots_allow: Seq[String],
+    robots_delay_ms: Option[Long], robots_wave: Int,
+    robots_txt: Option[String], // fresh raw robots.txt (parsed on TTL expiry)
+    html: Option[Array[Byte]], fetched_ts: Option[Timestamp])
 
-/** Internal per-host outcome of the politeness/catalog stage. */
+/** Internal per-host outcome of the politeness/catalog stage. `state`
+  * carries the CANDIDATE lasthandled; the commit stage reverts it to
+  * `prevLast` for hosts whose every scheduled fetch failed (reference:
+  * "Failed as nothing succeeded", ArticleCrawler.cs:200-210). */
 final case class HostOutcome(
     state: HostState,
+    prevLast: Option[String],
     homeOk: Boolean,
     catalogFound: Int,
     robotsDenied: Int,
@@ -35,7 +41,9 @@ final case class CrawlConfig(
     expectedUrlsPerBucket: Long = 100000L,
     cuckooCapacityPerBucket: Int = 1 << 14, // ~64 KiB serialized/bucket;
     // scale hostBuckets×salt (and this) together for bigger seen-sets
-    fetchPartitions: Int = 0)     // 0 = leave to AQE / input partitioning
+    fetchPartitions: Int = 0,     // 0 = leave to AQE / input partitioning
+    robotsTtlWaves: Int = 8,      // robots cache refresh interval (waves)
+    userAgent: String = "graftbot") // UA token for robots.txt group match
 
 /** One wave of the crawl — the Spark re-expression of the reference's
   * fetch–detect–extract–commit loop (Crawlers/ArticleCrawler.cs:33-262):
@@ -69,30 +77,35 @@ object WaveEngine {
   // ---- politeness scheduler (pure core, reused by the test oracle) ----
 
   /** Deterministic per-host schedule for one wave. Reference semantics:
-    * newest-published-first ordering + per-wave cap
-    * (ArticleCrawler.cs:137-148), stop at the previous wave's
-    * `lasthandled` URL case-insensitively (ArticleCrawler.cs:163-168),
-    * then the north rule's additions: robots disallow prefixes, and a
-    * logical fetch clock spaced by crawl-delay over max-in-flight lanes. */
+    * newest-published-first ordering ONLY when every item is dated —
+    * a stable sort, so equal dates keep detection order; otherwise the
+    * catalog's own order is preserved (ArticleCrawler.cs:137-144) —
+    * then the per-wave cap (ArticleCrawler.cs:146-148), stop at the
+    * previous wave's `lasthandled` URL case-insensitively
+    * (ArticleCrawler.cs:163-168), then the north rule's additions:
+    * robots allow/disallow prefixes (longest-match-wins) and a logical
+    * fetch clock spaced by crawl-delay over max-in-flight lanes.
+    *
+    * Returns (tasks, robotsDenied, checkpointCandidate) — the candidate
+    * is the ordered head (reference `catalogItems[0]`,
+    * ArticleCrawler.cs:208) and only becomes the new checkpoint if the
+    * host's crawl does not fail outright. */
   def scheduleHost(
       wave: Int,
       cfg: HostConfig,
       items: Vector[graft.core.CatalogItem],
       lasthandled: Option[String],
-      robotsDisallow: Seq[String],
-      robotsDelayMs: Option[Long],
-      maxPerWave: Int): (Vector[FetchTask], Int) = {
-    val ordered = items.sortBy { it =>
-      (it.published.map(-_.toEpochSecond(java.time.ZoneOffset.UTC))
-        .getOrElse(Long.MaxValue), it.url)
-    }.take(maxPerWave)
+      robots: graft.core.RobotsPolicy,
+      maxPerWave: Int): (Vector[FetchTask], Int, Option[String]) = {
+    val allDated = items.nonEmpty && items.forall(_.published.isDefined)
+    val ordered =
+      (if (allDated)
+        items.sortBy(it => -it.published.get.toEpochSecond(java.time.ZoneOffset.UTC))
+      else items).take(maxPerWave)
     val fresh = ordered.takeWhile(it =>
       !lasthandled.exists(_.equalsIgnoreCase(it.url)))
-    val (allowed, denied) = fresh.partition { it =>
-      val path = pathOf(it.url)
-      !robotsDisallow.exists(path.startsWith)
-    }
-    val delay = robotsDelayMs.getOrElse(cfg.crawl_delay_ms)
+    val (allowed, denied) = fresh.partition(it => robots.allows(pathOf(it.url)))
+    val delay = robots.crawl_delay_ms.getOrElse(cfg.crawl_delay_ms)
     val lanes = math.max(1, cfg.max_in_flight)
     val tasks = allowed.zipWithIndex.map { case (it, k) =>
       FetchTask(
@@ -100,7 +113,7 @@ object WaveEngine {
         published = it.published.map(Timestamp.valueOf),
         seq = k, sched_ms = (k / lanes).toLong * delay, rank = cfg.rank)
     }
-    (tasks, denied.size)
+    (tasks, denied.size, ordered.headOption.map(_.url))
   }
 
   def pathOf(url: String): String = {
@@ -151,8 +164,7 @@ object WaveEngine {
     val seeded = hosts.where($"enabled")
       .join(broadcast(prevState.toDF()), Seq("host"), "left")
       .join(broadcast(robots.toDF()
-        .withColumnRenamed("disallow", "r_disallow")
-        .withColumnRenamed("crawl_delay_ms", "r_delay")), Seq("host"), "left")
+        .withColumnRenamed("robots_txt", "r_txt")), Seq("host"), "left")
 
     // -- catalog fetch: big pages table ⋈ broadcast(home targets), inner
     //    (broadcast is only legal on the small side of an inner join;
@@ -187,29 +199,49 @@ object WaveEngine {
       $"host", $"host_id", $"home", $"rank",
       col("crawl_delay_ms"), $"max_in_flight", $"rule",
       $"lasthandled", $"broken_since",
-      coalesce($"robots_disallow", $"r_disallow", typedLit(Seq.empty[String]))
+      coalesce($"robots_disallow", typedLit(Seq.empty[String]))
         .as("robots_disallow"),
-      coalesce($"robots_delay_ms", $"r_delay").as("robots_delay_ms"),
+      coalesce($"robots_allow", typedLit(Seq.empty[String]))
+        .as("robots_allow"),
+      $"robots_delay_ms",
       coalesce($"robots_wave", lit(-1)).as("robots_wave"),
+      $"r_txt".as("robots_txt"),
       $"html", $"fetched_ts"
     ).as[HostWork]
 
     // -- politeness + catalog detection: whole-host groups (NEVER salted —
     //    per-host sequential semantics are the politeness contract, T5)
     val maxPer = cfg.maxPerHostPerWave
+    val robotsTtl = cfg.robotsTtlWaves
+    val ua = cfg.userAgent
     val outcomes: Dataset[HostOutcome] = work.groupByKey(_.host)
       .flatMapGroups { (_, it) =>
         it.map { w =>
           val robotsW = if (w.robots_wave >= 0) w.robots_wave else wave
           w.html match {
-            case None => // home fetch failed → broken tracking (T2)
+            case None => // home fetch failed → broken tracking (T2);
+              // robots cache untouched (a down host serves no robots.txt)
               HostOutcome(
                 HostState(w.host, w.lasthandled,
                   w.broken_since.orElse(w.fetched_ts)
                     .orElse(Some(new Timestamp(86400000L * (wave + 1)))),
-                  w.robots_disallow, w.robots_delay_ms, robotsW),
+                  w.robots_disallow, w.robots_allow, w.robots_delay_ms,
+                  robotsW),
+                prevLast = w.lasthandled,
                 homeOk = false, catalogFound = 0, robotsDenied = 0, Nil)
             case Some(bytes) =>
+              // robots cache with TTL: reuse the parsed policy while
+              // fresh; re-parse the raw robots.txt on expiry (or first
+              // sight), so upstream robots changes ARE picked up
+              val cacheValid = w.robots_wave >= 0 && wave - w.robots_wave < robotsTtl
+              val cached = graft.core.RobotsPolicy(
+                w.robots_disallow, w.robots_allow, w.robots_delay_ms)
+              val (robotsPol, robotsWave) =
+                if (cacheValid) (cached, w.robots_wave)
+                else w.robots_txt match {
+                  case Some(t) => (graft.core.RobotsTxt.parse(t, ua), wave)
+                  case None    => (cached, robotsW)
+                }
               val html = graft.core.CharsetDetect.decode(bytes)
               // rule-driven (Regex/JPath) or auto-detected catalog; item
               // URLs resolve against the (revised) fetched page URL
@@ -222,15 +254,13 @@ object WaveEngine {
               }
               val hc = HostConfig(w.host_id, w.host, w.home, w.rank,
                 enabled = true, w.crawl_delay_ms, w.max_in_flight, w.rule)
-              val (tasks, denied) = scheduleHost(wave, hc, items,
-                w.lasthandled, w.robots_disallow, w.robots_delay_ms, maxPer)
-              val newLast = items.sortBy { i2 =>
-                (i2.published.map(-_.toEpochSecond(java.time.ZoneOffset.UTC))
-                  .getOrElse(Long.MaxValue), i2.url)
-              }.headOption.map(_.url).orElse(w.lasthandled)
+              val (tasks, denied, cand) = scheduleHost(wave, hc, items,
+                w.lasthandled, robotsPol, maxPer)
               HostOutcome(
-                HostState(w.host, newLast, None,
-                  w.robots_disallow, w.robots_delay_ms, robotsW),
+                HostState(w.host, cand.orElse(w.lasthandled), None,
+                  robotsPol.disallow, robotsPol.allow,
+                  robotsPol.crawl_delay_ms, robotsWave),
+                prevLast = w.lasthandled,
                 homeOk = true, items.size, denied, tasks)
           }
         }
@@ -369,7 +399,27 @@ object WaveEngine {
       carriedSeen, cfg.cuckooCapacityPerBucket,
       cfg.expectedUrlsPerBucket, cfg.bloomFpp)
 
-    val newState = outcomes.map(_.state)
+    // -- checkpoint finalize: a host whose every scheduled fetch FAILED
+    //    keeps its previous lasthandled (reference: "Failed as nothing
+    //    succeeded" → lastHandled not updated, ArticleCrawler.cs:200-210)
+    //    so the same articles are retried next wave. Hosts with nothing
+    //    scheduled (checkpoint stop / robots) did not fail → advance.
+    val allFailed = counts
+      .where($"fetched_ok" === 0 && $"task_failed" > 0)
+      .select($"host", lit(true).as("all_failed"))
+    val newState = outcomes
+      .map(o => (o.state.host, o.state.lasthandled, o.prevLast,
+        o.state.broken_since, o.state.robots_disallow, o.state.robots_allow,
+        o.state.robots_delay_ms, o.state.robots_wave))
+      .toDF("host", "cand_last", "prev_last", "broken_since",
+        "robots_disallow", "robots_allow", "robots_delay_ms", "robots_wave")
+      .join(broadcast(allFailed), Seq("host"), "left")
+      .select($"host",
+        when(coalesce($"all_failed", lit(false)), $"prev_last")
+          .otherwise($"cand_last").as("lasthandled"),
+        $"broken_since", $"robots_disallow", $"robots_allow",
+        $"robots_delay_ms", $"robots_wave")
+      .as[HostState]
 
     // -- commit (manifest rename = the snapshot swap). Host-sized tables
     //    coalesce to one file (they are ≤ seed-list rows); articles keep

@@ -1,0 +1,107 @@
+package graft
+
+import graft.core.{RobotsPolicy, RobotsTxt}
+import org.scalatest.funsuite.AnyFunSuite
+
+class RobotsTxtSpec extends AnyFunSuite {
+
+  test("basic group: disallow prefixes, comments, empty disallow") {
+    val p = RobotsTxt.parse(
+      """# comment line
+        |User-agent: *
+        |Disallow: /private/   # trailing comment
+        |Disallow: /tmp
+        |Disallow:
+        |Sitemap: http://x.example.com/sitemap.xml
+        |""".stripMargin, "graftbot")
+    assert(p.disallow == Seq("/private/", "/tmp"))
+    assert(p.allow.isEmpty && p.crawl_delay_ms.isEmpty)
+    assert(!p.allows("/private/a.html"))
+    assert(!p.allows("/tmpfile")) // prefix semantics
+    assert(p.allows("/public/a.html"))
+  }
+
+  test("group selection: most specific user-agent wins over *") {
+    val txt =
+      """User-agent: *
+        |Disallow: /
+        |Crawl-delay: 10
+        |
+        |User-agent: graftbot
+        |Disallow: /secret/
+        |Crawl-delay: 0.25
+        |""".stripMargin
+    val mine = RobotsTxt.parse(txt, "graftbot")
+    assert(mine.disallow == Seq("/secret/"))
+    assert(mine.crawl_delay_ms.contains(250L))
+    assert(mine.allows("/news/a.html"))
+    val other = RobotsTxt.parse(txt, "otherbot")
+    assert(other.disallow == Seq("/"))
+    assert(other.crawl_delay_ms.contains(10000L))
+    assert(!other.allows("/news/a.html"))
+  }
+
+  test("ua matching is a case-insensitive prefix of ours; groups merge") {
+    val txt =
+      """User-agent: GraftBot
+        |Disallow: /a/
+        |
+        |User-agent: graft
+        |Disallow: /b/
+        |""".stripMargin
+    // "graftbot" matches BOTH tokens; the longer token is more specific
+    val p = RobotsTxt.parse(txt, "graftbot/1.0")
+    assert(p.disallow == Seq("/a/"))
+  }
+
+  test("stacked user-agents share one rule group") {
+    val p = RobotsTxt.parse(
+      """User-agent: abot
+        |User-agent: graftbot
+        |Disallow: /x/
+        |""".stripMargin, "graftbot")
+    assert(p.disallow == Seq("/x/"))
+  }
+
+  test("allow overrides disallow by longest match; ties go to allow") {
+    val p = RobotsTxt.parse(
+      """User-agent: *
+        |Disallow: /a/
+        |Allow: /a/public/
+        |""".stripMargin, "graftbot")
+    assert(!p.allows("/a/secret.html"))
+    assert(p.allows("/a/public/doc.html"))
+    assert(p.allows("/elsewhere"))
+    // tie: identical prefixes → allow wins
+    val t = RobotsPolicy(Seq("/p/"), Seq("/p/"), None)
+    assert(t.allows("/p/x"))
+  }
+
+  test("empty / null / no matching group ⇒ allow everything") {
+    assert(RobotsTxt.parse("", "graftbot") == RobotsPolicy.empty)
+    assert(RobotsTxt.parse(null, "graftbot") == RobotsPolicy.empty)
+    val p = RobotsTxt.parse(
+      "User-agent: somebodyelse\nDisallow: /\n", "graftbot")
+    assert(p == RobotsPolicy.empty)
+    assert(p.allows("/anything"))
+  }
+
+  test("malformed lines and bogus crawl-delay are ignored") {
+    val p = RobotsTxt.parse(
+      """Disallow: /orphan-before-any-group/
+        |User-agent: *
+        |this line has no colon
+        |Crawl-delay: soon
+        |Disallow: /ok/
+        |""".stripMargin, "graftbot")
+    assert(p.disallow == Seq("/ok/"))
+    assert(p.crawl_delay_ms.isEmpty)
+  }
+
+  test("fixture contract: parse(robotsTxtFor(i)) equals the intended policy") {
+    (0 until 10).foreach { i =>
+      val parsed = RobotsTxt.parse(crawl.FixtureGen.robotsTxtFor(i), "graftbot")
+      assert(parsed == crawl.FixtureGen.robotsFor(i), s"host $i")
+    }
+  }
+}

@@ -58,21 +58,23 @@ object CrawlOracle {
           broken += host
         } else {
           broken -= host
-          val n = FixtureGen.articleCount(cfg, i, wave)
-          val items = (0 until n).map { j =>
+          // items in CATALOG order; sort newest-first ONLY when all are
+          // dated (stable — ties keep catalog order), then cap
+          // (ArticleCrawler.cs:137-148)
+          val items = FixtureGen.catalogOrder(cfg, i, wave).map { j =>
             (FixtureGen.articleUrl(i, j), j,
-              FixtureGen.catalogDate(cfg, i, j, wave))
-          }
-          val sorted = items.sortBy { case (url, _, dt) =>
-            (-dt.toEpochSecond(ZoneOffset.UTC), url)
-          }.take(maxPerWave)
+              FixtureGen.catalogDateOpt(cfg, i, j, wave))
+          }.toVector
+          val allDated = items.nonEmpty && items.forall(_._3.isDefined)
+          val sorted = (if (allDated)
+            items.sortBy { case (_, _, dt) => -dt.get.toEpochSecond(ZoneOffset.UTC) }
+          else items).take(maxPerWave)
           val last = lasthandled.get(host)
           val fresh = sorted.takeWhile { case (url, _, _) =>
             !last.exists(_.equalsIgnoreCase(url)) }
           val robots = FixtureGen.robotsFor(i)
           val (allowed, denied) = fresh.partition { case (url, _, _) =>
-            val path = url.substring(url.indexOf('/', 8))
-            !robots.disallow.exists(path.startsWith)
+            robots.allows(url.substring(url.indexOf('/', 8)))
           }
           if (denied.nonEmpty) robotsDenied += (wave, host) -> denied.size
           val delay = robots.crawl_delay_ms.getOrElse(FixtureGen.crawlDelayMs(i))
@@ -80,18 +82,29 @@ object CrawlOracle {
           allowed.zipWithIndex.foreach { case ((url, j, _), k) =>
             waveTasks += ((OTask(wave, host, k, url, (k / lanes).toLong * delay), i, j))
           }
-          sorted.headOption.foreach { case (url, _, _) =>
-            lasthandled += host -> url }
+          // checkpoint advance = reference catalogItems[0], but ONLY when
+          // the crawl did not fail outright ("Failed as nothing
+          // succeeded", ArticleCrawler.cs:200-210): a host whose every
+          // scheduled fetch failed keeps its old checkpoint and retries
+          val pageExists = i != FixtureGen.MissingPagesHost
+          val crawlFailed = !pageExists && allowed.nonEmpty
+          if (!crawlFailed)
+            sorted.headOption.foreach { case (url, _, _) =>
+              lasthandled += host -> url }
         }
       }
       val tasks = waveTasks.result()
       schedule ++= tasks.map(_._1)
-      // insert in deterministic winner order: (host, seq) per url
+      // insert in deterministic winner order: (host, seq) per url;
+      // tasks whose page is missing from the snapshot failed to fetch
+      // and never reach the store or the seen filter
       tasks.sortBy(t => (t._1.host, t._1.seq)).foreach { case (t, i, j) =>
-        if (!seen.contains(t.url)) {
-          seen += t.url -> ((wave, t.host, FixtureGen.articleText(cfg, i, j)))
-        } else {
-          dedupedPerWave += wave -> (dedupedPerWave(wave) + 1)
+        if (i != FixtureGen.MissingPagesHost) {
+          if (!seen.contains(t.url)) {
+            seen += t.url -> ((wave, t.host, FixtureGen.articleText(cfg, i, j)))
+          } else {
+            dedupedPerWave += wave -> (dedupedPerWave(wave) + 1)
+          }
         }
       }
     }

@@ -25,7 +25,7 @@ class CrawlPipelineSpec extends AnyFunSuite {
     s
   }
 
-  val fx = FixtureCfg(nHosts = 8, baseArticles = 6, growthPerWave = 3,
+  val fx = FixtureCfg(nHosts = 10, baseArticles = 6, growthPerWave = 3,
     hotHostFactor = 3)
   val cc = CrawlConfig(maxPerHostPerWave = 100, hostBuckets = 4, salt = 2,
     expectedUrlsPerBucket = 2048, cuckooCapacityPerBucket = 4096)
@@ -101,6 +101,44 @@ class CrawlPipelineSpec extends AnyFunSuite {
       assert(inserted == 0)
       assert(denied == oracle.robotsDenied.getOrElse((w, rb), 0))
     }
+  }
+
+  test("all-failed host: checkpoint frozen, tasks retried, failures counted") {
+    val mp = FixtureGen.hostName(FixtureGen.MissingPagesHost)
+    val state = store.read(spark, "state", nWaves - 1)
+      .where(s"host = '$mp'").select("lasthandled").collect()
+    assert(state.length == 1 && state(0).isNullAt(0),
+      "checkpoint must not advance when every scheduled fetch failed")
+    val m = store.readDeltas(spark, "metrics", nWaves - 1).get
+      .where(s"host = '$mp'").collect()
+      .map(r => r.getInt(0) -> ((r.getAs[Int]("scheduled"),
+        r.getAs[Int]("fetched_ok"), r.getAs[Int]("fetch_failed"),
+        r.getAs[Int]("inserted")))).toMap
+    (0 until nWaves).foreach { w =>
+      val (sched, ok, failed, ins) = m(w)
+      assert(sched == FixtureGen.articleCount(fx, FixtureGen.MissingPagesHost, w),
+        s"wave $w must reschedule the full (frozen-checkpoint) catalog")
+      assert(ok == 0 && ins == 0 && failed == sched)
+    }
+  }
+
+  test("partially-dated catalog keeps detection order; robots Allow admits a subtree") {
+    val uh = FixtureGen.hostName(FixtureGen.UndatedCatalogHost)
+    val rows = frontierRows(store).filter(_._2 == uh)
+    assert(rows.nonEmpty)
+    // every scheduled path is inside the Allow'd /a/1 subtree
+    rows.foreach { case (_, _, _, url, _) =>
+      val path = url.substring(url.indexOf('/', 8))
+      assert(path.startsWith("/a/1"), s"robots Allow violated: $url")
+    }
+    // wave 0: catalog lists descending j; allowed = /a/1-prefixed in that
+    // order (NOT date-sorted — odd items are undated)
+    val w0 = rows.filter(_._1 == 0).toSeq.sortBy(_._3).map(_._4)
+    val n0 = FixtureGen.articleCount(fx, FixtureGen.UndatedCatalogHost, 0)
+    val expected0 = (0 until n0).reverse
+      .map(j => FixtureGen.articleUrl(FixtureGen.UndatedCatalogHost, j))
+      .filter(u => u.substring(u.indexOf('/', 8)).startsWith("/a/1"))
+    assert(w0 == expected0)
   }
 
   test("seen-filter dedup fires for the catalog-shuffling host") {

@@ -11,14 +11,22 @@ import duckdb
 import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Width-normalize dtypes (int32→int64, datetime us→ns) but KEEP the
+    # int-vs-float distinction: the driver hashes values, so width never
+    # matters but an int64-vs-float64 drift (e.g. DuckDB HUGEINT sums
+    # materializing as float) must fail here exactly as it fails there.
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
+        dt = str(df[c].dtype)
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith('float'):
-            df[c] = df[c].round(6)
-        elif 'datetime' in str(df[c].dtype):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif dt.startswith('float'):
+            df[c] = df[c].astype('float64').round(6)
+        elif dt.startswith('int') or dt.startswith('uint'):
+            df[c] = df[c].astype('int64')
+        elif 'datetime' in dt:
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None) \
+                      .astype('datetime64[ns]')
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 def main(sf_dir, out_dir):
@@ -48,7 +56,10 @@ def main(sf_dir, out_dir):
             n_bad += 1
             continue
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False,
+            # check_dtype=True: the driver hashes raw values, so a
+            # float64-vs-int64 dtype drift (e.g. DuckDB HUGEINT sums)
+            # must fail here too, not pass silently.
+            pd.testing.assert_frame_equal(a, b, check_dtype=True,
                                           check_exact=False, rtol=1e-6)
             print(f"{name:24s} OK ({len(a)} rows)")
             n_ok += 1
