@@ -41,7 +41,7 @@ object SparkEntry {
     crawlDir.synchronized {
       if (crawlDir.get == null) {
         val dir = java.nio.file.Files.createTempDirectory("entrycrawl").toString
-        val fx = crawl.FixtureCfg(nHosts = 10, baseArticles = 6,
+        val fx = crawl.FixtureCfg(nHosts = 12, baseArticles = 6,
           growthPerWave = 3, hotHostFactor = 3)
         val cc = crawl.CrawlConfig(hostBuckets = 4, salt = 2,
           expectedUrlsPerBucket = 2048, cuckooCapacityPerBucket = 4096)
@@ -310,7 +310,7 @@ object SparkEntry {
       val store = crawlFixtureRun(s)
       val m = store.read(s, "metrics", 1)
       val f = store.read(s, "frontier", 1)
-      val hosts = crawl.FixtureGen.hosts(s, crawl.FixtureCfg(nHosts = 10,
+      val hosts = crawl.FixtureGen.hosts(s, crawl.FixtureCfg(nHosts = 12,
         baseArticles = 6, growthPerWave = 3, hotHostFactor = 3)).toDF()
       val prev = m.select(col("host"),
         lit(crawl.HostHealth.Normal).as("prev_status"))

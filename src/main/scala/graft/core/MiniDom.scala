@@ -1,0 +1,131 @@
+package graft.core
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+import scala.collection.mutable.ArrayBuffer
+
+/** One node of the lightweight HTML tree. `tag` is lowercase; text
+  * nodes have `tag == ""` and carry `text`. Parent pointers exist so
+  * XPath positional predicates can rank a node among its siblings. */
+final class DomNode(
+    val tag: String,
+    val attrs: Map[String, String],
+    val text: String,
+    var parent: DomNode) {
+  val children: ArrayBuffer[DomNode] = ArrayBuffer.empty
+  def isText: Boolean = tag.isEmpty
+  def attr(name: String): Option[String] = attrs.get(name.toLowerCase(Locale.ROOT))
+
+  /** Concatenated descendant text (document order). Unlike
+    * HtmlAgilityPack's InnerText we EXCLUDE script/style payloads —
+    * rule expressions never target them and including them would leak
+    * code into extracted fields. */
+  def innerText: String = {
+    val sb = new java.lang.StringBuilder
+    def walk(n: DomNode): Unit = {
+      if (n.isText) sb.append(n.text)
+      else if (n.tag != "script" && n.tag != "style")
+        n.children.foreach(walk)
+    }
+    walk(this)
+    sb.toString
+  }
+}
+
+/** Minimal lenient HTML parser — just enough tree for the XPath rule
+  * subset (graft.core.MiniXPath), in the spirit of [[MiniJson]]: zero
+  * dependencies, tolerant of real-world tag soup. Replaces the
+  * reference's HtmlAgilityPack dependency
+  * (/root/reference/Source/WebCrawler/Analyzers/HtmlAnalyzer.cs:42-43)
+  * for the rule-driven paths.
+  *
+  * Leniency rules:
+  *  - void elements (br/img/meta/…) and `<x/>` never push the stack;
+  *  - script/style/textarea bodies are raw text (no tag scanning);
+  *  - `<li>` auto-closes an open `<li>` (same for p/td/th/tr/option/
+  *    dd/dt) — the common unclosed-list-item soup;
+  *  - a close tag pops to its nearest matching ancestor; unmatched
+  *    close tags are dropped;
+  *  - comments, doctype, CDATA and processing instructions are skipped.
+  */
+object MiniDom {
+
+  private val voidTags = Set("area", "base", "br", "col", "embed", "hr",
+    "img", "input", "link", "meta", "param", "source", "track", "wbr")
+  private val rawTextTags = Set("script", "style", "textarea")
+  // tags auto-closed when the same/sibling kind opens (li-soup handling)
+  private val impliedClose: Map[String, Set[String]] = Map(
+    "li" -> Set("li"), "p" -> Set("p"), "option" -> Set("option"),
+    "dd" -> Set("dd", "dt"), "dt" -> Set("dd", "dt"),
+    "td" -> Set("td", "th"), "th" -> Set("td", "th"),
+    "tr" -> Set("tr", "td", "th"))
+
+  private val tagPat = Pattern.compile(
+    "(?s)<(?:(!--.*?--)|(!\\[CDATA\\[.*?]])|(![^>]*)|(\\?[^>]*)|(/?)([a-zA-Z][a-zA-Z0-9:-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?))>")
+  private val attrPat = Pattern.compile(
+    "([a-zA-Z_:][-a-zA-Z0-9_:.]*)\\s*(?:=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+)))?")
+
+  private def parseAttrs(s: String): Map[String, String] = {
+    if (s == null || s.isEmpty) return Map.empty
+    val m = attrPat.matcher(s)
+    val b = Map.newBuilder[String, String]
+    while (m.find()) {
+      val name = m.group(1).toLowerCase(Locale.ROOT)
+      val v = Option(m.group(3)).orElse(Option(m.group(4)))
+        .orElse(Option(m.group(5))).getOrElse("")
+      b += name -> v
+    }
+    b.result()
+  }
+
+  def parse(html: String): DomNode = {
+    val root = new DomNode("#root", Map.empty, "", null)
+    if (html == null || html.isEmpty) return root
+    var cur = root
+    def addText(s: String): Unit =
+      if (s.nonEmpty) {
+        val t = new DomNode("", Map.empty, s, cur)
+        cur.children += t
+      }
+    val m = tagPat.matcher(html)
+    var pos = 0
+    while (m.find(pos)) {
+      addText(html.substring(pos, m.start()))
+      pos = m.end()
+      if (m.group(6) != null) { // a real element tag
+        val closing = m.group(5) == "/"
+        val name = m.group(6).toLowerCase(Locale.ROOT)
+        if (closing) {
+          // pop to nearest matching ancestor; ignore unmatched closes
+          var n = cur
+          while (n != null && n.tag != name) n = n.parent
+          if (n != null && (n ne root)) cur = n.parent
+        } else {
+          val selfClose = m.group(8) == "/" || voidTags.contains(name)
+          // implied closes (li-before-li etc.)
+          impliedClose.get(name).foreach { closes =>
+            if (!cur.eq(root) && closes.contains(cur.tag)) cur = cur.parent
+          }
+          val node = new DomNode(name, parseAttrs(m.group(7)), "", cur)
+          cur.children += node
+          if (!selfClose) {
+            if (rawTextTags.contains(name)) {
+              // raw-text element: swallow everything to the close tag
+              val closeTag = "</" + name
+              val end = html.toLowerCase(Locale.ROOT).indexOf(closeTag, pos)
+              val stop = if (end >= 0) end else html.length
+              if (stop > pos)
+                node.children += new DomNode("", Map.empty,
+                  html.substring(pos, stop), node)
+              val gt = html.indexOf('>', stop)
+              pos = if (gt >= 0) gt + 1 else html.length
+            } else cur = node
+          }
+        }
+      } // comments/doctype/CDATA/PI: skipped
+    }
+    addText(html.substring(pos))
+    root
+  }
+}

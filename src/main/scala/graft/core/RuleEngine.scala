@@ -8,27 +8,44 @@ import java.util.regex.Pattern
   * Analyzers/HtmlAnalyzer.cs:35-97).
   *
   * The reference's rule kinds and our mapping:
-  *  - XPath rules → not reproduced literally (no DOM library here); the
-  *    auto-detector (CatalogDetect) covers rule-less and XPath-auto
-  *    hosts, and REGEX rules (below) cover the precise-selection need.
+  *  - XPath rules (the reference default) → [[MiniDom]] +
+  *    [[MiniXPath]] subset, both catalog modes:
+  *    link-iteration (`itemExp` like `//ul/li[*]/a`, split at the last
+  *    `[*]` into container + relative link path — Block.ContainerPath /
+  *    RelativeLinkXPath, HtmlAnalyzer.cs:666-720) and root mode
+  *    (`rootExp` + per-item field paths, HtmlAnalyzer.cs:618-644).
   *  - JSONPath rules (JObject.SelectTokens over a TrimJsonP'd feed,
   *    HtmlAnalyzer.cs JPath branch) → [[MiniJson.select]] subset.
-  *  - Regex rules (NotImplemented in the reference,
+  *  - Regex rules (NotImplemented at catalog stage in the reference,
   *    HtmlAnalyzer.cs:93-96) → implemented here with named groups —
   *    a strict capability superset.
   *  - Page-URL revise (S4/U13: `Regex.Replace(pageUrl, exp, replacement,
   *    IgnoreCase)`, Common/HtmlHelper.cs:152) → [[revisePageUrl]].
+  *  - Article-stage overrides (ParseArticle, HtmlAnalyzer.cs:155-235)
+  *    → [[parseArticle]]: XPath overrides any of title/date/author/
+  *    content; JPath REPLACES the whole article; Regex overrides
+  *    date/author only — exactly the reference's switch.
   */
 final case class CatalogRule(
-    matchType: String,                    // "Regex" | "JPath"
-    itemExp: String,                      // Regex w/ groups, or JPath to item nodes
-    urlField: String = "url",             // JPath: field names in each node
+    matchType: String,                    // "XPath" | "Regex" | "JPath"
+    itemExp: String,                      // XPath link path | Regex w/ groups | JPath to item nodes
+    urlField: String = "url",             // JPath field names — or XPath field paths in root mode
     titleField: String = "title",
     dateField: String = "date",
+    rootExp: Option[String] = None,       // XPath root mode (ContentRootExp)
+    artTitleExp: Option[String] = None,   // article-stage overrides
+    artDateExp: Option[String] = None,
+    artAuthorExp: Option[String] = None,
+    artContentExp: Option[String] = None,
+    validateDate: Boolean = true,         // Website.ValidateDate
     pageUrlRevise: Option[(String, String)] = None, // (exp, replacement)
     itemUrlRevise: Option[(String, String)] = None)
 
 object RuleEngine {
+
+  // Constants.cs:9,11
+  val MinLinkTextLenSafe = 5
+  val MinLinkCountDated = 5
 
   /** S4/U13: regex-rewrite of the catalog page URL before fetch
     * (AJAX-feed sites), case-insensitive like the reference. */
@@ -48,14 +65,14 @@ object RuleEngine {
       case None => url
     }
 
-  /** Extract catalog items from page content using a rule. Regex rules
-    * run named groups `url` (required), `title`, `date` over the raw
-    * content; JPath rules parse (JsonP-unwrapped) JSON and select item
-    * nodes. Item URLs are revise-rewritten, resolved against the page
-    * URL and canonicalized, mirroring the auto-detect path. */
+  /** Extract catalog items from page content using a rule; item URLs
+    * are revise-rewritten, resolved against the page URL and
+    * canonicalized, then deduped keeping the first non-empty title
+    * (mirroring the auto path, HtmlAnalyzer.cs:328-334). */
   def detect(content: String, pageUrl: String, rule: CatalogRule): Vector[CatalogItem] = {
     if (content == null || content.isEmpty) return Vector.empty
     val raw: Vector[(String, String, Option[String])] = rule.matchType match {
+      case "XPath" => return xpathCatalog(content, pageUrl, rule)
       case "Regex" =>
         val p = Pattern.compile(rule.itemExp,
           Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
@@ -84,13 +101,21 @@ object RuleEngine {
       case other =>
         throw new IllegalArgumentException(s"unknown rule matchType: $other")
     }
-    // same dedup-keep-first-titled as the auto path (HtmlAnalyzer.cs:328-334)
+    canonDedup(raw.map { case (u, t, d) =>
+      (u, t, d.flatMap(ArticleExtractor.parseDate))
+    }, pageUrl, rule)
+  }
+
+  /** Shared tail: revise + resolve + canonicalize item URLs, dedup
+    * keeping the first non-empty title. */
+  private def canonDedup(
+      raw: Vector[(String, String, Option[java.time.LocalDateTime])],
+      pageUrl: String, rule: CatalogRule): Vector[CatalogItem] = {
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, CatalogItem]
-    raw.foreach { case (u0, title, dateStr) =>
+    raw.foreach { case (u0, title, date) =>
       val u = UrlCanon.canonicalize(
         UrlCanon.resolve(pageUrl, reviseItemUrl(u0, rule)))
-      val item = CatalogItem(u, title,
-        dateStr.flatMap(ArticleExtractor.parseDate))
+      val item = CatalogItem(u, title, date)
       seen.get(u) match {
         case None => seen.put(u, item)
         case Some(prev) if prev.title.isEmpty && title.nonEmpty =>
@@ -99,5 +124,164 @@ object RuleEngine {
       }
     }
     seen.values.toVector
+  }
+
+  /** XPath catalog extraction, both reference modes
+    * (HtmlAnalyzer.cs:74-83):
+    *  - rootExp set → per-root field paths; the reference quirk that
+    *    the URL is the url-node's InnerText (not an href) is kept
+    *    (HtmlAnalyzer.cs:618-644);
+    *  - else itemExp is the link path: split at the LAST `[*]` into
+    *    container + relative link, read href + link text per container,
+    *    parse the date from the container's full text, then the
+    *    reference's noise trimming: drop untitled duplicates, trim
+    *    undated head/tail runs when ≥5 items are dated (W4,
+    *    HtmlAnalyzer.cs:284-366), trim short-text head/tail links. */
+  private def xpathCatalog(content: String, pageUrl: String,
+      rule: CatalogRule): Vector[CatalogItem] = {
+    val doc = MiniDom.parse(content)
+    rule.rootExp match {
+      case Some(rootExp) =>
+        val raw = MiniXPath.selectNodes(doc, rootExp).map { root =>
+          def txt(exp: String): Option[String] =
+            if (exp == null || exp.isEmpty) None
+            else MiniXPath.selectSingle(root, exp).map(_.innerText)
+          val url = txt(rule.urlField).getOrElse("")
+          val title = TextNormalize.normalizeText(
+            txt(rule.titleField).getOrElse(""))
+          // GetPublishDate FINDS a date in the node text (HtmlAnalyzer.cs:640)
+          val date = txt(rule.dateField).flatMap(ArticleExtractor.getPublishDate)
+          (url, title, date)
+        }.filter(_._1.nonEmpty)
+        canonDedup(raw, pageUrl, rule)
+      case None =>
+        // Block.ContainerPath / RelativeLinkXPath split (HtmlAnalyzer.cs:687-720)
+        val linkPath = rule.itemExp
+        val starIdx = linkPath.lastIndexOf("[*]")
+        val (containerPath, relLink) =
+          if (starIdx < 0) (linkPath, ".")
+          else (linkPath.substring(0, starIdx),
+            "." + linkPath.substring(starIdx + 3))
+        final case class Raw(url: String, title: String,
+            date: Option[java.time.LocalDateTime])
+        var items = MiniXPath.selectNodes(doc, containerPath).flatMap { block =>
+          val linkNode =
+            if (relLink == ".") Some(block)
+            else MiniXPath.selectSingle(block, relLink)
+          linkNode.flatMap { ln =>
+            ln.attr("href").filter(_.nonEmpty).map { href =>
+              Raw(href,
+                TextNormalize.normalizeText(ln.innerText),
+                // date FOUND anywhere in the container's full text
+                // (GetPublishDate(blockNode.InnerText), HtmlAnalyzer.cs:321)
+                ArticleExtractor.getPublishDate(block.innerText))
+            }
+          }
+        }
+        // dedup by url keeping the first TITLED item, in first-occurrence
+        // order; untitled-only urls are dropped (HtmlAnalyzer.cs:328-335)
+        locally {
+          val order = Vector.newBuilder[String]
+          val seenUrl = scala.collection.mutable.HashSet.empty[String]
+          val chosen = scala.collection.mutable.HashMap.empty[String, Raw]
+          items.foreach { r =>
+            if (seenUrl.add(r.url)) order += r.url
+            if (!chosen.contains(r.url) && r.title.nonEmpty) chosen.put(r.url, r)
+          }
+          items = order.result().flatMap(chosen.get)
+        }
+        // trim undated head/tail when the dated run is significant (W4)
+        if (rule.validateDate &&
+            items.count(_.date.isDefined) >= MinLinkCountDated) {
+          val from = items.indexWhere(_.date.isDefined)
+          val last = items.lastIndexWhere(_.date.isDefined)
+          items = items.slice(from, last + 1)
+        }
+        // trim short-text head/tail links — the guard mirrors the
+        // reference literally, quirks included (HtmlAnalyzer.cs:356-363)
+        val fromIdx = items.indexWhere(_.title.length >= MinLinkTextLenSafe)
+        val endIdx = items.lastIndexWhere(_.title.length >= MinLinkTextLenSafe)
+        if (fromIdx > 0 || endIdx > 0)
+          items = items.slice(fromIdx, endIdx + 1)
+        canonDedup(items.map(r => (r.url, r.title, r.date)), pageUrl, rule)
+    }
+  }
+
+  /** Article-stage extraction: auto density extraction first, then the
+    * rule's per-field overrides (ParseArticle, HtmlAnalyzer.cs:155-235).
+    * Overridden fields get NormalizeText like the reference's final
+    * normalization pass; untouched fields keep the extractor's bytes.
+    *
+    * Leniency deviations from the reference (documented): a rule with
+    * NO art_*_exp columns skips the override switch entirely (the
+    * reference would still JSON-parse a JPath host's article page and
+    * fail on HTML); a JPath article page that fails to parse falls back
+    * to the auto draft instead of failing the fetch. */
+  def parseArticle(content: String, rule: Option[CatalogRule]): ArticleDetails = {
+    val auto = ArticleExtractor.extract(content)
+    rule match {
+      case None => auto
+      case Some(r) if r.artTitleExp.isEmpty && r.artDateExp.isEmpty &&
+        r.artAuthorExp.isEmpty && r.artContentExp.isEmpty => auto
+      case Some(r) => r.matchType match {
+        case "XPath" =>
+          val doc = MiniDom.parse(content)
+          def txt(exp: Option[String]): Option[String] =
+            exp.filter(_.nonEmpty)
+              .flatMap(e => MiniXPath.selectSingle(doc, e)).map(_.innerText)
+          auto.copy(
+            title = txt(r.artTitleExp)
+              .map(TextNormalize.normalizeText).getOrElse(auto.title),
+            published = txt(r.artDateExp)
+              .flatMap(ArticleExtractor.getPublishDate).orElse(auto.published),
+            author = txt(r.artAuthorExp)
+              .map(TextNormalize.normalizeText).orElse(auto.author),
+            content = txt(r.artContentExp)
+              .map(TextNormalize.normalizeText).getOrElse(auto.content),
+            contentWithTags = txt(r.artContentExp).getOrElse(auto.contentWithTags))
+        case "JPath" =>
+          // full replacement from the JSON article document
+          // (HtmlAnalyzer.cs:187-204); unparseable JSON → auto draft
+          MiniJson.parseOpt(TextNormalize.trimJsonP(content.trim)) match {
+            case None => auto
+            case Some(root) =>
+              def tok(exp: Option[String]): Option[String] =
+                for {
+                  e <- exp.filter(_.nonEmpty)
+                  v <- MiniJson.select(root, e).headOption
+                } yield v match {
+                  case s: String => s
+                  case other => String.valueOf(other)
+                }
+              val rawContent = tok(r.artContentExp)
+              ArticleDetails(
+                title = TextNormalize.normalizeText(tok(r.artTitleExp).getOrElse("")),
+                content = TextNormalize.normalizeText(
+                  rawContent.map(TextNormalize.trimHtmlTags).getOrElse("")),
+                contentWithTags = rawContent.getOrElse(""),
+                published = tok(r.artDateExp).flatMap(ArticleExtractor.parseDate),
+                author = tok(r.artAuthorExp).map(TextNormalize.normalizeText))
+          }
+        case "Regex" =>
+          // date/author overrides only (HtmlAnalyzer.cs:205-228)
+          def m1(exp: Option[String], flags: Int): Option[String] =
+            exp.filter(_.nonEmpty).flatMap { e =>
+              val m = Pattern.compile(e, flags).matcher(content)
+              if (m.find()) Some(m.group()) else None
+            }
+          val date = m1(r.artDateExp, Pattern.CASE_INSENSITIVE)
+            .flatMap(ArticleExtractor.parseDate)
+          val author = m1(r.artAuthorExp,
+            Pattern.CASE_INSENSITIVE | Pattern.DOTALL).map { v =>
+            ArticleExtractor.getAuthor(v)
+              .getOrElse(TextNormalize.normalizeText(TextNormalize.trimHtmlTags(v)))
+          }
+          auto.copy(
+            published = date.orElse(auto.published),
+            author = author.orElse(auto.author))
+        case other =>
+          throw new IllegalArgumentException(s"unknown rule matchType: $other")
+      }
+    }
   }
 }

@@ -27,7 +27,7 @@ final case class FixtureCfg(
     growthPerWave: Int = 5,  // new articles per host per wave
     hotHostFactor: Int = 10, // host 0 has this × the volume (skew)
     seed: Long = 42L) {
-  require(nHosts >= 10, "fixture roles need at least 10 hosts")
+  require(nHosts >= 12, "fixture roles need at least 12 hosts")
 }
 
 object FixtureGen {
@@ -62,6 +62,18 @@ object FixtureGen {
                            // order must be preserved here. Its robots
                            // also carries an Allow override (longest-
                            // match-wins evaluation, RobotsTxt)
+  val XPathCatalogHost = 10 // rule-driven via the reference's DEFAULT
+                           // rule type: an XPath link path
+                           // //ul[@class='list']/li[*]/a, split at the
+                           // last [*] into container + relative link
+                           // (Block.ContainerPath/RelativeLinkXPath,
+                           // HtmlAnalyzer.cs:666-720) over MiniDom
+  val ArticleRuleHost = 11 // XPath catalog rule PLUS article-stage
+                           // overrides (cnt_exp_title/date/content/
+                           // author → ParseArticle switch,
+                           // HtmlAnalyzer.cs:155-186): extracted bytes
+                           // come from the rule's nodes, not the
+                           // density extractor
 
   def hostName(i: Int): String = f"h$i%03d.example.com"
   def homeUrl(i: Int): String = s"http://${hostName(i)}/"
@@ -220,18 +232,30 @@ object FixtureGen {
     s"""loadCatalog({"items": [$items]});"""
   }
 
-  def ruleFor(i: Int): Option[RuleSpec] =
-    if (i == JsonFeedHost)
+  def ruleFor(i: Int): Option[RuleSpec] = i match {
+    case JsonFeedHost =>
       Some(RuleSpec("JPath", "$.items[*]", url_field = "u",
         title_field = "t", date_field = "d",
         page_url_revise_exp = Some("/$"),
         page_url_revise_rep = Some("/api/feed.jsonp")))
-    else None
+    case XPathCatalogHost =>
+      Some(RuleSpec("XPath", "//ul[@class='list']/li[*]/a"))
+    case ArticleRuleHost =>
+      Some(RuleSpec("XPath", "//ul[@class='list']/li[*]/a",
+        art_title_exp = Some("//h1"),
+        art_date_exp = Some("//div[@class='meta']"),
+        art_author_exp = Some("//div[@class='meta']"),
+        art_content_exp = Some("//div[@class='article']")))
+    case _ => None
+  }
 
   /** Expected extracted text for an article — the `text` oracle column
-    * (per-row invariant: the pipeline must reproduce these bytes). */
+    * (per-row invariant: the pipeline must reproduce these bytes).
+    * Rule-bearing hosts go through the article-stage rule overrides
+    * exactly like the engine's extract stage. */
   def articleText(cfg: FixtureCfg, i: Int, j: Int): String =
-    ArticleExtractor.extract(articleHtml(cfg, i, j)).content
+    graft.core.RuleEngine.parseArticle(articleHtml(cfg, i, j),
+      ruleFor(i).map(RuleSpec.toCatalogRule)).content
 
   def lang(cfg: FixtureCfg, i: Int, j: Int): String =
     if (isZh(cfg, i, j)) "zh" else "en"

@@ -41,7 +41,10 @@ final case class Page(
 
 /** Per-host extraction rule (≈ one `atc_websiterules` row,
   * /root/reference/Source/MySQLSchema.sql:44-61, flattened for the lake
-  * schema). `match_type` ∈ Regex | JPath (see core.RuleEngine);
+  * schema). `match_type` ∈ XPath | Regex | JPath (see core.RuleEngine);
+  * `item_exp`/`root_exp` + field paths drive the CATALOG stage, the
+  * `art_*_exp` columns override the ARTICLE stage
+  * (cnt_exp_title/date/content/author, Analyzers/HtmlAnalyzer.cs:155-235);
   * page-url revise = S4/U13 (fetch a rewritten catalog URL, e.g. an
   * AJAX feed); item-url revise = the rule's content-URL rewrite. */
 final case class RuleSpec(
@@ -50,6 +53,12 @@ final case class RuleSpec(
     url_field: String = "url",
     title_field: String = "title",
     date_field: String = "date",
+    root_exp: Option[String] = None,
+    art_title_exp: Option[String] = None,
+    art_date_exp: Option[String] = None,
+    art_author_exp: Option[String] = None,
+    art_content_exp: Option[String] = None,
+    validate_date: Boolean = true,
     page_url_revise_exp: Option[String] = None,
     page_url_revise_rep: Option[String] = None,
     item_url_revise_exp: Option[String] = None,
@@ -58,7 +67,9 @@ final case class RuleSpec(
 object RuleSpec {
   def toCatalogRule(r: RuleSpec): graft.core.CatalogRule =
     graft.core.CatalogRule(r.match_type, r.item_exp, r.url_field,
-      r.title_field, r.date_field,
+      r.title_field, r.date_field, r.root_exp,
+      r.art_title_exp, r.art_date_exp, r.art_author_exp, r.art_content_exp,
+      r.validate_date,
       for { e <- r.page_url_revise_exp; p <- r.page_url_revise_rep } yield (e, p),
       for { e <- r.item_url_revise_exp; p <- r.item_url_revise_rep } yield (e, p))
 }

@@ -74,6 +74,20 @@ final case class CrawlConfig(
   */
 object WaveEngine {
 
+  /** Shared pool for the concurrent small-table commit writes (the
+    * driver launches independent Spark jobs from these threads; Spark's
+    * scheduler interleaves them). Daemon threads so the JVM can exit. */
+  private[crawl] lazy val commitEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(6,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger()
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"wave-commit-${n.incrementAndGet()}")
+            t.setDaemon(true); t
+          }
+        }))
+
   // ---- politeness scheduler (pure core, reused by the test oracle) ----
 
   /** Deterministic per-host schedule for one wave. Reference semantics:
@@ -276,30 +290,44 @@ object WaveEngine {
     //    is skew-free (urls are unique); the politeness grouping above
     //    is the only stage that must stay whole-host.
     val tasksDF = tasks.toDF().withColumnRenamed("title", "cat_title")
+    // host→rule map rides along (host-sized broadcast) so the article
+    // stage can apply the rule's art_*_exp overrides (ParseArticle,
+    // HtmlAnalyzer.cs:155-235) without bloating every FetchTask
+    val hostRules = hosts.toDF().select($"host", $"rule")
     val fetched = pages.toDF()
       .join(broadcast(tasksDF), Seq("url"), "inner")
+      .join(broadcast(hostRules), Seq("host"), "left")
 
-    // -- host-hash salted repartitioning (north rule): the CPU-heavy
-    //    extract stage is the crawler's "fetch executor queue" — key it
-    //    by (host-hash × salt + url-hash % salt) so a hot domain spreads
-    //    over `salt` partitions instead of hot-spotting one executor,
-    //    and keep within-partition (host, seq) order = politeness order.
-    val nFetchParts = if (cfg.fetchPartitions > 0) cfg.fetchPartitions
-      else spark.sessionState.conf.numShufflePartitions
-    val queued = fetched
-      .repartition(nFetchParts,
-        expr(s"pmod(hash(host), ${cfg.hostBuckets}) * ${cfg.salt} + pmod(hash(url), ${cfg.salt})"))
-      .sortWithinPartitions($"host", $"seq")
+    // -- extraction runs ON THE JOIN OUTPUT'S OWN PARTITIONS — no
+    //    repartition. Extraction is row-local work over input splits
+    //    that are already BYTES-balanced (parquet split planning /
+    //    shuffle-hash-join url partitioning at scale), so a hot domain
+    //    cannot skew this stage no matter how its rows are laid out;
+    //    an extra exchange here would shuffle every html blob per wave
+    //    for zero balance gain (measured: removing it cut a full
+    //    content-sized shuffle from the wave). The north rule's salted
+    //    host-hash partitioning lives where host-keyed state actually
+    //    needs skew-spreading: the seen-filter buckets
+    //    (SeenFilter.bucket, B×S salted) — politeness stays whole-host
+    //    by contract. `cfg.fetchPartitions` can force an explicit
+    //    repartition when an operator knows better (e.g. few huge input
+    //    files).
+    val queued =
+      if (cfg.fetchPartitions > 0) fetched.repartition(cfg.fetchPartitions)
+      else fetched
 
-    // -- extraction: per-partition batched typed map (byte-identical text)
+    // -- extraction: per-partition batched typed map (byte-identical
+    //    text), rule-aware (article-stage overrides)
     val extracted = queued.select(
       $"url", $"host", $"wave", $"seq", $"cat_title", $"published",
-      $"html", $"warc_ts").as[(String, String, Int, Int, String,
-        Option[Timestamp], Array[Byte], Timestamp)]
+      $"html", $"warc_ts", $"rule").as[(String, String, Int, Int, String,
+        Option[Timestamp], Array[Byte], Timestamp, Option[RuleSpec])]
       .mapPartitions { rows =>
-        rows.map { case (url, host, w, seq, catTitle, pub, b, wts) =>
+        rows.map { case (url, host, w, seq, catTitle, pub, b, wts, rule) =>
           // charset-aware decode (meta sniff, GBK/GB2312 supported — U11)
-          val d = ArticleExtractor.extract(graft.core.CharsetDetect.decode(b))
+          val d = graft.core.RuleEngine.parseArticle(
+            graft.core.CharsetDetect.decode(b),
+            rule.map(RuleSpec.toCatalogRule))
           val title = if (d.title.nonEmpty) d.title else catTitle
           ArticleRow(url, host, w, seq, title, d.content,
             d.published.map(Timestamp.valueOf).orElse(pub), d.author, wts)
@@ -370,11 +398,12 @@ object WaveEngine {
       .unionByName(extracted.toDF().select($"host", lit("f").as("k")))
       .unionByName(fetchFails.toDF("host", "url").select($"host", lit("x").as("k")))
       .unionByName(newArticles.toDF().select($"host", lit("i").as("k")))
+    // cached: consumed twice (metrics roll-up AND checkpoint finalize)
     val counts = tagged.groupBy($"host").agg(
       count(when($"k" === "s", 1)).as("scheduled"),
       count(when($"k" === "f", 1)).as("fetched_ok"),
       count(when($"k" === "x", 1)).as("task_failed"),
-      count(when($"k" === "i", 1)).as("inserted"))
+      count(when($"k" === "i", 1)).as("inserted")).cache()
     val hostFacts = outcomes.map(o => (o.state.host, o.catalogFound,
       o.robotsDenied, !o.homeOk)).toDF("host", "catalog_found", "robots_denied", "home_failed")
 
@@ -424,22 +453,36 @@ object WaveEngine {
     // -- commit (manifest rename = the snapshot swap). Host-sized tables
     //    coalesce to one file (they are ≤ seed-list rows); articles keep
     //    their partitioning.
+    //
+    //    The ARTICLES write runs first: it materializes every shared
+    //    cache (extract, probe, dedup) exactly once. The five remaining
+    //    tables are small and independent, so their writes run as
+    //    CONCURRENT driver jobs — at micro-wave sizes each write's cost
+    //    is per-job scheduling latency, not work, and serializing them
+    //    was the dominant share of the wave's serial floor (measured
+    //    with the BenchProbe job listener).
     val mCached = metrics.toDF().coalesce(1).cache()
     store.writeNoCount(newArticles.toDF(), "articles", wave)
-    // frontier is task-batch-sized (up to maxPerHost × hosts) — keep its
-    // partitioning; only genuinely host-/bucket-sized tables coalesce(1)
-    store.writeNoCount(tasks.toDF(), "frontier", wave)
-    store.writeNoCount(newState.toDF().coalesce(1), "state", wave)
-    store.writeNoCount(newSeen.toDF().coalesce(1), "seen", wave)
-    store.writeNoCount(mCached, "metrics", wave)
-    store.writeNoCount(lineage.toDF().coalesce(1), "lineage", wave)
-
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      WaveEngine.commitEc
+    val smallWrites = Seq(
+      // frontier is task-batch-sized (up to maxPerHost × hosts) — keeps
+      // its partitioning; genuinely host-/bucket-sized tables coalesce(1)
+      Future(store.writeNoCount(tasks.toDF(), "frontier", wave)),
+      Future(store.writeNoCount(newState.toDF().coalesce(1), "state", wave)),
+      Future(store.writeNoCount(newSeen.toDF().coalesce(1), "seen", wave)),
+      Future(store.writeNoCount(mCached, "metrics", wave)),
+      Future(store.writeNoCount(lineage.toDF().coalesce(1), "lineage", wave)))
     // wave totals from the (cached) metrics roll-up — one job, no extra
     // recomputation of the task/extract lineage; per-table row counts in
     // the manifest come from the same aggregate.
-    val agg = mCached.groupBy().agg(
+    val aggF = Future(mCached.groupBy().agg(
       sum("scheduled"), sum("fetched_ok"), sum("deduped"),
-      sum("fetch_failed"), sum("inserted"), count(lit(1))).head()
+      sum("fetch_failed"), sum("inserted"), count(lit(1))).head())
+    smallWrites.foreach(Await.result(_, Duration.Inf))
+    val agg = Await.result(aggF, Duration.Inf)
     def g(i: Int) = if (agg.isNullAt(i)) 0L else agg.getLong(i)
     val nArticles = g(4)
     store.commit(wave, Map(
@@ -448,7 +491,7 @@ object WaveEngine {
     val res = WaveResult(wave, g(0), g(1), nArticles, g(2), g(3))
     outcomes.unpersist(); tasks.unpersist(); fetchFails.unpersist()
     extracted.unpersist(); classified.unpersist(); newArticles.unpersist()
-    mCached.unpersist(); homesOk.unpersist()
+    counts.unpersist(); mCached.unpersist(); homesOk.unpersist()
     res
   }
 

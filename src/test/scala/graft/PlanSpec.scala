@@ -49,7 +49,7 @@ class PlanSpec extends AnyFunSuite {
     import spark.implicits._
     val tmp = Files.createTempDirectory("planpages").toString
     val pages = FixtureGen.pagesParquet(spark,
-      FixtureCfg(nHosts = 10, baseArticles = 3), 0, tmp)
+      FixtureCfg(nHosts = 12, baseArticles = 3), 0, tmp)
     // the engine's fetch-join shape: pages ⋈ broadcast(small url set)
     val tasks = Seq(FixtureGen.articleUrl(1, 0), FixtureGen.articleUrl(2, 1))
       .toDF("url")

@@ -99,7 +99,7 @@ class RobotsTxtSpec extends AnyFunSuite {
   }
 
   test("fixture contract: parse(robotsTxtFor(i)) equals the intended policy") {
-    (0 until 10).foreach { i =>
+    (0 until 12).foreach { i =>
       val parsed = RobotsTxt.parse(crawl.FixtureGen.robotsTxtFor(i), "graftbot")
       assert(parsed == crawl.FixtureGen.robotsFor(i), s"host $i")
     }

@@ -25,7 +25,7 @@ class CrawlPipelineSpec extends AnyFunSuite {
     s
   }
 
-  val fx = FixtureCfg(nHosts = 10, baseArticles = 6, growthPerWave = 3,
+  val fx = FixtureCfg(nHosts = 12, baseArticles = 6, growthPerWave = 3,
     hotHostFactor = 3)
   val cc = CrawlConfig(maxPerHostPerWave = 100, hostBuckets = 4, salt = 2,
     expectedUrlsPerBucket = 2048, cuckooCapacityPerBucket = 4096)
@@ -139,6 +139,22 @@ class CrawlPipelineSpec extends AnyFunSuite {
       .map(j => FixtureGen.articleUrl(FixtureGen.UndatedCatalogHost, j))
       .filter(u => u.substring(u.indexOf('/', 8)).startsWith("/a/1"))
     assert(w0 == expected0)
+  }
+
+  test("article rule host: extracted bytes come from the rule nodes") {
+    val i = FixtureGen.ArticleRuleHost
+    val auto = graft.core.ArticleExtractor
+      .extract(FixtureGen.articleHtml(fx, i, 0)).content
+    val ruled = FixtureGen.articleText(fx, i, 0)
+    assert(ruled != auto,
+      "fixture has no power: rule output equals the density extractor's")
+    val url = FixtureGen.articleUrl(i, 0)
+    assert(oracle.seen(url)._3 == ruled)
+    // store bytes equal the RULED text (byte-identical test covers all
+    // urls; this pins that the rule path, not auto, produced them)
+    val got = store.readDeltas(spark, "articles", nWaves - 1).get
+      .where(s"url = '$url'").select("content").head().getString(0)
+    assert(got == ruled)
   }
 
   test("seen-filter dedup fires for the catalog-shuffling host") {
