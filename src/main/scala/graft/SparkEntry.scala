@@ -232,8 +232,10 @@ object SparkEntry {
         TextOps.qualityOk(col("text")).as("quality_ok"))
         .orderBy("doc_id")),
     "q20_exact_dedup" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
-    "q21_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3)),
+    "q21_ngram_jaccard" -> ((s, d) => // skew kill-switch ON (df cap),
+      // mirrored in the oracle SQL so parity holds
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3,
+        maxShingleDf = 1000)),
     "q24_lang_distribution" -> ((s, d) =>
       t(s, d, "documents")
         .groupBy("lang")
@@ -327,6 +329,11 @@ object SparkEntry {
     "q28_ann_lsh" -> ((s, d) => // rows-only: LSH-bucketed ANN (recall<1)
       Similarity.lshTopK(t(s, d, "embeddings"), dim = 64, nBits = 8,
         queryVecId = 0L, k = 10)),
+    "q38_embedding_neardup_lsh" -> ((s, d) => // scale path for q23:
+      // banded candidates (OR-amplified LSH) + exact cosine verify;
+      // recall vs q23 pinned in SparkEntrySpec
+      Dedup.embeddingNearDupsLsh(t(s, d, "embeddings"), dim = 64,
+        threshold = 0.4, nBits = 6, tables = 8)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -468,10 +475,12 @@ object SparkEntry {
       """WITH words AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
         |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
         |  WHERE len(w) >= 3),
+        |keep AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 1000),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
         |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
@@ -537,6 +546,34 @@ object SparkEntry {
         |topk AS (SELECT vec_id FROM sims ORDER BY cos DESC, vec_id LIMIT 10)
         |SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS rank, vec_id
         |FROM topk ORDER BY rank""".stripMargin,
+    // q26's MinHash-LSH near-dup VERIFIES candidates with the exact
+    // shingle-hash Jaccard, and distinct-shingle-hash counts equal
+    // distinct-shingle-string counts (64-bit hashes; collisions
+    // negligible and deterministic), so with full LSH recall the output
+    // IS the exact jaccard>=1/2 pair set — which DuckDB can recompute
+    // from the texts verbatim (q21's CTE, no df cap, union_n emitted).
+    // A recall shortfall would surface as a driver rowcount mismatch —
+    // exactly what this oracle is for.
+    "q26_minhash_lsh" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+        |  WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(common AS INT) AS common,
+        |  CAST(sa.nsh + sb.nsh - common AS INT) AS union_n
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE common * 2 >= sa.nsh + sb.nsh - common
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q23_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding,
         |  sqrt(list_sum(list_transform(embedding,

@@ -1,0 +1,125 @@
+package graft.crawl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Storage seam for the wave engine (SURVEY.md §7): a wave is either
+  * fully visible or not at all, and the commit point is atomic.
+  *
+  * Bindings:
+  *  - [[SnapshotStore]] — parquet dirs + atomic manifest rename; the
+  *    sandbox/local binding, used by all tests and benches.
+  *  - [[IcebergFrontierStore]] — the production binding over an
+  *    Iceberg catalog (compile-time seam: written entirely against
+  *    Spark's own `DataFrameWriterV2`/SQL surface so it compiles
+  *    without Iceberg jars; RUNNING it needs
+  *    `iceberg-spark-runtime` on the classpath and the catalog
+  *    configured via `spark.sql.catalog.<name>`).
+  */
+trait FrontierStore extends Serializable {
+  def isCommitted(wave: Int): Boolean
+
+  /** Largest N such that waves 0..N are ALL committed (a gap means the
+    * later commits are strays from an aborted future run). */
+  def lastCommittedWave: Option[Int]
+
+  /** Atomically commit a wave; `tables` maps table name → row count
+    * (informational lineage). After this returns, readers see the wave. */
+  def commit(wave: Int, tables: Map[String, Long]): Unit
+
+  /** Drop commits AFTER `wave` (crash simulation / time travel). */
+  def rollbackTo(wave: Int): Unit
+
+  def write(df: DataFrame, table: String, wave: Int): Long
+
+  /** Write without a row-count job (one Spark action instead of two). */
+  def writeNoCount(df: DataFrame, table: String, wave: Int): Unit
+
+  /** Read one table at one committed wave. */
+  def read(spark: SparkSession, table: String, wave: Int): DataFrame
+
+  /** Union of a delta table across all committed waves 0..upTo. */
+  def readDeltas(spark: SparkSession, table: String, upTo: Int): Option[DataFrame]
+}
+
+/** Iceberg production binding: each engine table is an Iceberg table
+  * partitioned by an explicit `_wave` column; the commit point is an
+  * append to the `graft_commits` manifest table (a single-table Iceberg
+  * commit — atomic). Readers resolve waves only through committed
+  * manifest rows, mirroring [[SnapshotStore]]'s manifest-rename
+  * contract, so an aborted wave leaves orphan `_wave` partitions that
+  * are never read and are replaced by `overwritePartitions` on re-run.
+  *
+  * At 10^10-URL scale the housekeeping the local binding doesn't need
+  * is Iceberg's own: compact the articles table periodically
+  * (`rewrite_data_files`) and expire orphan snapshots
+  * (`expire_snapshots`) — see SCALE.md §9.
+  */
+final class IcebergFrontierStore(
+    spark: SparkSession,
+    catalog: String,
+    namespace: String) extends FrontierStore {
+
+  private def fq(table: String) = s"$catalog.$namespace.$table"
+  private def commits = fq("graft_commits")
+
+  private def ensureCommits(): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $commits " +
+      "(wave INT, tbl STRING, rows BIGINT, ts TIMESTAMP) USING iceberg")
+
+  override def isCommitted(wave: Int): Boolean = {
+    ensureCommits()
+    !spark.table(commits).where(s"wave = $wave").isEmpty
+  }
+
+  override def lastCommittedWave: Option[Int] = {
+    var w = 0
+    while (isCommitted(w)) w += 1
+    if (w == 0) None else Some(w - 1)
+  }
+
+  override def commit(wave: Int, tables: Map[String, Long]): Unit = {
+    ensureCommits()
+    import org.apache.spark.sql.functions._
+    val rows = tables.toSeq.map { case (t, n) => (wave, t, n) }
+    spark.createDataFrame(rows).toDF("wave", "tbl", "rows")
+      .withColumn("ts", current_timestamp())
+      .writeTo(commits).append() // single Iceberg commit = the swap
+  }
+
+  override def rollbackTo(wave: Int): Unit = {
+    ensureCommits()
+    spark.sql(s"DELETE FROM $commits WHERE wave > $wave")
+  }
+
+  override def write(df: DataFrame, table: String, wave: Int): Long = {
+    val cached = df.cache()
+    val n = cached.count()
+    writeNoCount(cached, table, wave)
+    cached.unpersist()
+    n
+  }
+
+  override def writeNoCount(df: DataFrame, table: String, wave: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val tagged = df.withColumn("_wave", lit(wave))
+    val name = fq(table)
+    if (!spark.catalog.tableExists(name))
+      tagged.writeTo(name).partitionedBy(col("_wave")).create()
+    else
+      tagged.writeTo(name).overwritePartitions() // idempotent re-run
+  }
+
+  override def read(spark: SparkSession, table: String, wave: Int): DataFrame = {
+    require(isCommitted(wave), s"wave $wave not committed")
+    spark.table(fq(table)).where(s"_wave = $wave").drop("_wave")
+  }
+
+  override def readDeltas(spark: SparkSession, table: String,
+      upTo: Int): Option[DataFrame] = {
+    if (!spark.catalog.tableExists(fq(table))) return None
+    val committed = (0 to upTo).filter(isCommitted)
+    if (committed.isEmpty) None
+    else Some(spark.table(fq(table))
+      .where(s"_wave IN (${committed.mkString(",")})").drop("_wave"))
+  }
+}

@@ -97,7 +97,11 @@ final case class HostState(
 /** One article fetch scheduled by the politeness stage. `seq` is the
   * deterministic within-host order (newest-published first, reference
   * ordering Crawlers/ArticleCrawler.cs:137-148); `sched_ms` is the
-  * logical fetch clock: ceil(seq / max_in_flight) * crawl_delay. */
+  * logical fetch clock: ceil(seq / max_in_flight) * crawl_delay;
+  * `rank` is the host's priority score (≈ atc_websites.rank) and keys
+  * the cross-host priority frontier (CrawlConfig.maxTasksPerWave);
+  * `depth` is the link distance from the seed (home = 0, catalog
+  * items = 1 in the reference's two-level crawl). */
 final case class FetchTask(
     wave: Int,
     host: String,
@@ -106,7 +110,8 @@ final case class FetchTask(
     published: Option[Timestamp],
     seq: Int,
     sched_ms: Long,
-    rank: Int)
+    rank: Int,
+    depth: Int = 1)
 
 final case class ArticleRow(
     url: String,

@@ -102,18 +102,23 @@ object SeenFilter {
     }
   }
 
-  /** Merge a wave's newly inserted (bucket, url) pairs into the carried
-    * per-bucket sketches (Cuckoo AND Bloom, both incremental) — cogroup
-    * by bucket, no driver round-trip; untouched buckets pass through. */
-  def updateSketches(inserted: Dataset[(Int, String)],
+  /** Merge a wave's (bucket, url, isInsert) changes into the carried
+    * per-bucket sketches — cogroup by bucket, no driver round-trip;
+    * untouched buckets pass through. Inserts update Cuckoo AND Bloom;
+    * evictions (isInsert = false — the recrawl-TTL path,
+    * CrawlConfig.recrawlAfterWaves) delete ONE matching fingerprint
+    * from the Cuckoo (multiset semantics: a url re-inserted since its
+    * expiring wave keeps its newer entry). The Bloom cannot forget —
+    * stale positives only cost exact anti-join probes. */
+  def updateSketches(changes: Dataset[(Int, String, Boolean)],
                      carried: Dataset[SeenSketch], capacity: Int,
                      expectedPerBucket: Long, fpp: Double): Dataset[SeenSketch] = {
-    val spark = inserted.sparkSession
+    val spark = changes.sparkSession
     import spark.implicits._
-    inserted.groupByKey(_._1).cogroup(carried.groupByKey(_.bucket)) {
-      (b, ins, old) =>
+    changes.groupByKey(_._1).cogroup(carried.groupByKey(_.bucket)) {
+      (b, chs, old) =>
         val prev = old.buffered.headOption
-        if (ins.isEmpty) prev.iterator
+        if (chs.isEmpty) prev.iterator
         else {
           val cf = prev.map(s => CuckooFilter.deserialize(s.cuckoo))
             .getOrElse(CuckooFilter.create(capacity))
@@ -123,14 +128,27 @@ object SeenFilter {
           // Bloom, but dropped urls can't be TTL-evicted — surfaced in
           // SeenSketch.n_dropped so operators know to resize capacity
           var dropped = 0L
-          ins.foreach { case (_, u) =>
-            if (!cf.insertString(u)) dropped += 1
-            bf.putString(u)
+          chs.foreach { case (_, u, isInsert) =>
+            if (isInsert) {
+              if (!cf.insertString(u)) dropped += 1
+              bf.putString(u)
+            } else cf.deleteString(u)
           }
           Iterator.single(SeenSketch(b, cf.serialize(), cf.size.toLong,
             Some(bf.serialize()),
             prev.map(_.n_dropped).getOrElse(0L) + dropped))
         }
     }
+  }
+
+  /** Insert-only convenience overload. */
+  def updateSketches(inserted: Dataset[(Int, String)],
+                     carried: Dataset[SeenSketch], capacity: Int,
+                     expectedPerBucket: Long, fpp: Double)(
+                     implicit d: DummyImplicit): Dataset[SeenSketch] = {
+    val spark = inserted.sparkSession
+    import spark.implicits._
+    updateSketches(inserted.map(p => (p._1, p._2, true)),
+      carried, capacity, expectedPerBucket, fpp)
   }
 }

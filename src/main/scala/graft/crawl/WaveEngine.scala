@@ -43,7 +43,24 @@ final case class CrawlConfig(
     // scale hostBuckets×salt (and this) together for bigger seen-sets
     fetchPartitions: Int = 0,     // 0 = leave to AQE / input partitioning
     robotsTtlWaves: Int = 8,      // robots cache refresh interval (waves)
-    userAgent: String = "graftbot") // UA token for robots.txt group match
+    userAgent: String = "graftbot", // UA token for robots.txt group match
+    // Priority frontier (north rule): global per-wave fetch budget.
+    // 0 = unbounded. When set, the wave's task batch is ranked by
+    // (host rank DESC, host, seq) — a distributed TakeOrdered, the
+    // scalable form of a window-ranked batch — and only the top
+    // maxTasksPerWave fetch. CAVEAT (documented trade-off, mirroring
+    // the reference's MAX_RECORDS cap): the lasthandled checkpoint
+    // still advances per catalog, so budget-dropped tasks from
+    // low-priority hosts are skipped, not deferred.
+    maxTasksPerWave: Int = 0,
+    // Recrawl TTL (cuckoo's raison d'être): urls inserted at wave
+    // w - recrawlAfterWaves are EVICTED from the carried cuckoo and
+    // excluded from the exact anti-join at wave w, so the same url can
+    // be re-fetched and re-inserted. 0 = never recrawl. The carried
+    // Bloom cannot forget — expired urls just fall through to the
+    // exact anti-join (extra probes, never lost rows); rebuild blooms
+    // offline when saturated (SeenFilter.buildBlooms).
+    recrawlAfterWaves: Int = 0)
 
 /** One wave of the crawl — the Spark re-expression of the reference's
   * fetch–detect–extract–commit loop (Crawlers/ArticleCrawler.cs:33-262):
@@ -59,9 +76,12 @@ final case class CrawlConfig(
   *        |        lasthandled checkpoint stop → robots filter →
   *        |        crawl-delay/max-in-flight logical schedule)
   *        v
-  * salted repartition → pages ⋈ tasks       (article fetch-join)
+  * priority frontier (rank-ordered budget)  (optional, maxTasksPerWave)
   *        v
-  * mapPartitions extract                    (byte-identical text)
+  * pages ⋈ broadcast(tasks)                 (article fetch-join)
+  *        v
+  * mapPartitions extract                    (byte-identical text,
+  *        |                                  rule-aware, on scan splits)
   *        v
   * bloom-probe → cuckoo-probe → exact anti-join   (URL-seen dedup)
   *        v
@@ -149,7 +169,7 @@ object WaveEngine {
 
   def runWave(
       spark: SparkSession,
-      store: SnapshotStore,
+      store: FrontierStore,
       pages: Dataset[Page],
       hosts: Dataset[HostConfig],
       robots: Dataset[FixtureGen.RobotsRow],
@@ -280,7 +300,17 @@ object WaveEngine {
         }
       }.cache()
 
-    val tasks: Dataset[FetchTask] = outcomes.flatMap(_.tasks).cache()
+    // priority frontier (north rule): when a global per-wave budget is
+    // set, rank the cross-host batch by host priority and keep the top
+    // maxTasksPerWave — orderBy+limit = distributed TakeOrdered (each
+    // partition keeps its local top-K, the driver merges K rows; no
+    // global sort shuffle, no single-partition window)
+    val tasksAll = outcomes.flatMap(_.tasks)
+    val tasks: Dataset[FetchTask] =
+      (if (cfg.maxTasksPerWave > 0)
+        tasksAll.orderBy($"rank".desc, $"host", $"seq")
+          .limit(cfg.maxTasksPerWave).as[FetchTask]
+      else tasksAll).cache()
 
     // -- article fetch-join: pages ⋈ broadcast(tasks) on canonical url.
     //    A wave's fetch batch is bounded (maxPerHostPerWave × hosts), so
@@ -362,8 +392,12 @@ object WaveEngine {
         store.read(spark, "seen", prevWave).as[SeenSketch]
       else spark.emptyDataset[SeenSketch]
 
+    // recrawl TTL: rows older than the TTL stop counting as "seen" for
+    // the exact anti-join, so their urls are eligible for re-fetch
+    val ttl = cfg.recrawlAfterWaves
     val existing: Option[DataFrame] =
-      if (wave > 0) store.readDeltas(spark, "articles", prevWave) else None
+      (if (wave > 0) store.readDeltas(spark, "articles", prevWave) else None)
+        .map(df => if (ttl > 0) df.where($"wave" > wave - ttl) else df)
 
     val hb = cfg.hostBuckets; val sl = cfg.salt
     // both sketches ride in the carried state (incrementally merged at
@@ -422,10 +456,24 @@ object WaveEngine {
         coalesce($"inserted", lit(0L)).cast("int").as("inserted"))
       .as[WaveMetrics]
 
-    // -- carried seen-state update (bloom + cuckoo insert of the inserts)
+    // -- carried seen-state update: insert this wave's new urls; under
+    //    a recrawl TTL also EVICT the urls whose insert wave just
+    //    expired from the carried cuckoo (delete removes one matching
+    //    fingerprint — multiset semantics, so a url re-inserted since
+    //    keeps its newer entry). The Bloom keeps its stale positives;
+    //    they only cost exact anti-join probes.
+    val inserts = newArticles.map(a =>
+      (SeenFilter.bucket(a.host, a.url, hb, sl), a.url, true))
+    val evictWave = wave - ttl
+    val changes =
+      if (ttl > 0 && evictWave >= 0 && store.isCommitted(evictWave))
+        inserts.unionByName(
+          store.read(spark, "articles", evictWave)
+            .select($"host", $"url").as[(String, String)]
+            .map { case (h, u) => (SeenFilter.bucket(h, u, hb, sl), u, false) })
+      else inserts
     val newSeen = SeenFilter.updateSketches(
-      newArticles.map(a => (SeenFilter.bucket(a.host, a.url, hb, sl), a.url)),
-      carriedSeen, cfg.cuckooCapacityPerBucket,
+      changes, carriedSeen, cfg.cuckooCapacityPerBucket,
       cfg.expectedUrlsPerBucket, cfg.bloomFpp)
 
     // -- checkpoint finalize: a host whose every scheduled fetch FAILED
@@ -501,7 +549,7 @@ object WaveEngine {
     * identical store (tested in CrawlPipelineSpec). */
   def run(
       spark: SparkSession,
-      store: SnapshotStore,
+      store: FrontierStore,
       pagesAt: Int => Dataset[Page],
       hosts: Dataset[HostConfig],
       robots: Dataset[FixtureGen.RobotsRow],

@@ -134,13 +134,18 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: cosine >= threshold. Brute-force
-    * self-join baseline; `Similarity.lshBuckets` is the scale path. */
+    * self-join BASELINE (exact, O(n²)) — [[embeddingNearDupsLsh]] is
+    * the scale path. */
   def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
     // Precompute norms once per vector (O(n·d)) and repartition the
     // streamed side so the O(n²) pair stage spreads over all cores — a
     // single-file parquet read otherwise runs the whole cross join in
-    // one task. Pair arithmetic (dot/(na·nb)) matches the DuckDB oracle
-    // formula exactly, so threshold-boundary rows agree bit-for-bit.
+    // one task. No forced broadcast: the planner (sizes + AQE) picks
+    // broadcast-NL for a small build side and falls back to a shuffle
+    // cartesian beyond the broadcast limit, so the baseline keeps
+    // RUNNING where a mandatory broadcast would OOM. Pair arithmetic
+    // (dot/(na·nb)) matches the DuckDB oracle formula exactly, so
+    // threshold-boundary rows agree bit-for-bit.
     val parts = emb.sparkSession.sessionState.conf.numShufflePartitions
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"))
@@ -149,8 +154,42 @@ object Dedup {
       .repartition(parts, col("id_a"))
     val b = withNorm.select(col("vec_id").as("id_b"),
       col("embedding").as("vb"), col("nrm").as("nb"))
-    a.crossJoin(broadcast(b))
+    a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding near-dup pairs at SCALE: random-hyperplane LSH with
+    * OR-amplification — `tables` independent hash tables of `nBits`
+    * hyperplanes each (Similarity.lshBuckets seeded per table); a pair
+    * is a candidate if it collides in ANY table; candidates are
+    * verified with the exact cosine, so precision is exact and only
+    * recall depends on (nBits, tables). The only shuffles are
+    * equi-joins on (table, bucket) — no all-pairs stage, no broadcast
+    * of the vector table. Recall vs the brute-force baseline is pinned
+    * in SparkEntrySpec. */
+  def embeddingNearDupsLsh(emb: DataFrame, dim: Int,
+                           threshold: Double, nBits: Int = 8,
+                           tables: Int = 4): DataFrame = {
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val bucketed = (0 until tables).map { t =>
+      Similarity.lshBuckets(emb, dim, nBits, seed = t + 1)
+        .select(lit(t).as("tbl"), col("bucket"), col("vec_id"))
+    }.reduce(_.unionByName(_))
+    val cand = bucketed.as("a").join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val va = withNorm.select(col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val vb = withNorm.select(col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))

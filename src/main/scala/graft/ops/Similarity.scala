@@ -46,12 +46,17 @@ object Similarity {
     * fixed pseudo-random hyperplanes; bucket = sign-bit string. The
     * scale path for ANN: candidates = same bucket (or neighboring
     * buckets via multi-probe), searched brute-force within bucket.
-    * Hyperplanes are seeded deterministically — no RNG state. */
-  def lshBuckets(emb: DataFrame, dim: Int, nBits: Int): DataFrame = {
+    * Hyperplanes are seeded deterministically — no RNG state; `seed`
+    * selects an independent hash table (OR-amplification across
+    * tables, see Dedup.embeddingNearDupsLsh). seed=0 reproduces the
+    * original single-table planes. */
+  def lshBuckets(emb: DataFrame, dim: Int, nBits: Int,
+                 seed: Long = 0L): DataFrame = {
     // deterministic "random" hyperplanes from splitmix64 → (-1, 1)
     val planes: Array[Array[Double]] = Array.tabulate(nBits) { b =>
       Array.tabulate(dim) { d =>
-        var z = (b.toLong << 32 | d.toLong) + 0x9e3779b97f4a7c15L
+        var z = ((seed * 0xa24baed4963ee407L) ^ (b.toLong << 32 | d.toLong)) +
+          0x9e3779b97f4a7c15L
         z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
         z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
         z = z ^ (z >>> 31)

@@ -86,14 +86,18 @@ class CatalogDetectSpec extends AnyFunSuite {
       "http://cdn.example.org/mirror/p/3.html"))
   }
 
-  test("all-dated group wins over a bigger undated group") {
-    val dated = (1 to 3).map(i =>
+  test("dated iteration is adopted; sibling undated branch is dropped") {
+    // ≥5 dated nodes → RemoveNoiseBranches adopts the dated subtree as
+    // the root and the undated list never reaches the output
+    // (HtmlAnalyzer.cs:489-512)
+    val dated = (1 to 5).map(i =>
       s"""<li><a href="/d/$i.html">Dated headline number $i</a> 2024-05-0$i</li>""").mkString
     val undated = (1 to 5).map(i =>
       s"""<li><a href="/u/$i.html">Undated headline number $i with much longer text</a></li>""").mkString
     val html = s"<html><body><ul>$dated</ul><ul>$undated</ul></body></html>"
     val items = CatalogDetect.detect(html, base)
-    assert(items.map(_.url).forall(_.contains("/d/")))
+    assert(items.nonEmpty)
+    assert(items.map(_.url).forall(_.contains("/d/")), items.map(_.url))
   }
 
   test("url resolution: relative forms") {

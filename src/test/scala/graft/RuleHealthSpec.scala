@@ -98,12 +98,12 @@ class RuleHealthSpec extends AnyFunSuite {
     assert(out.contains("""href="javascript:f()""""))
   }
 
-  test("detectListTemplate suggests the winning group's url template") {
+  test("detectListPath suggests the winning block's iteration XPath (U12)") {
     val html = (1 to 4).map(i =>
       s"""<li><a href="/story/$i.html">Headline number $i long</a> 2024-02-0$i</li>""")
-      .mkString("<ul>", "", "</ul>")
-    assert(CatalogDetect.detectListTemplate(html, "http://n.com/") ==
-      Some("http://n.com/story/{d}.html"))
+      .mkString("<html><body><ul>", "", "</ul></body></html>")
+    assert(CatalogDetect.detectListPath(html) ==
+      Some("/html[1]/body[1]/ul[1]/li[*]/a[1]"))
   }
 
   test("host health: classification ladder and enabled transition") {

@@ -61,10 +61,20 @@ object CrawlOracle {
           // items in CATALOG order; sort newest-first ONLY when all are
           // dated (stable — ties keep catalog order), then cap
           // (ArticleCrawler.cs:137-148)
-          val items = FixtureGen.catalogOrder(cfg, i, wave).map { j =>
+          val items0 = FixtureGen.catalogOrder(cfg, i, wave).map { j =>
             (FixtureGen.articleUrl(i, j), j,
               FixtureGen.catalogDateOpt(cfg, i, j, wave))
           }.toVector
+          // W4: detection trims undated head/tail items when ≥5 items
+          // are dated (GetCatalogItems validateDate, HtmlAnalyzer.cs:
+          // 338-354); the short-text trim is a fixture no-op (all
+          // titles ≥ 5 chars)
+          val items =
+            if (items0.count(_._3.isDefined) >= 5) {
+              val from = items0.indexWhere(_._3.isDefined)
+              val last = items0.lastIndexWhere(_._3.isDefined)
+              items0.slice(from, last + 1)
+            } else items0
           val allDated = items.nonEmpty && items.forall(_._3.isDefined)
           val sorted = (if (allDated)
             items.sortBy { case (_, _, dt) => -dt.get.toEpochSecond(ZoneOffset.UTC) }

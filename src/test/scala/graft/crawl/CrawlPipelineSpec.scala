@@ -211,6 +211,45 @@ class CrawlPipelineSpec extends AnyFunSuite {
     assert(f2 == frontierRows(store))
   }
 
+  test("recrawl TTL: expired urls re-fetch and re-insert (cuckoo evicts)") {
+    val s4 = newStore()
+    // ttl=1: a url only counts as "seen" for one wave
+    WaveEngine.run(spark, s4,
+      w => FixtureGen.pagesParquet(spark, fx, w, pagesDir),
+      FixtureGen.hosts(spark, fx), FixtureGen.robots(spark, fx), nWaves,
+      cc.copy(recrawlAfterWaves = 1))
+    val perUrl = s4.readDeltas(spark, "articles", nWaves - 1).get
+      .select("url", "wave").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the shuffling host reschedules old urls every wave: with the TTL
+    // those must now RE-INSERT instead of being deduped
+    assert(perUrl.exists(_._2.size > 1),
+      "no url was recrawled — TTL eviction path did not fire")
+    // and with the TTL off the same fixture dedupes them (baseline)
+    val basePerUrl = store.readDeltas(spark, "articles", nWaves - 1).get
+      .select("url").collect().map(_.getString(0))
+    assert(basePerUrl.length == basePerUrl.distinct.length)
+  }
+
+  test("priority frontier: global budget keeps the top-ranked batch") {
+    val s5 = newStore()
+    val k = 10
+    WaveEngine.run(spark, s5,
+      w => FixtureGen.pagesParquet(spark, fx, w, pagesDir),
+      FixtureGen.hosts(spark, fx), FixtureGen.robots(spark, fx), 1,
+      cc.copy(maxTasksPerWave = k))
+    def rows(s: SnapshotStore) = s.read(spark, "frontier", 0)
+      .select("host", "seq", "url", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val got = rows(s5)
+    assert(got.length == k)
+    // expected: top-k of the UNBUDGETED wave-0 schedule (the main
+    // store's frontier) ranked by (host rank desc, host, seq)
+    val expect = rows(store).sortBy(t => (-t._4, t._1, t._2)).take(k).toSet
+    assert(got.toSet == expect)
+  }
+
   test("re-running a committed wave is a no-op returning stored metrics") {
     val r = WaveEngine.runWave(spark, store,
       FixtureGen.pages(spark, fx, 1), FixtureGen.hosts(spark, fx),
