@@ -334,6 +334,28 @@ object SparkEntry {
       // recall vs q23 pinned in SparkEntrySpec
       Dedup.embeddingNearDupsLsh(t(s, d, "embeddings"), dim = 64,
         threshold = 0.4, nBits = 6, tables = 8)),
+
+    // ---- multimodal plumbing (rows-only: decode is a documented
+    //      deterministic STUB — no codec libs in this sandbox; the
+    //      schema/partitioning/batch shape is the real contract) ------
+    "q39_multimodal_decode" -> ((s, d) => {
+      // media table synthesized deterministically from documents: the
+      // text bytes stand in for an opaque media blob
+      val media = t(s, d, "documents").select(
+        col("doc_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("media"))
+      val balanced = ops.Multimodal.balanceBySize(media, 8)
+      val info = ops.Multimodal.decode(balanced).toDF()
+      val feats = ops.Multimodal.features(media, dim = 16)
+        .select(col("doc_id"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+      info.join(feats, "doc_id")
+        .select(col("doc_id"), col("kind"), col("n_bytes"), col("width"),
+          col("height"), col("duration_ms"), col("f0"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -97,12 +97,16 @@ object ArticleExtractor {
     body = reflowTags(body)
 
     val (content, contentWithTags) = getContent(body)
+    // tag-strip the body ONCE and share it between the date and author
+    // scans (each used to re-strip the full document — 2 of ~7 whole-
+    // document regex passes, measured on the extract kernel)
+    val plain = anyTagDotall.matcher(body).replaceAll("")
     ArticleDetails(
       title = getTitle(html),
       content = content,
       contentWithTags = contentWithTags,
-      published = getPublishDate(body),
-      author = getAuthor(body),
+      published = datesFromText(plain),
+      author = authorFromText(plain),
     )
   }
 
@@ -140,7 +144,10 @@ object ArticleExtractor {
 
   def getPublishDate(html: String): Option[LocalDateTime] = {
     if (html == null || html.isEmpty) return None
-    val text = anyTagDotall.matcher(html).replaceAll("")
+    datesFromText(anyTagDotall.matcher(html).replaceAll(""))
+  }
+
+  private def datesFromText(text: String): Option[LocalDateTime] = {
     val m = datePat.matcher(text)
     if (m.find() && m.group(0).nonEmpty) parseDate(m.group(0)) else None
   }
@@ -165,7 +172,10 @@ object ArticleExtractor {
 
   def getAuthor(html: String): Option[String] = {
     if (html == null || html.isEmpty) return None
-    val text = anyTagDotall.matcher(html).replaceAll("")
+    authorFromText(anyTagDotall.matcher(html).replaceAll(""))
+  }
+
+  private def authorFromText(text: String): Option[String] = {
     var i = 0
     while (i < authorPats.length) {
       val m = authorPats(i).matcher(text)

@@ -59,9 +59,12 @@ object Dedup {
     val pruned =
       if (maxShingleDf == Int.MaxValue) shingles
       else {
-        val df = shingles.groupBy("s").agg(count(lit(1)).as("df"))
-          .where(col("df") <= maxShingleDf)
-        shingles.join(df.select("s"), "s")
+        // anti-join against the HOT set (df > cap) — near-empty in
+        // healthy corpora, so it broadcasts; joining against the huge
+        // keep-set instead would shuffle every shingle a second time
+        val hot = shingles.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxShingleDf)
+        shingles.join(hot.select("s"), Seq("s"), "left_anti")
       }
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val a = pruned.as("a"); val b = pruned.as("b")
