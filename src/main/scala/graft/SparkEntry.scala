@@ -154,6 +154,14 @@ object SparkEntry {
         .orderBy("o_orderkey")
         .select("o_orderkey", "o_orderstatus")
         .offset(100).limit(50)),
+    "q40_keyset_page" -> ((s, d) => // O4: keyset (seek) paging — the
+      // scale form of deep paging: the predicate pushes into the scan,
+      // so page N costs the same as page 1 (no offset skip-scan)
+      t(s, d, "orders")
+        .where(col("o_orderkey") > 1000)
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(50)),
     "q12_union_distinct" -> ((s, d) => { // set ops: frontier-merge shape
       val a = t(s, d, "orders").where(col("o_orderpriority").contains("URGENT"))
         .select(col("o_custkey").as("custkey"))
@@ -418,6 +426,9 @@ object SparkEntry {
     "q11_offset_page" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+    "q40_keyset_page" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey > 1000 ORDER BY o_orderkey LIMIT 50""".stripMargin,
     "q12_union_distinct" ->
       """SELECT DISTINCT custkey FROM (
         |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '%URGENT%'

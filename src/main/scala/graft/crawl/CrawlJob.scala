@@ -28,10 +28,17 @@ object CrawlJob {
       sys.error("--store <dir> is required"))
     val waves = opts.getOrElse("waves", "3").toInt
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-crawl")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+      // AQE off for the engine by default (SCALE.md §8): partitioning
+      // is explicit and AQE's per-exchange query-stage jobs add a
+      // scheduling round-trip per wave stage; --aqe true to override
+      .config("spark.sql.adaptive.enabled", opts.getOrElse("aqe", "false"))
+    // spark-submit provides the master in production; `--master` is the
+    // local smoke-run escape hatch (e.g. --master local[8])
+    opts.get("master").foreach(builder.master)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(opts.getOrElse("loglevel", "WARN"))
     import spark.implicits._
 
