@@ -3,10 +3,11 @@ package graft.core.filters
 /** Cuckoo filter (Fan et al., CoNEXT'14 — public paper) with 4-slot
   * buckets and 16-bit fingerprints: supports insert, lookup AND delete,
   * which the Bloom stage can't. Role in the engine (north rule
-  * "Bloom-then-Cuckoo"): the Bloom is the cheap immutable map-side
-  * pre-filter rebuilt per wave; the Cuckoo is the *carried* seen-set
-  * state (per host-hash partition) that can evict entries (e.g. expired
-  * recrawl TTLs) between waves without a rebuild.
+  * "Bloom-then-Cuckoo"): both sketches are carried per-bucket state
+  * merged incrementally at commit (crawl.SeenFilter); the Bloom is the
+  * cheap append-only pre-filter, the Cuckoo is the deletable side that
+  * evicts expired recrawl-TTL urls between waves without a rebuild
+  * (CrawlConfig.recrawlAfterWaves).
   *
   * Deterministic: fixed hash seeds, no RNG — the eviction "random slot"
   * is derived from the fingerprint, so state bytes are reproducible.

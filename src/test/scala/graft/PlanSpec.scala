@@ -66,6 +66,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("text:string"), "pages scan reads pruned columns")
   }
 
+  test("keyset paging pushes the seek predicate into the scan (q40)") {
+    val plan = planOf(SparkEntry.queries("q40_keyset_page")(spark, dir))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,1000)"),
+      plan.take(2000))
+    // deep page = top-k, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("lsh near-dup candidates join on bucket equi-keys — no cartesian (q38)") {
+    val plan = planOf(SparkEntry.queries("q38_embedding_neardup_lsh")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate stage must be an equi-join, not all-pairs: " + plan.take(3000))
+  }
+
+  test("priority-frontier budget plans as distributed TakeOrdered") {
+    import spark.implicits._
+    val tasks = (0 until 100).map(i =>
+      (s"h$i", i % 7, i, s"http://h$i/x")).toDF("host", "rank", "seq", "url")
+    val plan = planOf(tasks.orderBy($"rank".desc, $"host", $"seq").limit(10))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "global budget must not global-sort: " + plan.take(2000))
+  }
+
   test("anti-join dedup shape broadcasts the small probe side") {
     import spark.implicits._
     val seen = Seq("u1", "u2").toDF("url")
