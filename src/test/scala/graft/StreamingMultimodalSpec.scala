@@ -79,6 +79,42 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "u4" -> true, "u5" -> true))
   }
 
+  test("continuous-ingest crawl: each micro-batch commits one wave") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // micro-plan sizes: avoid per-batch janino compiles (SCALE.md §8)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val fx = crawl.FixtureCfg(nHosts = 12, baseArticles = 4,
+      growthPerWave = 2, hotHostFactor = 2)
+    val cc = crawl.CrawlConfig(hostBuckets = 4, salt = 2,
+      expectedUrlsPerBucket = 1024, cuckooCapacityPerBucket = 2048)
+    val store = new crawl.SnapshotStore(
+      java.nio.file.Files.createTempDirectory("streamcrawl").toString)
+    val mem = MemoryStream[crawl.Page]
+    val q = graft.streaming.CrawlStream.start(spark, store, mem.toDS(),
+      crawl.FixtureGen.hosts(spark, fx), crawl.FixtureGen.robots(spark, fx),
+      cc, java.nio.file.Files.createTempDirectory("streamck").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      mem.addData(crawl.FixtureGen.pages(spark, fx, 0).collect().toSeq)
+      q.processAllAvailable()
+      assert(store.lastCommittedWave.contains(0))
+      mem.addData(crawl.FixtureGen.pages(spark, fx, 1).collect().toSeq)
+      q.processAllAvailable()
+      assert(store.lastCommittedWave.contains(1))
+      val arts = store.readDeltas(spark, "articles", 1).get
+      assert(arts.count() > 0)
+      // wave ids came from batch ids; per-wave metrics exist for both
+      assert(store.read(spark, "metrics", 0).count() > 0)
+      assert(store.read(spark, "metrics", 1).count() > 0)
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("multimodal decode/features/frames are deterministic and shaped") {
     import spark.implicits._
     val media = Seq(
