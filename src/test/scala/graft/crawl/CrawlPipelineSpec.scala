@@ -259,6 +259,22 @@ class CrawlPipelineSpec extends AnyFunSuite {
     assert(r.inserted == m)
   }
 
+  test("offline bloom rebuild covers every inserted url per bucket") {
+    // the documented saturation-recovery path (SeenSketch scaladoc):
+    // re-derive a bucket's Bloom from the committed article store
+    import spark.implicits._
+    import graft.core.filters.BloomFilter
+    val arts = store.readDeltas(spark, "articles", nWaves - 1).get
+    val hb = cc.hostBuckets; val sl = cc.salt
+    val pairs = arts.select("host", "url").as[(String, String)]
+      .map { case (h, u) => (SeenFilter.bucket(h, u, hb, sl), u) }
+    val blooms = SeenFilter.buildBlooms(pairs, expectedPerBucket = 2048)
+      .collect().toMap.view.mapValues(BloomFilter.deserialize).toMap
+    pairs.collect().foreach { case (b, u) =>
+      assert(blooms(b).mightContainString(u), s"rebuilt bloom missed $u")
+    }
+  }
+
   test("intra-wave syndication: duplicate canonical url keeps min (host, seq)") {
     import spark.implicits._
     val arts = (0 until 3).map { j =>
