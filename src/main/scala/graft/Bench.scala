@@ -191,7 +191,10 @@ object Bench {
     val cc = CrawlConfig(maxPerHostPerWave = 1500, hostBuckets = 16,
       salt = 4, expectedUrlsPerBucket = 100000, cuckooCapacityPerBucket = 1 << 16)
     val waves = 2
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // 3 alternating reps per level: the host's speed drifts 2-5× over
+    // minutes, so best-of needs several chances at a clean window
+    // (measured: within one run, local[1] samples spanned 396-949 s)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val pagesDir = Files.createTempDirectory("benchpages").toString
     // warm JIT/codegen once (excluded from all timings) and materialize
     // the shared input parquet at full parallelism
