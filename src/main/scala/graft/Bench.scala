@@ -207,7 +207,13 @@ object Bench {
     final case class Run(sec: Double, taskRun: Double, taskCpu: Double)
     val lo = Array.newBuilder[Run]; val hi = Array.newBuilder[Run]
     val calLo = Array.newBuilder[Double]; val calHi = Array.newBuilder[Double]
-    (0 until reps).foreach { _ =>
+    // time-box: extra reps only while the part-2 budget holds (a slow
+    // host window can make one local[1] rep cost 2.5× a clean one)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100").toInt
+    val tBudget = System.nanoTime()
+    var rep = 0
+    var go = true
+    while (go && rep < reps) {
       calLo += spinThroughput(nLo)
       spark = session(nLo, engineMode = true)
       val (uLo, sLo, rLo, cLo) = crawlRun(spark, fx, waves, cc, pagesDir)
@@ -218,6 +224,9 @@ object Bench {
       spark.stop()
       urls = uLo; require(uHi == uLo, s"nondeterministic crawl: $uLo vs $uHi")
       lo += Run(sLo, rLo, cLo); hi += Run(sHi, rHi, cHi)
+      rep += 1
+      val elapsed = (System.nanoTime() - tBudget) / 1e9
+      if (rep >= 2 && elapsed > budgetSec) go = false
     }
     val aLo = lo.result(); val aHi = hi.result()
     val bestLo = aLo.minBy(_.sec); val bestHi = aHi.minBy(_.sec)
