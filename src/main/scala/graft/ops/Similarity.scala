@@ -50,10 +50,9 @@ object Similarity {
     * selects an independent hash table (OR-amplification across
     * tables, see Dedup.embeddingNearDupsLsh). seed=0 reproduces the
     * original single-table planes. */
-  def lshBuckets(emb: DataFrame, dim: Int, nBits: Int,
-                 seed: Long = 0L): DataFrame = {
-    // deterministic "random" hyperplanes from splitmix64 → (-1, 1)
-    val planes: Array[Array[Double]] = Array.tabulate(nBits) { b =>
+  /** Deterministic "random" hyperplanes from splitmix64 → (-1, 1). */
+  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nBits) { b =>
       Array.tabulate(dim) { d =>
         var z = ((seed * 0xa24baed4963ee407L) ^ (b.toLong << 32 | d.toLong)) +
           0x9e3779b97f4a7c15L
@@ -63,6 +62,21 @@ object Similarity {
         (z.toDouble / Long.MaxValue.toDouble)
       }
     }
+
+  /** Local (driver-side) bucket of one vector — same math as the
+    * column form below, left-to-right double summation. */
+  private[ops] def bucketOf(v: Seq[Float], nBits: Int, seed: Long = 0L): Long = {
+    val planes = hyperplanes(v.length, nBits, seed)
+    planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      var s = 0.0; var d = 0
+      while (d < p.length) { s += v(d).toDouble * p(d); d += 1 }
+      if (s >= 0) acc | (1L << i) else acc
+    }
+  }
+
+  def lshBuckets(emb: DataFrame, dim: Int, nBits: Int,
+                 seed: Long = 0L): DataFrame = {
+    val planes = hyperplanes(dim, nBits, seed)
     val bucket = planes.zipWithIndex
       .map { case (p, i) =>
         when(dot(col("embedding"), typedLit(p.toSeq)) >= 0, lit(1L << i))
@@ -73,15 +87,16 @@ object Similarity {
   }
 
   /** ANN via LSH: top-k within the query's bucket (single-probe).
-    * Recall < 1 by design; compare against bruteForceTopK in tests. */
+    * Recall < 1 by design; compare against bruteForceTopK in tests.
+    * Two driver actions total — fetch the query vector (its bucket is
+    * computed locally from the same hyperplanes), then the bucket-
+    * filtered top-k scan. */
   def lshTopK(emb: DataFrame, dim: Int, nBits: Int,
               queryVecId: Long, k: Int): DataFrame = {
-    val buckets = lshBuckets(emb, dim, nBits)
-    val withB = emb.join(buckets, "vec_id")
-    val qRow = withB.where(col("vec_id") === queryVecId)
-      .select(col("embedding"), col("bucket")).head()
-    val q = qRow.getSeq[Float](0)
-    val qBucket = qRow.getLong(1)
+    val q = emb.where(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qBucket = bucketOf(q, nBits)
+    val withB = emb.join(lshBuckets(emb, dim, nBits), "vec_id")
     withB.where(col("bucket") === qBucket && col("vec_id") =!= queryVecId)
       .select(col("vec_id"), cosine(col("embedding"), typedLit(q)).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
