@@ -366,6 +366,29 @@ object SparkEntry {
     }),
   )
 
+  // ---- LSH oracle helpers -------------------------------------------
+  // The LSH hyperplanes are deterministic constants (splitmix64-seeded,
+  // Similarity.hyperplanes), so the DuckDB oracle can recompute the
+  // ENTIRE bucket pipeline verbatim by embedding the same planes as SQL
+  // list literals: dot products via list_zip/list_transform/list_sum in
+  // double precision, left-to-right — the construct q22/q23 already
+  // prove hash-identical across engines. Double.toString round-trips
+  // (shortest repr, correctly-rounded parse), so the literals are
+  // bit-equal to Spark's typedLit planes.
+  private def sqlDot(vecExpr: String, plane: Array[Double]): String = {
+    val lit = plane.map(_.toString).mkString("[", ",", "]")
+    s"list_sum(list_transform(list_zip($vecExpr, $lit), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  }
+
+  /** Sign-bit bucket of `vecExpr` under the (dim, nBits, seed) plane
+    * set — SQL mirror of Similarity.bucketCol. */
+  private def sqlBucket(vecExpr: String, dim: Int, nBits: Int, seed: Long): String =
+    ops.Similarity.hyperplanes(dim, nBits, seed).zipWithIndex.map {
+      case (p, i) =>
+        s"(CASE WHEN ${sqlDot(vecExpr, p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -607,6 +630,54 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE common * 2 >= sa.nsh + sb.nsh - common
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q28: full replica of the single-probe LSH ANN — bucket every
+    // vector with the SAME 8 hyperplanes (seed 0), keep the query's
+    // bucket, exact-cosine top-10. Gained this round (was no_oracle).
+    "q28_ann_lsh" -> {
+      val bucket = sqlBucket("embedding", dim = 64, nBits = 8, seed = 0L)
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+         |sims AS (
+         |  SELECT b.vec_id,
+         |    list_sum(list_transform(list_zip(b.embedding, q.qe),
+         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(b.embedding,
+         |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(q.qe,
+         |         v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+         |  FROM b, q WHERE b.vec_id <> 0 AND b.bucket = q.qb)
+         |SELECT vec_id FROM (
+         |  SELECT vec_id FROM sims ORDER BY cos DESC, vec_id LIMIT 10)
+         |ORDER BY vec_id""".stripMargin
+    },
+    // q38: full replica of the OR-amplified LSH near-dup — 8 tables ×
+    // 6-bit buckets from the same seeded planes, candidate equi-join on
+    // (tbl, bucket), exact-cosine verify. Gained this round (was
+    // no_oracle): recall shortfalls vs brute force no longer hide —
+    // the oracle drops the SAME candidates.
+    "q38_embedding_neardup_lsh" -> {
+      val branches = (0 until 8).map { t =>
+        s"SELECT vec_id, $t AS tbl, " +
+          sqlBucket("embedding", dim = 64, nBits = 6, seed = t + 1L) +
+          " AS bucket FROM embeddings"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH v AS (SELECT vec_id, embedding,
+         |  sqrt(list_sum(list_transform(embedding,
+         |    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm FROM embeddings),
+         |bu AS (
+         |  $branches),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bu a JOIN bu b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b
+         |FROM cand
+         |JOIN v va ON va.vec_id = id_a
+         |JOIN v vb ON vb.vec_id = id_b
+         |WHERE list_sum(list_transform(list_zip(va.embedding, vb.embedding),
+         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (va.nrm * vb.nrm) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q23_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding,
         |  sqrt(list_sum(list_transform(embedding,

@@ -5,13 +5,19 @@ import java.util.Locale
 import java.util.regex.Pattern
 
 /** One detected catalog (listing-page) item. ≈ the reference's
-  * `CatalogItem` (/root/reference/Source/WebCrawler/Models/CatalogItem.cs)
-  * as produced by `HtmlAnalyzer.DetectCatalogItems`
-  * (Analyzers/HtmlAnalyzer.cs:35-97). */
+  * `CatalogItem` (Analyzers/HtmlAnalyzer.cs:715-740) as produced by
+  * `HtmlAnalyzer.DetectCatalogItems` (Analyzers/HtmlAnalyzer.cs:35-97).
+  * `publishedRaw` carries a date/time string that did not parse to a
+  * full date (e.g. year-less or time-only — HtmlAnalyzer.cs:727-730);
+  * [[hasDate]] mirrors the reference's `CatalogItem.HasDate`
+  * (HtmlAnalyzer.cs:732-738), which gates newest-first scheduling. */
 final case class CatalogItem(
     url: String,
     title: String,
-    published: Option[LocalDateTime])
+    published: Option[LocalDateTime],
+    publishedRaw: Option[String] = None) {
+  def hasDate: Boolean = published.isDefined || publishedRaw.isDefined
+}
 
 /** Catalog (article-list) auto-detection over raw HTML: the engine-facing
   * envelope around the DOM link-tree analyzer ([[LinkTreeDetect]] — the
@@ -55,7 +61,7 @@ object CatalogDetect {
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, CatalogItem]
     raw.filter(r => isValidLink(r.url)).foreach { r =>
       val u = UrlCanon.canonicalize(UrlCanon.resolve(base, r.url))
-      val item = CatalogItem(u, r.title, r.published)
+      val item = CatalogItem(u, r.title, r.published, r.publishedRaw)
       seen.get(u) match {
         case None => seen.put(u, item)
         case Some(prev) if prev.title.isEmpty && r.title.nonEmpty =>

@@ -83,6 +83,10 @@ object MiniDom {
     val root = new DomNode("#root", Map.empty, "", null)
     if (html == null || html.isEmpty) return root
     var cur = root
+    // one lowercased copy, computed lazily on the first raw-text
+    // element — NOT per script/style tag (a script-heavy page would
+    // otherwise pay O(n) allocation dozens of times)
+    var htmlLower: String = null
     def addText(s: String): Unit =
       if (s.nonEmpty) {
         val t = new DomNode("", Map.empty, s, cur)
@@ -113,7 +117,8 @@ object MiniDom {
             if (rawTextTags.contains(name)) {
               // raw-text element: swallow everything to the close tag
               val closeTag = "</" + name
-              val end = html.toLowerCase(Locale.ROOT).indexOf(closeTag, pos)
+              if (htmlLower == null) htmlLower = html.toLowerCase(Locale.ROOT)
+              val end = htmlLower.indexOf(closeTag, pos)
               val stop = if (end >= 0) end else html.length
               if (stop > pos)
                 node.children += new DomNode("", Map.empty,

@@ -102,20 +102,20 @@ object RuleEngine {
         throw new IllegalArgumentException(s"unknown rule matchType: $other")
     }
     canonDedup(raw.map { case (u, t, d) =>
-      (u, t, d.flatMap(ArticleExtractor.parseDate))
+      (u, t, d.flatMap(ArticleExtractor.parseDate), None)
     }, pageUrl, rule)
   }
 
   /** Shared tail: revise + resolve + canonicalize item URLs, dedup
     * keeping the first non-empty title. */
   private def canonDedup(
-      raw: Vector[(String, String, Option[java.time.LocalDateTime])],
+      raw: Vector[(String, String, Option[java.time.LocalDateTime], Option[String])],
       pageUrl: String, rule: CatalogRule): Vector[CatalogItem] = {
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, CatalogItem]
-    raw.foreach { case (u0, title, date) =>
+    raw.foreach { case (u0, title, date, dateRaw) =>
       val u = UrlCanon.canonicalize(
         UrlCanon.resolve(pageUrl, reviseItemUrl(u0, rule)))
-      val item = CatalogItem(u, title, date)
+      val item = CatalogItem(u, title, date, dateRaw)
       seen.get(u) match {
         case None => seen.put(u, item)
         case Some(prev) if prev.title.isEmpty && title.nonEmpty =>
@@ -149,9 +149,10 @@ object RuleEngine {
           val url = txt(rule.urlField).getOrElse("")
           val title = TextNormalize.normalizeText(
             txt(rule.titleField).getOrElse(""))
-          // GetPublishDate FINDS a date in the node text (HtmlAnalyzer.cs:640)
+          // GetPublishDate FINDS a date in the node text (HtmlAnalyzer.cs:640);
+          // root mode sets Published only — no PublishedRaw (cs:633-640)
           val date = txt(rule.dateField).flatMap(ArticleExtractor.getPublishDate)
-          (url, title, date)
+          (url, title, date, None)
         }.filter(_._1.nonEmpty)
         canonDedup(raw, pageUrl, rule)
       case None =>
@@ -163,18 +164,26 @@ object RuleEngine {
           else (linkPath.substring(0, starIdx),
             "." + linkPath.substring(starIdx + 3))
         final case class Raw(url: String, title: String,
-            date: Option[java.time.LocalDateTime])
+            date: Option[java.time.LocalDateTime], dateRaw: Option[String]) {
+          // CatalogItem.HasDate: parsed date OR partial raw date string
+          // (HtmlAnalyzer.cs:732-738)
+          def hasDate: Boolean = date.isDefined || dateRaw.isDefined
+        }
         var items = MiniXPath.selectNodes(doc, containerPath).flatMap { block =>
           val linkNode =
             if (relLink == ".") Some(block)
             else MiniXPath.selectSingle(block, relLink)
           linkNode.flatMap { ln =>
             ln.attr("href").filter(_.nonEmpty).map { href =>
+              // date FOUND anywhere in the container's full text —
+              // both the parsed and raw forms, like the reference
+              // (GetPublishDate/GetPublishDateRaw(blockNode.InnerText),
+              // HtmlAnalyzer.cs:320-323)
+              val blockText = block.innerText
               Raw(href,
                 TextNormalize.normalizeText(ln.innerText),
-                // date FOUND anywhere in the container's full text
-                // (GetPublishDate(blockNode.InnerText), HtmlAnalyzer.cs:321)
-                ArticleExtractor.getPublishDate(block.innerText))
+                ArticleExtractor.getPublishDate(blockText),
+                ArticleExtractor.getPublishDateRaw(blockText))
             }
           }
         }
@@ -190,11 +199,12 @@ object RuleEngine {
           }
           items = order.result().flatMap(chosen.get)
         }
-        // trim undated head/tail when the dated run is significant (W4)
+        // trim undated head/tail when the dated run is significant (W4);
+        // "dated" = HasDate (parsed OR raw partial date — cs:341-344)
         if (rule.validateDate &&
-            items.count(_.date.isDefined) >= MinLinkCountDated) {
-          val from = items.indexWhere(_.date.isDefined)
-          val last = items.lastIndexWhere(_.date.isDefined)
+            items.count(_.hasDate) >= MinLinkCountDated) {
+          val from = items.indexWhere(_.hasDate)
+          val last = items.lastIndexWhere(_.hasDate)
           items = items.slice(from, last + 1)
         }
         // trim short-text head/tail links — the guard mirrors the
@@ -203,7 +213,8 @@ object RuleEngine {
         val endIdx = items.lastIndexWhere(_.title.length >= MinLinkTextLenSafe)
         if (fromIdx > 0 || endIdx > 0)
           items = items.slice(fromIdx, endIdx + 1)
-        canonDedup(items.map(r => (r.url, r.title, r.date)), pageUrl, rule)
+        canonDedup(items.map(r => (r.url, r.title, r.date, r.dateRaw)),
+          pageUrl, rule)
     }
   }
 

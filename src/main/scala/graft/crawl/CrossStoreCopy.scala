@@ -57,9 +57,13 @@ object CrossStoreCopy {
 
   /** Incremental copy: only source rows whose key exceeds the
     * destination's max — one scalar query against the destination, then
-    * a bounded partitioned read. The reference's incremental copy walks
-    * pages of 50 rows (PAGER_PAGE_SIZE); this moves the split planning
-    * into Spark's JDBC partitioning instead. */
+    * a bounded partitioned read. The watermark predicate is pushed into
+    * the source query itself via a `dbtable` subquery: Spark's JDBC
+    * lowerBound/upperBound only set partition STRIDES — the first and
+    * last partitions get open-ended predicates and would re-read (and
+    * re-append) every pre-watermark row. The reference's incremental
+    * copy walks pages of 50 rows (PAGER_PAGE_SIZE); this moves the
+    * split planning into Spark's JDBC partitioning instead. */
   def copyTableIncremental(spark: SparkSession, src: JdbcEndpoint,
       dst: JdbcEndpoint, table: String, keyColumn: String,
       numPartitions: Int): Unit = {
@@ -71,8 +75,12 @@ object CrossStoreCopy {
     val srcMaxDf = spark.read.jdbc(src.url,
       s"(SELECT COALESCE(MAX($keyColumn), 0) AS mx FROM $table) t", src.props)
     val srcMax = asLong(srcMaxDf.head())
-    if (srcMax > watermark)
-      copyTable(spark, src, dst, table, keyColumn,
+    if (srcMax > watermark) {
+      val delta =
+        s"(SELECT * FROM $table WHERE $keyColumn > $watermark) ${table}_delta"
+      readTable(spark, src, delta, keyColumn,
         watermark + 1, srcMax, numPartitions)
+        .write.mode(SaveMode.Append).jdbc(dst.url, table, dst.props)
+    }
   }
 }

@@ -113,6 +113,15 @@ final case class FetchTask(
     rank: Int,
     depth: Int = 1)
 
+/** Output store row (≈ atc_articles, MySQLSchema.sql:2-15). Column
+  * parity with the reference's article table:
+  *  - `content`     ≈ `content`     (byte-identical extracted text)
+  *  - `contenthtml` ≈ `contenthtml` (MySQLSchema.sql:9 — the extracted
+  *    content WITH its markup, as stored by Models/Article.cs:25)
+  *  - `actualurl` (MySQLSchema.sql:6; the post-redirect URL recorded by
+  *    the reference's live HTTP fetch) is deliberately ABSENT: in the
+  *    snapshot-table model the fetch is a lookup by canonical `url` —
+  *    there is no redirect hop, so actualurl ≡ url by construction. */
 final case class ArticleRow(
     url: String,
     host: String,
@@ -120,6 +129,7 @@ final case class ArticleRow(
     seq: Int,
     title: String,
     content: String,       // byte-identical extracted text
+    contenthtml: String,   // extracted content with tags
     published: Option[Timestamp],
     author: Option[String],
     warc_ts: Timestamp)

@@ -48,11 +48,20 @@ final case class CrawlConfig(
     // 0 = unbounded. When set, the wave's task batch is ranked by
     // (host rank DESC, host, seq) — a distributed TakeOrdered, the
     // scalable form of a window-ranked batch — and only the top
-    // maxTasksPerWave fetch. CAVEAT (documented trade-off, mirroring
-    // the reference's MAX_RECORDS cap): the lasthandled checkpoint
-    // still advances per catalog, so budget-dropped tasks from
-    // low-priority hosts are skipped, not deferred.
+    // maxTasksPerWave fetch. A host whose ENTIRE task batch was
+    // budget-dropped keeps its previous lasthandled (same revert as
+    // the all-failed path), so its items are DEFERRED to a later
+    // wave, not silently skipped; hosts with a partial batch advance
+    // normally (the fetched head is the newest — mirroring the
+    // reference's MAX_RECORDS cap).
     maxTasksPerWave: Int = 0,
+    // Upper bound (rows) for broadcasting the wave's task batch into
+    // the fetch-join. broadcast() is a HARD hint Spark honors
+    // regardless of size estimates, so an unbounded frontier batch
+    // must not be hinted — beyond this limit the join is left
+    // unhinted and plans as a shuffle join on url (skew-free: urls
+    // are unique).
+    broadcastTaskLimit: Int = 1000000,
     // Recrawl TTL (cuckoo's raison d'être): urls inserted at wave
     // w - recrawlAfterWaves are EVICTED from the carried cuckoo and
     // excluded from the exact anti-join at wave w, so the same url can
@@ -131,10 +140,17 @@ object WaveEngine {
       lasthandled: Option[String],
       robots: graft.core.RobotsPolicy,
       maxPerWave: Int): (Vector[FetchTask], Int, Option[String]) = {
-    val allDated = items.nonEmpty && items.forall(_.published.isDefined)
+    // gate on HasDate (parsed OR raw partial date — CatalogItem.HasDate,
+    // HtmlAnalyzer.cs:732-738); the sort key is the PARSED date only,
+    // with raw-only items last (C# OrderByDescending over DateTime?
+    // puts nulls last; both sorts are stable, so ties keep detection
+    // order — ArticleCrawler.cs:137-144)
+    val allDated = items.nonEmpty && items.forall(_.hasDate)
     val ordered =
       (if (allDated)
-        items.sortBy(it => -it.published.get.toEpochSecond(java.time.ZoneOffset.UTC))
+        items.sortBy(it => it.published
+          .map(p => -p.toEpochSecond(java.time.ZoneOffset.UTC))
+          .getOrElse(Long.MaxValue))
       else items).take(maxPerWave)
     val fresh = ordered.takeWhile(it =>
       !lasthandled.exists(_.equalsIgnoreCase(it.url)))
@@ -155,6 +171,17 @@ object WaveEngine {
     if (i < 0) return url
     val s = url.indexOf('/', i + 3)
     if (s < 0) "/" else url.substring(s)
+  }
+
+  /** The article fetch-join shape (exposed for plan tests): pages ⋈
+    * tasks on url (+ host-sized rules map, always broadcast). With
+    * `hintBroadcast` the task side carries a broadcast hint (pages only
+    * scanned); without it Spark plans a shuffle join on url. */
+  private[crawl] def fetchJoin(pages: DataFrame, tasksDF: DataFrame,
+      hostRules: DataFrame, hintBroadcast: Boolean): DataFrame = {
+    val t = if (hintBroadcast) broadcast(tasksDF) else tasksDF
+    pages.join(t, Seq("url"), "inner")
+      .join(broadcast(hostRules), Seq("host"), "left")
   }
 
   final case class WaveResult(
@@ -251,16 +278,19 @@ object WaveEngine {
     val outcomes: Dataset[HostOutcome] = work.groupByKey(_.host)
       .flatMapGroups { (_, it) =>
         it.map { w =>
-          val robotsW = if (w.robots_wave >= 0) w.robots_wave else wave
           w.html match {
             case None => // home fetch failed → broken tracking (T2);
-              // robots cache untouched (a down host serves no robots.txt)
+              // robots cache untouched — INCLUDING robots_wave: persist
+              // the stored value (-1 when robots was never parsed), so a
+              // host that comes back up re-parses robots.txt before its
+              // first scheduled fetch instead of inheriting an empty
+              // allow-all policy stamped fresh (politeness safety)
               HostOutcome(
                 HostState(w.host, w.lasthandled,
                   w.broken_since.orElse(w.fetched_ts)
                     .orElse(Some(new Timestamp(86400000L * (wave + 1)))),
                   w.robots_disallow, w.robots_allow, w.robots_delay_ms,
-                  robotsW),
+                  w.robots_wave),
                 prevLast = w.lasthandled,
                 homeOk = false, catalogFound = 0, robotsDenied = 0, Nil)
             case Some(bytes) =>
@@ -274,7 +304,11 @@ object WaveEngine {
                 if (cacheValid) (cached, w.robots_wave)
                 else w.robots_txt match {
                   case Some(t) => (graft.core.RobotsTxt.parse(t, ua), wave)
-                  case None    => (cached, robotsW)
+                  // host is UP but serves no robots.txt: the fetch
+                  // attempt happened, so the empty policy may be cached
+                  // for a TTL (stamp this wave on first sight)
+                  case None =>
+                    (cached, if (w.robots_wave >= 0) w.robots_wave else wave)
                 }
               val html = graft.core.CharsetDetect.decode(bytes)
               // rule-driven (Regex/JPath) or auto-detected catalog; item
@@ -311,22 +345,37 @@ object WaveEngine {
         tasksAll.orderBy($"rank".desc, $"host", $"seq")
           .limit(cfg.maxTasksPerWave).as[FetchTask]
       else tasksAll).cache()
+    // hosts whose ENTIRE batch fell under the budget cut: their
+    // checkpoint must revert (deferred, not skipped) — host-sized set
+    val budgetDroppedHosts: DataFrame =
+      if (cfg.maxTasksPerWave > 0)
+        tasksAll.toDF().select($"host").distinct()
+          .join(tasks.toDF().select($"host").distinct(), Seq("host"), "left_anti")
+          .withColumn("all_failed", lit(true))
+      else Seq.empty[(String, Boolean)].toDF("host", "all_failed")
 
-    // -- article fetch-join: pages ⋈ broadcast(tasks) on canonical url.
-    //    A wave's fetch batch is bounded (maxPerHostPerWave × hosts), so
-    //    the task side broadcasts and the huge pages table is only
-    //    SCANNED — never shuffled. At a frontier batch too large to
-    //    broadcast, this degrades to a shuffle hash join on url, which
-    //    is skew-free (urls are unique); the politeness grouping above
-    //    is the only stage that must stay whole-host.
+    // -- article fetch-join: pages ⋈ tasks on canonical url. The
+    //    broadcast hint is GATED on the measured batch size: a typical
+    //    wave's batch (≤ maxTasksPerWave, or counted from the cached
+    //    tasks) broadcasts so the huge pages table is only SCANNED —
+    //    never shuffled; a batch over cfg.broadcastTaskLimit is left
+    //    unhinted and plans as a shuffle join on url, which is
+    //    skew-free (urls are unique) — broadcast() is a hard hint, so
+    //    hinting an unbounded batch would be a driver OOM, not a
+    //    join-swap. The count on the cached tasks Dataset front-loads
+    //    work the next action needs anyway (one extra job of
+    //    scheduling latency). The politeness grouping above is the
+    //    only stage that must stay whole-host.
+    val taskBatchRows: Long =
+      if (cfg.maxTasksPerWave > 0) cfg.maxTasksPerWave.toLong
+      else tasks.count()
+    val hintTaskBroadcast = taskBatchRows <= cfg.broadcastTaskLimit
     val tasksDF = tasks.toDF().withColumnRenamed("title", "cat_title")
     // host→rule map rides along (host-sized broadcast) so the article
     // stage can apply the rule's art_*_exp overrides (ParseArticle,
     // HtmlAnalyzer.cs:155-235) without bloating every FetchTask
     val hostRules = hosts.toDF().select($"host", $"rule")
-    val fetched = pages.toDF()
-      .join(broadcast(tasksDF), Seq("url"), "inner")
-      .join(broadcast(hostRules), Seq("host"), "left")
+    val fetched = fetchJoin(pages.toDF(), tasksDF, hostRules, hintTaskBroadcast)
 
     // -- extraction runs ON THE JOIN OUTPUT'S OWN PARTITIONS — no
     //    repartition. Extraction is row-local work over input splits
@@ -359,7 +408,7 @@ object WaveEngine {
             graft.core.CharsetDetect.decode(b),
             rule.map(RuleSpec.toCatalogRule))
           val title = if (d.title.nonEmpty) d.title else catTitle
-          ArticleRow(url, host, w, seq, title, d.content,
+          ArticleRow(url, host, w, seq, title, d.content, d.contentWithTags,
             d.published.map(Timestamp.valueOf).orElse(pub), d.author, wts)
         }
       }.cache()
@@ -479,11 +528,15 @@ object WaveEngine {
     // -- checkpoint finalize: a host whose every scheduled fetch FAILED
     //    keeps its previous lasthandled (reference: "Failed as nothing
     //    succeeded" → lastHandled not updated, ArticleCrawler.cs:200-210)
-    //    so the same articles are retried next wave. Hosts with nothing
-    //    scheduled (checkpoint stop / robots) did not fail → advance.
+    //    so the same articles are retried next wave; likewise a host
+    //    whose ENTIRE batch was budget-dropped (deferred, not skipped).
+    //    Hosts with nothing scheduled (checkpoint stop / robots) did
+    //    not fail → advance.
     val allFailed = counts
       .where($"fetched_ok" === 0 && $"task_failed" > 0)
       .select($"host", lit(true).as("all_failed"))
+      .unionByName(budgetDroppedHosts)
+      .distinct()
     val newState = outcomes
       .map(o => (o.state.host, o.state.lasthandled, o.prevLast,
         o.state.broken_since, o.state.robots_disallow, o.state.robots_allow,

@@ -179,10 +179,14 @@ object Dedup {
                            tables: Int = 4): DataFrame = {
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"))
-    val bucketed = (0 until tables).map { t =>
-      Similarity.lshBuckets(emb, dim, nBits, seed = t + 1)
-        .select(lit(t).as("tbl"), col("bucket"), col("vec_id"))
-    }.reduce(_.unionByName(_))
+    // ALL tables' buckets from ONE projection of one scan: the
+    // tables × nBits dot products ride in a single array + posexplode
+    // (pos = table id) — not `tables` separate scans of the vector
+    // store unioned (8× the scan cost at a 100 TB store).
+    val bucketed = emb.select(col("vec_id"),
+        posexplode(array((0 until tables).map(t =>
+          Similarity.bucketCol(dim, nBits, seed = t + 1)): _*))
+          .as(Seq("tbl", "bucket")))
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -50,8 +50,10 @@ object Similarity {
     * selects an independent hash table (OR-amplification across
     * tables, see Dedup.embeddingNearDupsLsh). seed=0 reproduces the
     * original single-table planes. */
-  /** Deterministic "random" hyperplanes from splitmix64 → (-1, 1). */
-  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] =
+  /** Deterministic "random" hyperplanes from splitmix64 → (-1, 1).
+    * `private[graft]` so the oracle layer can emit the SAME constants
+    * as SQL literals (the DuckDB oracle recomputes buckets verbatim). */
+  private[graft] def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] =
     Array.tabulate(nBits) { b =>
       Array.tabulate(dim) { d =>
         var z = ((seed * 0xa24baed4963ee407L) ^ (b.toLong << 32 | d.toLong)) +
@@ -74,29 +76,35 @@ object Similarity {
     }
   }
 
-  def lshBuckets(emb: DataFrame, dim: Int, nBits: Int,
-                 seed: Long = 0L): DataFrame = {
+  /** The bucket id of `embedding` as a COLUMN — a pure projection, so
+    * callers attach buckets with `withColumn`/`select` on an existing
+    * scan instead of joining a second scan of the vector table. */
+  def bucketCol(dim: Int, nBits: Int, seed: Long = 0L): Column = {
     val planes = hyperplanes(dim, nBits, seed)
-    val bucket = planes.zipWithIndex
+    planes.zipWithIndex
       .map { case (p, i) =>
         when(dot(col("embedding"), typedLit(p.toSeq)) >= 0, lit(1L << i))
           .otherwise(lit(0L))
       }
       .reduce(_ + _)
-    emb.select(col("vec_id"), bucket.as("bucket"))
   }
+
+  def lshBuckets(emb: DataFrame, dim: Int, nBits: Int,
+                 seed: Long = 0L): DataFrame =
+    emb.select(col("vec_id"), bucketCol(dim, nBits, seed).as("bucket"))
 
   /** ANN via LSH: top-k within the query's bucket (single-probe).
     * Recall < 1 by design; compare against bruteForceTopK in tests.
     * Two driver actions total — fetch the query vector (its bucket is
     * computed locally from the same hyperplanes), then the bucket-
-    * filtered top-k scan. */
+    * filtered top-k over ONE scan (the bucket is a projection of the
+    * embedding column, not a join). */
   def lshTopK(emb: DataFrame, dim: Int, nBits: Int,
               queryVecId: Long, k: Int): DataFrame = {
     val q = emb.where(col("vec_id") === queryVecId)
       .select(col("embedding")).head().getSeq[Float](0)
     val qBucket = bucketOf(q, nBits)
-    val withB = emb.join(lshBuckets(emb, dim, nBits), "vec_id")
+    val withB = emb.withColumn("bucket", bucketCol(dim, nBits))
     withB.where(col("bucket") === qBucket && col("vec_id") =!= queryVecId)
       .select(col("vec_id"), cosine(col("embedding"), typedLit(q)).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
