@@ -113,9 +113,10 @@ object Bench {
     val sink = futs.map(_.get()).sum
     val sec = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
-    if (sink == 42L) System.err.println("") // keep the loop alive
+    spinSink = sink // keep the loop alive (no side effects on the streams)
     threads * iters / sec
   }
+  @volatile private var spinSink = 0L
 
   /** Throughput (docs/s) of the engine's CPU-dominant kernel —
     * charset-decode + article extraction — across `threads` JVM threads,
@@ -148,33 +149,75 @@ object Bench {
     val sink = futs.map(_.get()).sum
     val sec = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
-    if (sink == -1) System.err.println("")
+    spinSink = sink
     threads.toDouble * rounds * docs.length / sec
   }
 
+  // ---- artifact guarantee ------------------------------------------
+  // The driver's contract is ONE parseable JSON line on stdout. A
+  // timed-out run used to print NOTHING (the line only printed at the
+  // very end), which cost round 2 its whole scaling evidence. Now a
+  // milestone snapshot is kept current after part 1 and after every
+  // alternating pair, and a shutdown hook prints it if the final line
+  // never made it — so a SIGTERM'd run still leaves a parseable
+  // artifact (marked "partial":true). The hook and the normal exit
+  // race through an AtomicBoolean: exactly one line is ever printed.
+  private val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var snapshot: String = render(0.0, "{}", "{}",
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    None, 0.0, partial = true)
+  private def emitOnce(json: String): Unit =
+    if (printed.compareAndSet(false, true)) { println(json); System.out.flush() }
+
+  private def render(total: Double, qs: String, qErrs: String, sfDir: String,
+      crawl: Option[String], elapsedSec: Double, partial: Boolean): String =
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""query_errors":$qErrs,"sf":"$sfDir",""" +
+      f""""elapsed_sec":$elapsedSec%.1f,"partial":$partial,""" +
+      s""""crawl":${crawl.getOrElse("null")}}"""
+
   def main(args: Array[String]): Unit = {
+    val tGlobal = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - tGlobal) / 1e9
+    // ONE global deadline covering part 1, warm-ups, fixture
+    // generation, calibrations and the scaling pairs — round 2's
+    // harness budgeted only the pair loop, so everything outside it ran
+    // on the driver's (unknown, smaller) clock.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
+      def run(): Unit = emitOnce(snapshot)
+    }))
 
     // ---- part 1: query surface at local[32] -------------------------
     var spark = session(32, engineMode = false)
     // JIT/codegen warm-up outside any per-query timing
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.queries("q04_dim_join")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    // the crawl queries (q31-q33, q36) share one memoized fixture-crawl
-    // store; build it here so the per-query numbers measure the QUERY,
-    // not the one-time fixture crawl
-    SparkEntry.queries("q33_crawl_metrics")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    val errs0 = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    try {
+      SparkEntry.queries("q04_dim_join")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      // the crawl queries (q31-q33, q36) share one memoized fixture-crawl
+      // store; build it here so the per-query numbers measure the QUERY,
+      // not the one-time fixture crawl
+      SparkEntry.queries("q33_crawl_metrics")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable => errs0 += ("warmup" -> e.getClass.getName) }
+    val errs = errs0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      // a failing query must be ATTRIBUTED, not reported as a fast
+      // green timing (round 2's tail had an unattributable stack)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable => errs(name) = e.getClass.getName }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val qErrs = errs.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    snapshot = render(total, qs, qErrs, sfDir, None, elapsed, partial = true)
 
     // ---- part 2: crawl scaling N=1 vs 4N=4 cores ---------------------
     // Methodology (see BASELINE.md): shared-VM CPU drifts 2-5× over
@@ -185,15 +228,21 @@ object Bench {
     // 3.26× @2→8, 2.71× @4→16 — the memory-bandwidth knee).
     val nLo = 1; val nHi = 4
     // Round-1 bench fixture (600 631 URLs over 2 waves) — sized so the
-    // parallel work dominates the ~10 s/run serial floor.
-    val fx = FixtureCfg(nHosts = 400, baseArticles = 1200,
+    // parallel work dominates the ~10 s/run serial floor. The env
+    // overrides exist for fast local harness iteration only; the driver
+    // sets neither, so its runs always use the full fixture.
+    val fx = FixtureCfg(
+      nHosts = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOSTS", "400").toInt,
+      baseArticles = sys.env.getOrElse("SPARK_GRAFT_BENCH_ARTICLES", "1200").toInt,
       growthPerWave = 300, hotHostFactor = 10)
     val cc = CrawlConfig(maxPerHostPerWave = 1500, hostBuckets = 16,
       salt = 4, expectedUrlsPerBucket = 100000, cuckooCapacityPerBucket = 1 << 16)
     val waves = 2
-    // 3 alternating reps per level: the host's speed drifts 2-5× over
-    // minutes, so best-of needs several chances at a clean window
-    // (measured: within one run, local[1] samples spanned 396-949 s)
+    // up to 3 alternating reps per level: the host's speed drifts 2-5×
+    // over minutes, so best-of wants several chances at a clean window
+    // (measured: within one run, local[1] samples spanned 396-949 s) —
+    // but ONE pair is the mandatory floor; extras run only if the
+    // remaining budget covers them (see the gate below)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val pagesDir = Files.createTempDirectory("benchpages").toString
     // warm JIT/codegen once (excluded from all timings) and materialize
@@ -202,52 +251,33 @@ object Bench {
       Files.createTempDirectory("warmpages").toString)
     (0 until waves).foreach(w => FixtureGen.pagesParquet(spark, fx, w, pagesDir))
     spark.stop()
+    // kernel calibration BEFORE the pair loop (it's ~30 s, and running
+    // it up front means every post-pair snapshot is already complete)
+    val exLo = math.max(extractThroughput(nLo), extractThroughput(nLo))
+    val exHi = math.max(extractThroughput(nHi), extractThroughput(nHi))
+    val kernelSpeedup = exHi / exLo
 
     var urls = 0L
     final case class Run(sec: Double, taskRun: Double, taskCpu: Double)
     val lo = Array.newBuilder[Run]; val hi = Array.newBuilder[Run]
     val calLo = Array.newBuilder[Double]; val calHi = Array.newBuilder[Double]
-    // time-box: extra reps only while the part-2 budget holds (a slow
-    // host window can make one local[1] rep cost 2.5× a clean one)
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100").toInt
-    val tBudget = System.nanoTime()
-    var rep = 0
-    var go = true
-    while (go && rep < reps) {
-      calLo += spinThroughput(nLo)
-      spark = session(nLo, engineMode = true)
-      val (uLo, sLo, rLo, cLo) = crawlRun(spark, fx, waves, cc, pagesDir)
-      spark.stop()
-      calHi += spinThroughput(nHi)
-      spark = session(nHi, engineMode = true)
-      val (uHi, sHi, rHi, cHi) = crawlRun(spark, fx, waves, cc, pagesDir)
-      spark.stop()
-      urls = uLo; require(uHi == uLo, s"nondeterministic crawl: $uLo vs $uHi")
-      lo += Run(sLo, rLo, cLo); hi += Run(sHi, rHi, cHi)
-      rep += 1
-      val elapsed = (System.nanoTime() - tBudget) / 1e9
-      if (rep >= 2 && elapsed > budgetSec) go = false
-    }
-    val aLo = lo.result(); val aHi = hi.result()
-    val bestLo = aLo.minBy(_.sec); val bestHi = aHi.minBy(_.sec)
-    val upsLo = urls / bestLo.sec
-    val upsHi = urls / bestHi.sec
-    val speedup = upsHi / upsLo
-    val eff = speedup / 4.0
-    // decomposition
-    val cpuInflation = bestHi.taskCpu / bestLo.taskCpu // same work, more cores
-    val deliverable = nHi.toDouble / nLo.toDouble / cpuInflation
-    val effCpuNorm = speedup / deliverable
-    val floorLo = bestLo.sec - bestLo.taskRun / nLo
-    val floorHi = bestHi.sec - bestHi.taskRun / nHi
-    val cpuSpeedup = calHi.result().max / calLo.result().max
-    val effCal = speedup / cpuSpeedup
-    val exLo = math.max(extractThroughput(nLo), extractThroughput(nLo))
-    val exHi = math.max(extractThroughput(nHi), extractThroughput(nHi))
-    val kernelSpeedup = exHi / exLo
-    val effKernel = speedup / kernelSpeedup
-    def arr(a: Array[Run]) = a.map(v => f"${v.sec}%.2f").mkString("[", ",", "]")
-    val crawlJson =
+
+    def crawlJson(aLo: Array[Run], aHi: Array[Run]): String = {
+      val bestLo = aLo.minBy(_.sec); val bestHi = aHi.minBy(_.sec)
+      val upsLo = urls / bestLo.sec
+      val upsHi = urls / bestHi.sec
+      val speedup = upsHi / upsLo
+      val eff = speedup / 4.0
+      // decomposition
+      val cpuInflation = bestHi.taskCpu / bestLo.taskCpu // same work, more cores
+      val deliverable = nHi.toDouble / nLo.toDouble / cpuInflation
+      val effCpuNorm = speedup / deliverable
+      val floorLo = bestLo.sec - bestLo.taskRun / nLo
+      val floorHi = bestHi.sec - bestHi.taskRun / nHi
+      val cpuSpeedup = calHi.result().max / calLo.result().max
+      val effCal = speedup / cpuSpeedup
+      val effKernel = speedup / kernelSpeedup
+      def arr(a: Array[Run]) = a.map(v => f"${v.sec}%.2f").mkString("[", ",", "]")
       f"""{"n_cores":$nLo,"n4_cores":$nHi,"urls":$urls,""" +
         f""""sec_n":${bestLo.sec}%.2f,"ups_n":$upsLo%.1f,""" +
         f""""sec_4n":${bestHi.sec}%.2f,"ups_4n":$upsHi%.1f,""" +
@@ -265,8 +295,37 @@ object Bench {
         f""""extract_kernel_docs_per_sec_4n":$exHi%.0f,""" +
         f""""extract_kernel_speedup":$kernelSpeedup%.2f,""" +
         f""""scaling_efficiency_vs_kernel":$effKernel%.3f,""" +
+        f""""pairs":${aLo.length},""" +
         f""""samples_n":${arr(aLo)},"samples_4n":${arr(aHi)}}"""
+    }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":$crawlJson}""")
+    var rep = 0
+    var go = true
+    var lastPairSec = 0.0
+    while (go && rep < reps) {
+      val tPair = System.nanoTime()
+      calLo += spinThroughput(nLo)
+      spark = session(nLo, engineMode = true)
+      val (uLo, sLo, rLo, cLo) = crawlRun(spark, fx, waves, cc, pagesDir)
+      spark.stop()
+      calHi += spinThroughput(nHi)
+      spark = session(nHi, engineMode = true)
+      val (uHi, sHi, rHi, cHi) = crawlRun(spark, fx, waves, cc, pagesDir)
+      spark.stop()
+      urls = uLo; require(uHi == uLo, s"nondeterministic crawl: $uLo vs $uHi")
+      lo += Run(sLo, rLo, cLo); hi += Run(sHi, rHi, cHi)
+      rep += 1
+      lastPairSec = (System.nanoTime() - tPair) / 1e9
+      snapshot = render(total, qs, qErrs, sfDir,
+        Some(crawlJson(lo.result(), hi.result())), elapsed, partial = true)
+      // degrade-under-duress gate: the FIRST pair is unconditional (the
+      // scaling evidence needs at least one); each extra pair runs only
+      // if the remaining global budget covers it with a 25% margin —
+      // round 2's harness mandated two pairs and blew the driver's
+      // wall clock on a slow host window, leaving no artifact at all
+      go = rep < reps && (budgetSec - elapsed) > lastPairSec * 1.25
+    }
+    emitOnce(render(total, qs, qErrs, sfDir,
+      Some(crawlJson(lo.result(), hi.result())), elapsed, partial = false))
   }
 }
