@@ -87,10 +87,4 @@ object CatalogDetect {
   def detectListPath(html: String): Option[String] =
     if (html == null || html.isEmpty) None
     else LinkTreeDetect.detectWithPath(html)._2
-
-  /** Back-compat shim for the pre-DOM API: the winning block's
-    * iteration XPath (no longer a URL template). */
-  @deprecated("use detectListPath — returns the iteration XPath", "0.2")
-  def detectListTemplate(html: String, baseUrl: String): Option[String] =
-    detectListPath(html)
 }

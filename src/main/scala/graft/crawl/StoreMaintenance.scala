@@ -1,0 +1,127 @@
+package graft.crawl
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Offline store maintenance passes (run between waves, not inside one).
+  *
+  * [[deleteHosts]] is the S9 literal host-delete: the reference's
+  * website-delete cascade (`DeleteAsync(Website)` removes the site row
+  * and its rules/crawl logs via FK cascade, and the site's articles with
+  * it — /root/reference/Source/WebCrawler/DataLayer/MySQLDataLayer.cs:361-370)
+  * re-expressed over the snapshot store:
+  *
+  *  1. every committed wave's `articles` / `frontier` / `metrics` deltas
+  *     are rewritten through an anti-join against the doomed host set —
+  *     the distributed form of `DELETE WHERE host IN (...)`. On the
+  *     Iceberg binding the same pass is a metadata-level
+  *     `DELETE FROM t WHERE host IN (...)` per table (no rewrite here:
+  *     this file is the [[SnapshotStore]]-local binding);
+  *  2. the carried `state` row of each doomed host is dropped, so a
+  *     re-seeded host starts from a clean checkpoint;
+  *  3. the carried seen-sketches evict every deleted url's fingerprint
+  *     from its bucket cuckoo (the same multiset delete the recrawl TTL
+  *     uses) and the affected buckets' Blooms are REBUILT from the
+  *     remaining articles via [[SeenFilter.BloomAgg]] (the documented
+  *     offline rebuild path — a Bloom cannot forget in place), so the
+  *     deleted urls are immediately re-crawlable on re-seed instead of
+  *     costing stale-positive probes forever.
+  *
+  * Scale shape: one anti-join scan per delta partition (host-sized
+  * broadcast probe side), one scan of the remaining articles bucketed
+  * into `B×S` partial Blooms with map-side combine ([[SeenFilter.BloomAgg]]
+  * is an `Aggregator`), and a cogroup over the bucket-keyed sketch
+  * table. Nothing is collected to the driver except the affected bucket
+  * id set (≤ B×S ints).
+  *
+  * Crash safety on the local binding: each rewritten partition is
+  * written to a side directory and swapped in with two renames; a crash
+  * between renames loses at most one table's partition to a stale read,
+  * and re-running the delete is idempotent (anti-join of already-clean
+  * data is a no-op).
+  */
+object StoreMaintenance {
+
+  private def rewrite(spark: SparkSession, store: SnapshotStore,
+      table: String, wave: Int)(f: DataFrame => DataFrame): Unit = {
+    val path = store.dataPath(table, wave)
+    if (!Files.exists(Paths.get(path))) return
+    val tmp = path + ".rewrite"
+    f(spark.read.parquet(path)).write.mode("overwrite").parquet(tmp)
+    deleteDir(Paths.get(path))
+    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def deleteDir(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+
+  /** Delete `doomed` hosts and everything derived from them from every
+    * committed wave of `store`. See the object scaladoc for the cascade
+    * semantics. No-op on an empty store or empty host set. */
+  def deleteHosts(spark: SparkSession, store: SnapshotStore,
+      doomed: Seq[String], cfg: CrawlConfig): Unit = {
+    import spark.implicits._
+    val last = store.lastCommittedWave.getOrElse(return)
+    if (doomed.isEmpty) return
+    val doomedDf = broadcast(doomed.toDF("host"))
+    val hb = cfg.hostBuckets; val sl = cfg.salt
+
+    // fingerprint evictions and affected buckets — computed BEFORE the
+    // article rewrite removes the rows they come from
+    val delPairs = store.readDeltas(spark, "articles", last)
+      .map(_.join(doomedDf, Seq("host"), "left_semi")
+        .select($"host", $"url").as[(String, String)]
+        .map { case (h, u) => (SeenFilter.bucket(h, u, hb, sl), u, false) }
+        .cache())
+    val affected: Set[Int] =
+      delPairs.map(_.map(_._1).distinct().collect().toSet).getOrElse(Set.empty)
+
+    // 1. per-wave delta rewrites (DELETE WHERE host IN ...)
+    for (w <- 0 to last if store.isCommitted(w);
+         table <- Seq("articles", "frontier", "metrics"))
+      rewrite(spark, store, table, w)(
+        _.join(doomedDf, Seq("host"), "left_anti"))
+
+    // 2. carried host state (only the last committed wave is ever read
+    //    by the next runWave)
+    rewrite(spark, store, "state", last)(
+      _.join(doomedDf, Seq("host"), "left_anti"))
+
+    // 3. carried seen-sketches: cuckoo fingerprint eviction + Bloom
+    //    rebuild of the affected buckets from the REMAINING articles
+    delPairs.filter(_ => affected.nonEmpty).foreach { dels =>
+      val carried = store.read(spark, "seen", last).as[SeenSketch]
+      val afterCuckoo = SeenFilter.updateSketches(dels, carried,
+        cfg.cuckooCapacityPerBucket, cfg.expectedUrlsPerBucket, cfg.bloomFpp)
+      val remaining = store.readDeltas(spark, "articles", last).get
+        .select($"host", $"url").as[(String, String)]
+        .map { case (h, u) => (SeenFilter.bucket(h, u, hb, sl), u) }
+        .filter(p => affected.contains(p._1))
+      val rebuilt = remaining.groupByKey(_._1)
+        .agg(new SeenFilter.BloomAgg(cfg.expectedUrlsPerBucket, cfg.bloomFpp)
+          .toColumn.name("bloom2"))
+        .toDF("bucket", "bloom2")
+      val affectedDf = affected.toSeq.toDF("bucket")
+        .withColumn("was_affected", lit(true))
+      // affected bucket → rebuilt bloom (None when every url in the
+      // bucket was deleted); untouched bucket → old bloom
+      val merged = afterCuckoo.toDF()
+        .join(broadcast(affectedDf), Seq("bucket"), "left")
+        .join(rebuilt, Seq("bucket"), "left")
+        .select($"bucket", $"cuckoo", $"n_urls",
+          when(coalesce($"was_affected", lit(false)), $"bloom2")
+            .otherwise($"bloom").as("bloom"),
+          $"n_dropped")
+        .as[SeenSketch].cache()
+      merged.count() // materialize fully before the in-place swap below
+      rewrite(spark, store, "seen", last)(_ => merged.toDF())
+      merged.unpersist()
+      dels.unpersist()
+    }
+  }
+}

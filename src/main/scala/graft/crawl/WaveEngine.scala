@@ -177,7 +177,7 @@ object WaveEngine {
     * tasks on url (+ host-sized rules map, always broadcast). With
     * `hintBroadcast` the task side carries a broadcast hint (pages only
     * scanned); without it Spark plans a shuffle join on url. */
-  private[crawl] def fetchJoin(pages: DataFrame, tasksDF: DataFrame,
+  private[graft] def fetchJoin(pages: DataFrame, tasksDF: DataFrame,
       hostRules: DataFrame, hintBroadcast: Boolean): DataFrame = {
     val t = if (hintBroadcast) broadcast(tasksDF) else tasksDF
     pages.join(t, Seq("url"), "inner")

@@ -81,6 +81,49 @@ class PlanSpec extends AnyFunSuite {
       "candidate stage must be an equi-join, not all-pairs: " + plan.take(3000))
   }
 
+  test("fetch-join broadcast gate: hinted batch broadcasts, unhinted plans a shuffle join") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("planpages2").toString
+    val pages = graft.crawl.FixtureGen.pagesParquet(spark,
+      FixtureCfg(nHosts = 12, baseArticles = 3), 0, tmp).toDF()
+    val tasks = Seq(("http://u1/", "h1"), ("http://u2/", "h2"))
+      .toDF("url", "host")
+    val rules = Seq("h1", "h2").toDF("host")
+      .withColumn("rule", lit(null).cast("string"))
+    val hinted = graft.crawl.WaveEngine.fetchJoin(
+      pages, tasks, rules, hintBroadcast = true)
+    assert(planOf(hinted).contains("BroadcastHashJoin"))
+    // at a frontier batch over broadcastTaskLimit the hint is dropped;
+    // with size-estimate auto-broadcast off (the at-scale situation —
+    // a huge batch estimates over any threshold) the url join must plan
+    // as a SHUFFLE join, not a forced driver-side broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(graft.crawl.WaveEngine.fetchJoin(
+        pages, tasks, rules, hintBroadcast = false))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "unhinted fetch-join must shuffle on url: " + plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ann lsh bucket is a projection: no join anywhere in the q28 plan") {
+    val plan = planOf(SparkEntry.queries("q28_ann_lsh")(spark, dir))
+    assert(!plan.contains("Join"),
+      "bucket attachment must be a projection, not a self-join: " + plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("lsh near-dup buckets all hash tables from one scan (q38)") {
+    val plan = planOf(SparkEntry.queries("q38_embedding_neardup_lsh")(spark, dir))
+    assert(plan.contains("posexplode"),
+      "bucketing must ride one posexplode projection: " + plan.take(3000))
+    val scans = "Scan parquet|FileScan parquet|BatchScan".r.findAllIn(plan).length
+    // candidate stage: one bucketing scan per join side + two norm scans
+    // for the exact-cosine verify (pre-fix: 8 tables × 2 sides + 2 = 18)
+    assert(scans <= 6, s"expected ≤6 parquet scans, got $scans:\n" + plan.take(3000))
+  }
+
   test("priority-frontier budget plans as distributed TakeOrdered") {
     import spark.implicits._
     val tasks = (0 until 100).map(i =>

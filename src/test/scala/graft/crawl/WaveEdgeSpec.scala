@@ -1,0 +1,164 @@
+package graft.crawl
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import graft.core.{CatalogItem, RobotsPolicy}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge behaviors of the wave engine pinned by the round-3 review:
+  * HasDate scheduling parity, robots-cache recovery after a failed home
+  * fetch, budget-drop checkpoint deferral, the contenthtml column, and
+  * the S9 host-delete cascade. */
+class WaveEdgeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.wholeStage", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  val fx = FixtureCfg(nHosts = 12, baseArticles = 6, growthPerWave = 3,
+    hotHostFactor = 3)
+  val cc = CrawlConfig(maxPerHostPerWave = 100, hostBuckets = 4, salt = 2,
+    expectedUrlsPerBucket = 2048, cuckooCapacityPerBucket = 4096)
+
+  private def newStore(): SnapshotStore =
+    new SnapshotStore(Files.createTempDirectory("edgestore").toString)
+
+  private lazy val pagesDir =
+    Files.createTempDirectory("edgepages").toString
+
+  private def runAll(store: SnapshotStore, waves: Int,
+      cfg: CrawlConfig = cc): Seq[WaveEngine.WaveResult] =
+    WaveEngine.run(spark, store,
+      w => FixtureGen.pagesParquet(spark, fx, w, pagesDir),
+      FixtureGen.hosts(spark, fx),
+      FixtureGen.robots(spark, fx), waves, cfg)
+
+  /** Shared single-wave unbudgeted store. */
+  private lazy val oneWave: SnapshotStore = {
+    val s = newStore(); runAll(s, 1); s
+  }
+
+  test("HasDate gate: raw partial dates count as dated; parsed sort first, raw-only last") {
+    val items = Vector(
+      CatalogItem("http://h/a1", "t1", Some(LocalDateTime.of(2024, 1, 1, 10, 0))),
+      CatalogItem("http://h/a2", "t2", None, Some("12:30")),
+      CatalogItem("http://h/a3", "t3", Some(LocalDateTime.of(2024, 3, 1, 10, 0))))
+    val hc = HostConfig(1, "h", "http://h/", 1, enabled = true, 100L, 1)
+    val (tasks, denied, cand) = WaveEngine.scheduleHost(
+      0, hc, items, None, RobotsPolicy.empty, 100)
+    assert(denied == 0)
+    // the raw-dated item no longer breaks the all-dated gate (reference
+    // CatalogItem.HasDate); nulls-last stable sort puts it after the
+    // parsed dates, newest parsed first
+    assert(tasks.map(_.url) ==
+      Vector("http://h/a3", "http://h/a1", "http://h/a2"))
+    assert(cand.contains("http://h/a3"))
+  }
+
+  test("failed home fetch keeps robots unparsed; recovery re-parses before scheduling") {
+    import spark.implicits._
+    val host = "r.example.com"
+    val hosts = spark.createDataset(Seq(
+      HostConfig(1, host, s"http://$host/", 1, enabled = true, 100L, 1)))
+    val robots = spark.createDataset(Seq(
+      FixtureGen.RobotsRow(host, "User-agent: *\nDisallow: /a/")))
+    val s = newStore()
+    // wave 0: the host is down (no pages at all) → home fetch fails
+    WaveEngine.runWave(spark, s, spark.emptyDataset[Page], hosts, robots, 0, cc)
+    val st0 = s.read(spark, "state", 0).head()
+    assert(st0.getAs[Int]("robots_wave") == -1,
+      "a failed home fetch must not stamp a fresh robots cache")
+    // wave 1: host is back with a catalog of /a/ articles — robots must
+    // be parsed NOW (not a cached allow-all), so everything is denied
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val lis = (0 until 3).map(j =>
+      s"""<li><a href="http://$host/a/$j.html">Story number $j</a>""" +
+        s"""<span>2024-02-0${j + 1} 10:00</span></li>""").mkString
+    val home = Page(s"http://$host/", ts,
+      s"<html><body><ul>$lis</ul></body></html>".getBytes("UTF-8"), "", "en")
+    WaveEngine.runWave(spark, s, spark.createDataset(Seq(home)), hosts, robots, 1, cc)
+    assert(s.read(spark, "frontier", 1).count() == 0,
+      "recovered host crawled Disallow'd paths — robots not re-parsed")
+    val m1 = s.read(spark, "metrics", 1).where($"host" === host).head()
+    assert(m1.getAs[Int]("robots_denied") == 3)
+    assert(s.read(spark, "state", 1).head().getAs[Int]("robots_wave") == 1)
+  }
+
+  test("budget-dropped hosts defer: checkpoint reverts like the all-failed path") {
+    val s = newStore(); runAll(s, 1, cc.copy(maxTasksPerWave = 10))
+    def stateMap(st: SnapshotStore) = st.read(spark, "state", 0)
+      .select("host", "lasthandled").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    def taskHosts(st: SnapshotStore) = st.read(spark, "frontier", 0)
+      .select("host").distinct().collect().map(_.getString(0)).toSet
+    val full = stateMap(oneWave); val bud = stateMap(s)
+    val admitted = taskHosts(s); val hadTasks = taskHosts(oneWave)
+    val dropped = hadTasks -- admitted
+    assert(dropped.nonEmpty, "fixture must drop at least one whole host")
+    dropped.foreach { h =>
+      assert(bud(h).isEmpty,
+        s"budget-dropped host $h must keep its previous (empty) checkpoint")
+    }
+    admitted.foreach { h =>
+      assert(bud(h) == full(h),
+        s"admitted host $h must checkpoint exactly as in the unbudgeted run")
+    }
+  }
+
+  test("articles carry contenthtml: the extracted content WITH its markup") {
+    import spark.implicits._
+    val url = FixtureGen.articleUrl(0, 0)
+    val hc = FixtureGen.hosts(spark, fx).collect()
+      .find(_.host == FixtureGen.hostName(0)).get
+    val pageBytes = FixtureGen.pages(spark, fx, 0)
+      .where($"url" === url).head().html
+    val expected = graft.core.RuleEngine.parseArticle(
+      graft.core.CharsetDetect.decode(pageBytes),
+      hc.rule.map(RuleSpec.toCatalogRule))
+    val row = oneWave.read(spark, "articles", 0)
+      .where($"url" === url).select("content", "contenthtml").head()
+    assert(row.getString(1) == expected.contentWithTags)
+    assert(row.getString(1).contains("<"),
+      "contenthtml must keep markup")
+    assert(row.getString(0) == expected.content)
+    assert(row.getString(0) != row.getString(1))
+  }
+
+  test("S9 host delete cascades store-wide and makes the urls re-crawlable") {
+    import spark.implicits._
+    val s = newStore(); runAll(s, 2)
+    val victim = FixtureGen.hostName(FixtureGen.HotHost)
+    assert(s.readDeltas(spark, "articles", 1).get
+      .where($"host" === victim).count() > 0)
+    StoreMaintenance.deleteHosts(spark, s, Seq(victim), cc)
+    for (t <- Seq("articles", "frontier", "metrics"); w <- 0 to 1)
+      assert(s.read(spark, t, w).where($"host" === victim).count() == 0,
+        s"$t wave $w still has rows for the deleted host")
+    assert(s.read(spark, "state", 1).where($"host" === victim).count() == 0)
+    // other hosts' rows are untouched
+    assert(s.read(spark, "articles", 0).count() ==
+      oneWave.read(spark, "articles", 0)
+        .where($"host" =!= victim).count())
+    // the host is still seeded: with a clean checkpoint AND a cleaned
+    // seen-set, wave 2 re-crawls its catalog from scratch (urls from
+    // wave 0 re-insert instead of being deduped)
+    runAll(s, 3)
+    val reUrls = s.read(spark, "articles", 2).where($"host" === victim)
+      .select("url").collect().map(_.getString(0)).toSet
+    val w0urls = (0 until FixtureGen.articleCount(fx, FixtureGen.HotHost, 0))
+      .map(j => FixtureGen.articleUrl(FixtureGen.HotHost, j)).toSet
+    assert((w0urls intersect reUrls).nonEmpty,
+      "deleted urls were still treated as seen — cascade missed the sketches")
+  }
+}
