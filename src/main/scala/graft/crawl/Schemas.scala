@@ -134,6 +134,16 @@ final case class ArticleRow(
     author: Option[String],
     warc_ts: Timestamp)
 
+/** Slim article identity — the ONLY thing the seen-filter probe, exact
+  * anti-join, and intra-wave dedup window ever move or cache. Article
+  * BODIES (content/contenthtml, multi-KB each) stay in the single
+  * extraction cache and flow straight to the parquet write through a
+  * winner semi-join; shuffling or re-caching them per decision stage
+  * measurably collapsed multi-core scaling once contenthtml doubled the
+  * row size (cache pressure → spill/recompute CPU). (url, host, seq) is
+  * unique within a wave: tasks are canon-deduped per host. */
+final case class UrlRef(url: String, host: String, seq: Int)
+
 final case class WaveMetrics(
     wave: Int,
     host: String,

@@ -80,12 +80,15 @@ object SeenFilter {
     }
   }
 
-  /** Probe: cogroup the wave's (bucket, article) rows with the sketch
-    * table; emit (article, maybeSeen). No false negatives (every
+  /** Probe: cogroup the wave's (bucket, url-ref) rows with the sketch
+    * table; emit (ref, maybeSeen). SLIM by design: only (url, host, seq)
+    * identities ride this shuffle — article bodies stay in the upstream
+    * extraction cache and rejoin the winners afterwards, so the probe's
+    * cost is independent of document size. No false negatives (every
     * committed url was inserted into its bucket's carried Bloom at
     * commit time); "maybe" rows go to the exact anti-join downstream. */
-  def probe(keyed: Dataset[(Int, ArticleRow)],
-            sketches: Dataset[BucketSketch]): Dataset[(ArticleRow, Boolean)] = {
+  def probe(keyed: Dataset[(Int, UrlRef)],
+            sketches: Dataset[BucketSketch]): Dataset[(UrlRef, Boolean)] = {
     val spark = keyed.sparkSession
     import spark.implicits._
     keyed.groupByKey(_._1).cogroup(sketches.groupByKey(_.bucket)) {

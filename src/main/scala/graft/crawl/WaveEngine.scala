@@ -453,7 +453,16 @@ object WaveEngine {
     // commit time) — no article-store scan to rebuild filters per wave
     val sketches = carriedSeen.map(s =>
       SeenFilter.BucketSketch(s.bucket, s.bloom, Option(s.cuckoo)))
-    val keyed = extracted.map(a => (SeenFilter.bucket(a.host, a.url, hb, sl), a))
+    // SLIM decision path: everything from here to the winner set moves
+    // (url, host, seq) ONLY. Article bodies (content + contenthtml,
+    // multi-KB/row) live solely in the `extracted` cache and flow once —
+    // cache → winner semi-join → parquet — with no body-sized shuffle or
+    // second cache. (Carrying full rows through probe-cogroup, the
+    // anti-join and the dedup window tripled the cached bytes and
+    // collapsed 4-core scaling via spill/recompute CPU once contenthtml
+    // doubled the row size.)
+    val keyed = extracted.map(a =>
+      (SeenFilter.bucket(a.host, a.url, hb, sl), UrlRef(a.url, a.host, a.seq)))
     val classified = SeenFilter.probe(keyed, sketches).cache()
 
     val definitelyNew = classified.filter(!_._2).map(_._1)
@@ -462,17 +471,24 @@ object WaveEngine {
       case None => maybeSeen
       case Some(art) => maybeSeen.toDF()
         .join(art.select($"url").distinct(), Seq("url"), "left_anti")
-        .as[ArticleRow]
+        .as[UrlRef]
     }
     // intra-wave duplicates (two hosts syndicating the same canonical
     // url in one wave): the reference's UNIQUE key keeps whichever
     // insert lands first; our deterministic projection keeps the
-    // lexicographically smallest (host, seq)
+    // lexicographically smallest (host, seq). Decided over slim refs;
+    // winners are wave-batch-sized, so they re-attach to the cached
+    // bodies with the same gated broadcast as the fetch-join.
     val dedupW = org.apache.spark.sql.expressions.Window
       .partitionBy($"url").orderBy($"host", $"seq")
-    val newArticles = definitelyNew.unionByName(confirmedNew).toDF()
+    val winners = definitelyNew.unionByName(confirmedNew).toDF()
       .withColumn("rn", row_number().over(dedupW))
-      .where($"rn" === 1).drop("rn").as[ArticleRow].cache()
+      .where($"rn" === 1).drop("rn").as[UrlRef].cache()
+    val winnersDF = winners.toDF()
+    val newArticles = extracted.toDF()
+      .join(if (hintTaskBroadcast) broadcast(winnersDF) else winnersDF,
+        Seq("url", "host", "seq"), "left_semi")
+      .as[ArticleRow]
 
     // -- metrics per host (A4 roll-up): ONE tagged union + ONE groupBy
     //    instead of four separate aggregate-join plans — same result,
@@ -480,7 +496,7 @@ object WaveEngine {
     val tagged = tasks.toDF().select($"host", lit("s").as("k"))
       .unionByName(extracted.toDF().select($"host", lit("f").as("k")))
       .unionByName(fetchFails.toDF("host", "url").select($"host", lit("x").as("k")))
-      .unionByName(newArticles.toDF().select($"host", lit("i").as("k")))
+      .unionByName(winnersDF.select($"host", lit("i").as("k")))
     // cached: consumed twice (metrics roll-up AND checkpoint finalize)
     val counts = tagged.groupBy($"host").agg(
       count(when($"k" === "s", 1)).as("scheduled"),
@@ -511,7 +527,7 @@ object WaveEngine {
     //    fingerprint — multiset semantics, so a url re-inserted since
     //    keeps its newer entry). The Bloom keeps its stale positives;
     //    they only cost exact anti-join probes.
-    val inserts = newArticles.map(a =>
+    val inserts = winners.map(a =>
       (SeenFilter.bucket(a.host, a.url, hb, sl), a.url, true))
     val evictWave = wave - ttl
     val changes =
@@ -568,6 +584,15 @@ object WaveEngine {
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
       WaveEngine.commitEc
+    // wave totals from the metrics roll-up; runs BEFORE the concurrent
+    // writes so it also MATERIALIZES the shared mid-sized caches
+    // (fetchFails → counts → mCached) exactly once — launching the
+    // writes first let several concurrent jobs race through the same
+    // not-yet-cached partitions and compute them in duplicate (the
+    // "Block already exists" signature).
+    val agg = mCached.groupBy().agg(
+      sum("scheduled"), sum("fetched_ok"), sum("deduped"),
+      sum("fetch_failed"), sum("inserted"), count(lit(1))).head()
     val smallWrites = Seq(
       // frontier is task-batch-sized (up to maxPerHost × hosts) — keeps
       // its partitioning; genuinely host-/bucket-sized tables coalesce(1)
@@ -576,14 +601,7 @@ object WaveEngine {
       Future(store.writeNoCount(newSeen.toDF().coalesce(1), "seen", wave)),
       Future(store.writeNoCount(mCached, "metrics", wave)),
       Future(store.writeNoCount(lineage.toDF().coalesce(1), "lineage", wave)))
-    // wave totals from the (cached) metrics roll-up — one job, no extra
-    // recomputation of the task/extract lineage; per-table row counts in
-    // the manifest come from the same aggregate.
-    val aggF = Future(mCached.groupBy().agg(
-      sum("scheduled"), sum("fetched_ok"), sum("deduped"),
-      sum("fetch_failed"), sum("inserted"), count(lit(1))).head())
     smallWrites.foreach(Await.result(_, Duration.Inf))
-    val agg = Await.result(aggF, Duration.Inf)
     def g(i: Int) = if (agg.isNullAt(i)) 0L else agg.getLong(i)
     val nArticles = g(4)
     store.commit(wave, Map(
@@ -591,7 +609,7 @@ object WaveEngine {
       "seen" -> -1L, "metrics" -> g(5), "lineage" -> -1L))
     val res = WaveResult(wave, g(0), g(1), nArticles, g(2), g(3))
     outcomes.unpersist(); tasks.unpersist(); fetchFails.unpersist()
-    extracted.unpersist(); classified.unpersist(); newArticles.unpersist()
+    extracted.unpersist(); classified.unpersist(); winners.unpersist()
     counts.unpersist(); mCached.unpersist(); homesOk.unpersist()
     res
   }
