@@ -343,9 +343,10 @@ object SparkEntry {
       Dedup.embeddingNearDupsLsh(t(s, d, "embeddings"), dim = 64,
         threshold = 0.4, nBits = 6, tables = 8)),
 
-    // ---- multimodal plumbing (rows-only: decode is a documented
-    //      deterministic STUB — no codec libs in this sandbox; the
-    //      schema/partitioning/batch shape is the real contract) ------
+    // ---- multimodal plumbing (decode is a documented deterministic
+    //      STUB — no codec libs in this sandbox; the schema/
+    //      partitioning/batch shape is the real contract. The stub is
+    //      md5-derived so the DuckDB oracle value-checks it fully) ----
     "q39_multimodal_decode" -> ((s, d) => {
       // media table synthesized deterministically from documents: the
       // text bytes stand in for an opaque media blob
@@ -678,6 +679,23 @@ object SparkEntry {
          |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (va.nrm * vb.nrm) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin
     },
+    // q39: the decode/feature stubs are md5-hex-slice-derived precisely
+    // so an external SQL engine can recompute them from the raw bytes —
+    // the media blob is the UTF-8 of `text`, so DuckDB's md5(text)
+    // equals Spark's md5(media); every feature value k/256 is an exact
+    // binary fraction, immune to float-vs-double rounding drift.
+    "q39_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(64 + CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) % 1857 AS INT) AS width,
+        |  CAST(64 + CAST('0x' || substring(md5(text), 16, 15) AS BIGINT) % 1017 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+        |       ELSE 1000 + CAST('0x' || substring(md5(text), 17, 15) AS BIGINT) % 600000 END
+        |    AS BIGINT) AS duration_ms,
+        |  round(CAST('0x' || substring(md5(text), 1, 2) AS BIGINT) / 256.0, 4) AS f0
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q23_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding,
         |  sqrt(list_sum(list_transform(embedding,

@@ -1,6 +1,5 @@
 package graft.ops
 
-import graft.core.filters.BloomFilter
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 
@@ -29,14 +28,37 @@ object Multimodal {
       duration_ms: Long, // 0 for images
       content_hash: Long)
 
+  /** Lowercase hex MD5 — the stub's hash base. MD5 (not our own mixer)
+    * so an external SQL oracle (DuckDB `md5`) can recompute every
+    * stub-derived field from the raw bytes and value-check the decode
+    * query end-to-end. */
+  private def md5Hex(md: java.security.MessageDigest, bytes: Array[Byte]): String = {
+    md.reset()
+    val d = md.digest(bytes)
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      val v = d(i) & 0xff
+      sb.append(Character.forDigit(v >>> 4, 16)).append(Character.forDigit(v & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** STUB: deterministic fake decode — derives plausible dimensions
-    * from a content hash instead of real codec output. */
-  def decodeStub(docId: Long, kind: String, bytes: Array[Byte]): MediaInfo = {
-    val h = BloomFilter.hash64(bytes, 0x6d656469L) // fixed seed
-    val w = 64 + math.floorMod(h, 1857).toInt
-    val ht = 64 + math.floorMod(h >>> 17, 1017).toInt
-    val dur = if (kind == "image") 0L else 1000L + math.floorMod(h >>> 31, 600000L)
-    MediaInfo(docId, kind, bytes.length.toLong, w, ht, dur, h)
+    * from hex slices of md5(bytes) instead of real codec output (each
+    * slice is 15 hex digits = 60 bits, so it parses as a non-negative
+    * Long and as a SQL BIGINT identically). */
+  def decodeStub(docId: Long, kind: String, bytes: Array[Byte],
+                 md: java.security.MessageDigest = java.security.MessageDigest.getInstance("MD5")): MediaInfo = {
+    val hex = md5Hex(md, bytes)
+    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+    val h3 = java.lang.Long.parseLong(hex.substring(16, 31), 16)
+    val w = 64 + (h1 % 1857).toInt
+    val ht = 64 + (h2 % 1017).toInt
+    val dur = if (kind == "image") 0L else 1000L + h3 % 600000L
+    MediaInfo(docId, kind, bytes.length.toLong, w, ht, dur, h1)
   }
 
   /** Decode stage: (doc_id, kind, media) → MediaInfo, batched per
@@ -48,7 +70,8 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         // STUB: a real impl would initialize the codec library here once
-        rows.map { case (id, kind, bytes) => decodeStub(id, kind, bytes) }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, kind, bytes) => decodeStub(id, kind, bytes, md) }
       }
   }
 
@@ -56,19 +79,23 @@ object Multimodal {
     * the embedding-model shape (batch per partition; vector column is
     * `array<float>` to match the embeddings table contract). */
   def features(df: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim <= 16, s"stub features support dim <= 16 (got $dim): " +
+      "one md5 yields 16 two-hex-digit slices")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, bytes) =>
-          // STUB: deterministic pseudo-features from rolling content hash
+          // STUB: feature i = hex byte i of md5(bytes) / 256 — exactly
+          // representable in binary floating point at any width, so an
+          // external oracle recomputing in double matches bit-for-bit
+          val hex = md5Hex(md, bytes)
           val fs = new Array[Float](dim)
-          var h = BloomFilter.hash64(bytes, 0x66656174L)
           var i = 0
           while (i < dim) {
-            h = h * 0x9e3779b97f4a7c15L + 1
-            fs(i) = ((h >>> 40).toInt % 1000) / 1000.0f
+            fs(i) = Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16) / 256.0f
             i += 1
           }
           (id, fs)
