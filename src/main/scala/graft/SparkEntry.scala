@@ -342,6 +342,11 @@ object SparkEntry {
       // recall vs q23 pinned in SparkEntrySpec
       Dedup.embeddingNearDupsLsh(t(s, d, "embeddings"), dim = 64,
         threshold = 0.4, nBits = 6, tables = 8)),
+    "q41_ann_ivf" -> ((s, d) => // IVF probe: the second ANN scale path
+      // (inverted lists under a deterministic seed-centroid codebook;
+      // nearest-2-of-8 lists searched; recall<1 vs q22 by design)
+      Similarity.ivfTopK(t(s, d, "embeddings"), k = 8, nProbe = 2,
+        queryVecId = 0L, topK = 10)),
 
     // ---- multimodal plumbing (decode is a documented deterministic
     //      STUB — no codec libs in this sandbox; the schema/
@@ -696,6 +701,40 @@ object SparkEntry {
         |    AS BIGINT) AS duration_ms,
         |  round(CAST('0x' || substring(md5(text), 1, 2) AS BIGINT) / 256.0, 4) AS f0
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q41: full replica of the IVF probe — the codebook is the first 8
+    // vectors, assignment is argmax cosine with ties to the lowest
+    // centroid id (rn=1 under ORDER BY cos DESC, cid), the query's two
+    // nearest lists are searched, exact-cosine top-10. All double math
+    // is the same left-to-right summation as the Spark columns.
+    "q41_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS cn
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS vn
+        |  FROM embeddings),
+        |asg AS (
+        |  SELECT vec_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |  FROM (
+        |    SELECT v.vec_id, c.cid,
+        |      list_sum(list_transform(list_zip(v.embedding, c.ce),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (v.vn * c.cn) AS cos
+        |    FROM v, c)),
+        |probes AS (SELECT cid FROM asg WHERE vec_id = 0 AND rn <= 2),
+        |cl AS (SELECT vec_id, cid AS cluster FROM asg WHERE rn = 1),
+        |q AS (SELECT embedding AS qe, vn AS qn FROM v WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT v.vec_id,
+        |    list_sum(list_transform(list_zip(v.embedding, q.qe),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (v.vn * q.qn) AS cos
+        |  FROM v JOIN cl ON v.vec_id = cl.vec_id, q
+        |  WHERE cl.cluster IN (SELECT cid FROM probes) AND v.vec_id <> 0)
+        |SELECT vec_id FROM (
+        |  SELECT vec_id FROM sims ORDER BY cos DESC, vec_id LIMIT 10)
+        |ORDER BY vec_id""".stripMargin,
     "q23_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding,
         |  sqrt(list_sum(list_transform(embedding,

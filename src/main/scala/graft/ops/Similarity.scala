@@ -112,4 +112,79 @@ object Similarity {
       .select(col("vec_id"))
       .orderBy("vec_id")
   }
+
+  // ---- IVF (inverted-file) ANN --------------------------------------
+  // The other classic ANN scale path besides LSH: partition the vector
+  // space by a small centroid codebook, store each vector under its
+  // nearest centroid (the "inverted list"), and at query time search
+  // only the nProbe lists nearest the query — a probe reads ~nProbe/k
+  // of the store instead of all of it.
+  //
+  // The codebook is the table's first k vectors — a deterministic
+  // "sampled centroids, no k-means refinement" IVF. Refinement changes
+  // recall, not the plumbing, and an iterative k-means mean is
+  // aggregation-order-dependent (its float sums differ run-to-run and
+  // engine-to-engine), which would make the operator impossible to
+  // value-check externally. With fixed centroids, every stage — the
+  // assignment included — is pure double-precision column math the SQL
+  // oracle reproduces verbatim.
+
+  /** Left-to-right double cosine of two local vectors — same summation
+    * order as the Catalyst [[cosine]] column, so driver-side codebook
+    * decisions agree bit-for-bit with executor-side column math. */
+  private[graft] def cosineOf(a: Seq[Float], b: Seq[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Nearest-centroid id of `embedding` as a pure COLUMN over a small
+    * codebook: argmax cosine, ties to the lowest centroid id — a
+    * `greatest` over (cos, -cid) structs, no join and no shuffle, so
+    * assignment stays inside the one table scan. */
+  def ivfClusterCol(codebook: Seq[(Long, Seq[Float])]): Column = {
+    require(codebook.nonEmpty, "empty IVF codebook")
+    val best = greatest(codebook.map { case (cid, ce) =>
+      struct(cosine(col("embedding"), typedLit(ce)).as("cos"),
+        lit(-cid).as("negcid"))
+    }: _*)
+    (lit(0L) - best.getField("negcid")).as("cluster")
+  }
+
+  /** ANN via IVF probe: assign every vector to its nearest of the
+    * first-`k` centroid codebook, search the `nProbe` lists nearest
+    * the query brute-force, return top-`topK` ids.
+    *
+    * Scale shape: the codebook (k rows) and the query vector are the
+    * ONLY driver-side fetches; assignment is a projection on the
+    * single scan; the probe is a pushable `cluster IN (...)` filter +
+    * TakeOrdered. In production the assigned table is written out
+    * bucketed by `cluster`, making the probe a partition-pruned read. */
+  def ivfTopK(emb: DataFrame, k: Int, nProbe: Int,
+              queryVecId: Long, topK: Int): DataFrame = {
+    val codebook = emb.where(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+      .toSeq
+    val q = emb.where(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val probes = codebook
+      .map { case (cid, ce) => (cid, cosineOf(q, ce)) }
+      .sortBy { case (cid, c) => (-c, cid) }
+      .take(nProbe).map(_._1)
+    emb.withColumn("cluster", ivfClusterCol(codebook))
+      .where(col("cluster").isin(probes: _*) && col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), cosine(col("embedding"), typedLit(q)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(topK)
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
 }

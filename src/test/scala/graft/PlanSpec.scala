@@ -114,6 +114,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("ann ivf assignment is a projection: no join, probe is TakeOrdered (q41)") {
+    val plan = planOf(SparkEntry.queries("q41_ann_ivf")(spark, dir))
+    // the codebook rides as struct literals inside the scan projection,
+    // never as a join against a centroid table
+    assert(!plan.contains("Join"),
+      "IVF assignment must be a projection over one scan: " + plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("lsh near-dup buckets all hash tables from one scan (q38)") {
     val plan = planOf(SparkEntry.queries("q38_embedding_neardup_lsh")(spark, dir))
     assert(plan.contains("posexplode"),

@@ -157,6 +157,49 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(found.contains(424242L), s"planted duplicate missed: $found")
   }
 
+  test("q41 ivf ann equals brute-force ranking restricted to the probed lists") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val codebook = emb.where(col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    // every vector lands in exactly one cluster of the codebook
+    val assigned = emb.withColumn("cluster",
+      graft.ops.Similarity.ivfClusterCol(codebook))
+    assert(assigned.count() == emb.count())
+    assert(assigned.where(col("cluster") < 0 || col("cluster") >= 8).count() == 0)
+    // expected = members of the query's 2 nearest lists, ranked by
+    // exact cosine desc, top 10 — recomputed independently here
+    val q = emb.where(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0)
+    val probes = codebook
+      .map { case (cid, ce) => (cid, graft.ops.Similarity.cosineOf(q, ce)) }
+      .sortBy { case (cid, c) => (-c, cid) }.take(2).map(_._1)
+    val expected = assigned
+      .where(col("cluster").isin(probes: _*) && col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        graft.ops.Similarity.cosine(col("embedding"), typedLit(q)).as("cos"))
+      .orderBy(desc("cos"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "probed lists must have candidates on the fixture")
+    val ivf = SparkEntry.queries("q41_ann_ivf")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf == expected)
+    // a planted duplicate of the query assigns to the query's own list
+    // (identical cosines to every centroid) and so IS found
+    import spark.implicits._
+    val dup = emb.select("vec_id", "embedding")
+      .where(col("vec_id") === 0L)
+      .as[(Long, Array[Float])]
+      .map { case (_, v) => (424242L, v) }
+      .toDF("vec_id", "embedding")
+    val found = graft.ops.Similarity.ivfTopK(
+      emb.select("vec_id", "embedding").unionByName(dup),
+      k = 8, nProbe = 2, queryVecId = 0L, topK = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(found.contains(424242L), s"planted duplicate missed: $found")
+  }
+
   test("q21 shingle-df cap prunes hot shingles (skew kill switch)") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
