@@ -38,7 +38,7 @@ object GraftFunctions {
     u.register("detect_catalog_urls", (html: String, base: String) =>
       CatalogDetect.detect(html, base).map(_.url))
     // text sketches (training-data ops)
-    u.register("simhash64", (s: String) => TextSketch.simhash64(s))
+    u.register("simhash60", (s: String) => TextSketch.simhash60(s))
     u.register("minhash_sig", (s: String, n: Int) =>
       TextSketch.minhashSignature(TextSketch.shingleHashes(s, 3), n))
   }

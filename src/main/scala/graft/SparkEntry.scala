@@ -251,7 +251,8 @@ object SparkEntry {
         .orderBy("lang")),
     "q26_minhash_lsh" -> ((s, d) => // rows-only: sketch-based near-dup
       Dedup.minhashLshPairs(t(s, d, "documents"))),
-    "q27_simhash" -> ((s, d) => // rows-only: hamming<=3 near-dup
+    "q27_simhash" -> ((s, d) => // hamming<=3 near-dup; md5-token-hash
+      // simhash so the DuckDB oracle recomputes it bit-for-bit
       Dedup.simhashPairs(t(s, d, "documents"))),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
@@ -684,6 +685,35 @@ object SparkEntry {
          |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (va.nrm * vb.nrm) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin
     },
+    // q27: full replica of the 60-bit md5-token-hash simhash — the
+    // oracle rebuilds every fingerprint from the raw text (token hash =
+    // leading 15 hex digits of md5(token), ±1 per occurrence, bit set
+    // on strictly-positive sum), then brute-forces hamming<=3 pairs.
+    // Integer math end-to-end: no float drift is possible. The Spark
+    // side's banded equi-join is complete for hamming<=3 (pigeonhole),
+    // so the sets must be identical. Gained this round (was no_oracle).
+    "q27_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |th AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+        |       FROM toks WHERE tok <> ''),
+        |bits AS (
+        |  SELECT doc_id, b AS bit,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
+        |  GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN acc > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS sim
+        |  FROM bits GROUP BY 1),
+        |fpn AS (SELECT * FROM fp WHERE sim <> 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS dist
+        |FROM fpn a JOIN fpn b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // q39: the decode/feature stubs are md5-hex-slice-derived precisely
     // so an external SQL engine can recompute them from the raw bytes —
     // the media blob is the UTF-8 of `text`, so DuckDB's md5(text)

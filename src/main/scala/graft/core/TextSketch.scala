@@ -92,16 +92,32 @@ object TextSketch {
     common.toDouble / (a.length + b.length - common)
   }
 
-  /** 64-bit SimHash over token counts. */
-  def simhash64(text: String): Long = {
+  /** 60-bit SimHash over token occurrences (repeats count, ±1 each;
+    * a bit is set when its signed sum is strictly positive).
+    *
+    * The per-token hash is the leading 15 hex digits of md5(token) —
+    * NOT an in-house mixer — precisely so an external SQL engine can
+    * recompute the whole fingerprint from the raw text: q27's DuckDB
+    * oracle rebuilds it token-for-token, bit-for-bit (integer math
+    * only, no float drift possible). 60 bits because 15 hex digits is
+    * the widest md5 slice that parses as a non-negative signed 64-bit
+    * value on both sides. */
+  def simhash60(text: String): Long = {
     val ts = tokens(text)
     if (ts.isEmpty) return 0L
-    val acc = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Int](60)
     var i = 0
     while (i < ts.length) {
-      val h = BloomFilter.hash64(ts(i))
+      md.reset()
+      val d = md.digest(ts(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex digits = bytes 0..6 plus the high nibble of byte 7
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h >>>= 4
       var bit = 0
-      while (bit < 64) {
+      while (bit < 60) {
         if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
         bit += 1
       }
@@ -109,14 +125,16 @@ object TextSketch {
     }
     var out = 0L
     var bit = 0
-    while (bit < 64) { if (acc(bit) > 0) out |= (1L << bit); bit += 1 }
+    while (bit < 60) { if (acc(bit) > 0) out |= (1L << bit); bit += 1 }
     out
   }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** 16-bit bands of a simhash for candidate bucketing: two sketches
-    * within hamming distance 3 share at least one of 4 bands. */
+  /** 15-bit bands of a 60-bit simhash for candidate bucketing: two
+    * sketches within hamming distance 3 share at least one of the 4
+    * bands (pigeonhole). Band id rides in the high bits so different
+    * bands never collide. */
   def simhashBands(sim: Long): Array[Int] =
-    Array.tabulate(4)(b => (((sim >>> (16 * b)) & 0xffffL) | (b.toLong << 16)).toInt)
+    Array.tabulate(4)(b => (((sim >>> (15 * b)) & 0x7fffL) | (b.toLong << 15)).toInt)
 }

@@ -118,7 +118,7 @@ object Dedup {
     * maxDist <= 3). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-band bucketing is only complete for hamming <= 3")
-    val simUdf = udf((t: String) => TextSketch.simhash64(t))
+    val simUdf = udf((t: String) => TextSketch.simhash60(t))
     val bandUdf = udf((s: Long) => TextSketch.simhashBands(s))
     val sk = docs
       .select(col("doc_id"), simUdf(col("text")).as("sim"))
