@@ -76,8 +76,8 @@ object Bench {
     * across both parallelism levels so they see identical bytes). */
   private def crawlRun(spark: SparkSession, fx: FixtureCfg, waves: Int,
                        cc: CrawlConfig, pagesDir: String): (Long, Double, Double, Double) = {
-    val store = new SnapshotStore(
-      Files.createTempDirectory("benchstore").toString)
+    val store = new SnapshotStore(TempDirs.cleanupOnExit(
+      Files.createTempDirectory("benchstore").toString))
     (0 until waves).foreach(w => FixtureGen.pagesParquet(spark, fx, w, pagesDir))
     val clock = new TaskClock
     spark.sparkContext.addSparkListener(clock)
@@ -194,6 +194,10 @@ object Bench {
     // completed pair.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3000").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // reclaim scratch space leaked by PRIOR crashed/killed runs before
+    // generating this run's multi-GB fixture (measured: 75 GB of stale
+    // fixture parquet accumulated across rounds → ENOSPC task failures)
+    TempDirs.sweepStale()
     Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
       def run(): Unit = emitOnce(snapshot)
     }))
@@ -254,11 +258,12 @@ object Bench {
     // remaining budget covers them AND the best-of-so-far efficiency
     // has not already cleared the target (see the gates below)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
-    val pagesDir = Files.createTempDirectory("benchpages").toString
+    val pagesDir = TempDirs.cleanupOnExit(
+      Files.createTempDirectory("benchpages").toString)
     // warm JIT/codegen once (excluded from all timings) and materialize
     // the shared input parquet at full parallelism
     crawlRun(spark, FixtureCfg(nHosts = 12, baseArticles = 20), waves, cc,
-      Files.createTempDirectory("warmpages").toString)
+      TempDirs.cleanupOnExit(Files.createTempDirectory("warmpages").toString))
     (0 until waves).foreach(w => FixtureGen.pagesParquet(spark, fx, w, pagesDir))
     spark.stop()
     // kernel calibration BEFORE the pair loop (it's ~30 s, and running

@@ -95,13 +95,16 @@ object BenchProbe {
     val cc = CrawlConfig(maxPerHostPerWave = base * 2, hostBuckets = 16,
       salt = 4, expectedUrlsPerBucket = 100000,
       cuckooCapacityPerBucket = 1 << 16)
-    val waves = 2
-    val pagesDir = Files.createTempDirectory("probepages").toString
+    val waves = sys.env.getOrElse("PROBE_WAVES", "2").toInt
+    TempDirs.sweepStale()
+    val pagesDir = TempDirs.cleanupOnExit(
+      Files.createTempDirectory("probepages").toString)
 
     // materialize input + warm JIT at full width
     var spark = session(32)
     (0 until waves).foreach(w => FixtureGen.pagesParquet(spark, fx, w, pagesDir))
-    val warmStore = new SnapshotStore(Files.createTempDirectory("probewarm").toString)
+    val warmStore = new SnapshotStore(TempDirs.cleanupOnExit(
+      Files.createTempDirectory("probewarm").toString))
     WaveEngine.run(spark, warmStore,
       w => FixtureGen.pagesParquet(spark, fx, w, pagesDir),
       FixtureGen.hosts(spark, fx), FixtureGen.robots(spark, fx), 1, cc)
@@ -111,7 +114,8 @@ object BenchProbe {
       spark = session(n)
       val probe = new Probe
       spark.sparkContext.addSparkListener(probe)
-      val store = new SnapshotStore(Files.createTempDirectory("probestore").toString)
+      val store = new SnapshotStore(TempDirs.cleanupOnExit(
+        Files.createTempDirectory("probestore").toString))
       val t0 = System.nanoTime()
       val res = WaveEngine.run(spark, store,
         w => FixtureGen.pagesParquet(spark, fx, w, pagesDir),

@@ -40,12 +40,14 @@ object SparkEntry {
   private def crawlFixtureRun(s: SparkSession): crawl.SnapshotStore =
     crawlDir.synchronized {
       if (crawlDir.get == null) {
-        val dir = java.nio.file.Files.createTempDirectory("entrycrawl").toString
+        val dir = TempDirs.cleanupOnExit(
+          java.nio.file.Files.createTempDirectory("entrycrawl").toString)
         val fx = crawl.FixtureCfg(nHosts = 12, baseArticles = 6,
           growthPerWave = 3, hotHostFactor = 3)
         val cc = crawl.CrawlConfig(hostBuckets = 4, salt = 2,
           expectedUrlsPerBucket = 2048, cuckooCapacityPerBucket = 4096)
-        val pagesDir = java.nio.file.Files.createTempDirectory("entrypages").toString
+        val pagesDir = TempDirs.cleanupOnExit(
+          java.nio.file.Files.createTempDirectory("entrypages").toString)
         // micro-wave run: skip whole-stage codegen (typed hot path);
         // restore session confs afterwards for the relational queries
         val oldCg = s.conf.get("spark.sql.codegen.wholeStage", "true")

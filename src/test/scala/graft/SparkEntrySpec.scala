@@ -42,6 +42,21 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Int]("dist") <= 3))
   }
 
+  test("md5-derived sketch constants are pinned (oracle contract)") {
+    // These exact values are what the DuckDB oracles recompute in SQL
+    // (q27/q39) — a change here silently breaks oracle parity, so the
+    // constants are pinned against independently computed references.
+    import graft.core.TextSketch
+    assert(TextSketch.simhash60("hello world hello") == 419982666956583591L)
+    assert(TextSketch.simhash60("the quick brown fox") == 71291262450833004L)
+    assert(TextSketch.simhash60("") == 0L)
+    val mi = graft.ops.Multimodal.decodeStub(7L, "audio", "abc".getBytes("UTF-8"))
+    assert(mi.width == 1329 && mi.height == 582)
+    assert(mi.duration_ms == 82591L && mi.content_hash == 648541476951500027L)
+    assert(graft.ops.Multimodal.decodeStub(7L, "image",
+      "abc".getBytes("UTF-8")).duration_ms == 0L)
+  }
+
   test("q26 minhash candidates verify against exact jaccard >= 0.5") {
     import graft.core.TextSketch
     val docs = spark.read.parquet(s"$dir/documents.parquet")
