@@ -58,6 +58,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill scratch under a managed dir so a killed run
+      // can't leak block-manager files (see TempDirs)
+      .config("spark.local.dir", TempDirs.cleanupOnExit(
+        Files.createTempDirectory("benchlocal").toString))
     // Crawl-engine sessions disable AQE: the engine sets its partition
     // counts explicitly, and AQE's per-query-stage job materialization
     // adds one scheduling round-trip per exchange — measured ~2.5× the

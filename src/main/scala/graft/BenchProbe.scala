@@ -76,6 +76,8 @@ object BenchProbe {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", TempDirs.cleanupOnExit(
+        Files.createTempDirectory("benchlocal").toString))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("PROBE_AQE", "true"))
       .config("spark.sql.codegen.wholeStage",

@@ -18,7 +18,7 @@ object TempDirs {
   private val prefixes = Seq(
     "benchpages", "benchstore", "warmpages",
     "probepages", "probestore", "probewarm",
-    "entrypages", "entrycrawl", "planpages")
+    "entrypages", "entrycrawl", "planpages", "benchlocal")
 
   private def deleteRec(f: File): Unit = {
     if (f.isDirectory) {
