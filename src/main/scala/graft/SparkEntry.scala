@@ -251,6 +251,18 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
         .orderBy("lang")),
+    "q42_rolling_fingerprint" -> ((s, d) => // order-sensitive doc
+      // fingerprint: Rabin-Karp polynomial hash over md5 token hashes
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.rollingFingerprint(col("text")).as("rh"))
+        .orderBy("doc_id")),
+    "q43_bpe_tokens" -> ((s, d) => // GPT-2-style pre-tokenizer count
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe"),
+        TextOps.tokenCount(col("text")).as("n_ws"))
+        .orderBy("doc_id")),
     "q26_minhash_lsh" -> ((s, d) => // rows-only: sketch-based near-dup
       Dedup.minhashLshPairs(t(s, d, "documents"))),
     "q27_simhash" -> ((s, d) => // hamming<=3 near-dup; md5-token-hash
@@ -531,6 +543,25 @@ object SparkEntry {
         |  AND (len(regexp_extract_all(text, '[.,!?;:]')) * 5
         |       <= CASE WHEN length(trim(text)) = 0 THEN 0
         |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS quality_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q42: full integer replay of the Rabin-Karp rolling hash — same
+    // token split, same md5-prefix token hash, same (h*B + th) % M
+    // left-to-right fold (list_reduce with a prepended 0 as the seed).
+    "q42_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                    t -> t <> ''),
+        |        t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT))),
+        |    (h, th) -> (h * 1000003 + th) % 2147483647) AS rh
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q43_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q20_exact_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents

@@ -47,6 +47,37 @@ object TextOps {
     size(regexp_extract_all(text,
       lit("\\b(the|a|an|and|of|to|in|is|it|for)\\b"), lit(0)))
 
+  /** BPE-ish subword token count: letter runs, single digits, and
+    * single non-alphanumeric glyphs — the GPT-2-style pre-tokenizer
+    * shape (letters group, numbers split to digits, punctuation stands
+    * alone), written in the regex subset that means the same thing in
+    * Java and RE2. A much closer proxy for model-token budgets than
+    * the whitespace count: "don't, 42!" is 2 whitespace tokens but 7
+    * BPE-ish tokens. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val RollB = 1000003L        // polynomial base (prime)
+  private val RollM = 2147483647L     // modulus 2^31-1 (Mersenne prime)
+
+  /** Polynomial (Rabin–Karp) rolling-hash fingerprint over normalized
+    * whitespace tokens: h ← (h·B + tokHash) mod M, left to right, with
+    * B = 1000003, M = 2³¹−1, tokHash = leading 8 md5 hex digits of the
+    * token. ORDER-SENSITIVE, unlike [[fingerprint]] — swapped tokens
+    * change the hash — which is what shingle/fingerprint pipelines
+    * slide over. All-integer math: h < 2³¹, B < 2²⁰, tokHash < 2³² keep
+    * every intermediate below 2⁵², exact in 64-bit on both engines, so
+    * the DuckDB oracle replays it bit-for-bit. Pure Catalyst
+    * (`aggregate` higher-order fn over `split`) — no UDF, stays
+    * distributed and pruning-friendly. Empty/blank text hashes to 0. */
+  def rollingFingerprint(text: Column): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+    aggregate(toks, lit(0L), (h, t) =>
+      pmod(h * lit(RollB) +
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(RollM)))
+  }
+
   /** Integer-threshold quality gate (all-integer arithmetic so the
     * oracle comparison is exact): a doc passes when it has at least 20
     * tokens, at least one stopword per 50 tokens, and punctuation

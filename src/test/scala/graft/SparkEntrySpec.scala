@@ -57,6 +57,44 @@ class SparkEntrySpec extends AnyFunSuite {
       "abc".getBytes("UTF-8")).duration_ms == 0L)
   }
 
+  test("rolling fingerprint replays the reference fold and is order-sensitive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // independent reference implementation of the q42 contract
+    def ref(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).foldLeft(0L) {
+        (h, t) =>
+          val hex = md.digest(t.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(8)
+          (h * 1000003L + java.lang.Long.parseLong(hex, 16)) % 2147483647L
+      }
+    }
+    val docs = Seq((1L, "Hello world  foo"), (2L, ""), (3L, "  single "),
+      (4L, "foo world Hello"), (5L, "the quick brown fox")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        ops.TextOps.rollingFingerprint(col("text")).as("rh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == ref("Hello world  foo"))
+    assert(got(2L) == 0L)
+    assert(got(3L) == ref("single"))
+    assert(got(5L) == ref("the quick brown fox"))
+    // same token multiset, different order → different hash
+    assert(got(1L) != got(4L))
+  }
+
+  test("bpe-ish token count splits letters/digits/punct like the contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "don't, 42!"), (2L, ""), (3L, "Hello world"))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        ops.TextOps.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // don | ' | t | , | 4 | 2 | !  → 7
+    assert(got(1L) == 7 && got(2L) == 0 && got(3L) == 2)
+  }
+
   test("q26 minhash candidates verify against exact jaccard >= 0.5") {
     import graft.core.TextSketch
     val docs = spark.read.parquet(s"$dir/documents.parquet")
