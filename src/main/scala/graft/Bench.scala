@@ -176,7 +176,7 @@ object Bench {
   private def render(total: Double, qs: String, qErrs: String, sfDir: String,
       crawl: Option[String], elapsedSec: Double, partial: Boolean): String =
     f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""query_errors":$qErrs,"sf":"$sfDir",""" +
+      f""""query_errors":$qErrs,"query_reps":2,"sf":"$sfDir",""" +
       f""""elapsed_sec":$elapsedSec%.1f,"partial":$partial,""" +
       s""""crawl":${crawl.getOrElse("null")}}"""
 
@@ -221,13 +221,23 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable => errs0 += ("warmup" -> e.getClass.getName) }
     val errs = errs0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val qFns = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timeAll(): Seq[(String, Double)] = qFns.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failing query must be ATTRIBUTED, not reported as a fast
       // green timing (round 2's tail had an unattributable stack)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable => errs(name) = e.getClass.getName }
       name -> (System.nanoTime() - t0) / 1e9
+    }
+    // best-of-2 per query: pass 1 doubles as the cold-I/O/codegen
+    // warm-up (the first query otherwise pays the whole file-cache +
+    // JIT bill — measured 16.9 s vs 3.9 s warm for q01), pass 2 times
+    // warm plans; min-per-query matches the crawl part's best-of
+    // protocol against host drift. ~+40 s inside a 3000 s budget.
+    val results = {
+      val p1 = timeAll(); val p2 = timeAll()
+      p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
