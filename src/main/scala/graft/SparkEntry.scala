@@ -268,6 +268,17 @@ object SparkEntry {
     "q27_simhash" -> ((s, d) => // hamming<=3 near-dup; md5-token-hash
       // simhash so the DuckDB oracle recomputes it bit-for-bit
       Dedup.simhashPairs(t(s, d, "documents"))),
+    "q44_dup_clusters" -> ((s, d) => // collapse the near-dup PAIR set
+      // into components: cluster_id = min doc_id (the canonical doc a
+      // dedup pass keeps); iterative min-label + pointer jumping
+      Dedup.dupClusters(
+        Dedup.minhashLshPairs(t(s, d, "documents")).select("doc_a", "doc_b"))),
+    "q45_stratified_sample" -> ((s, d) => // deterministic training-mix
+      // resample by stratum: en down to 10%, zh up to 50%, rest 25% —
+      // md5-bucket membership, oracle-exact, shuffle-free
+      TextOps.stratifiedHashSample(t(s, d, "documents"), col("doc_id"),
+        col("lang"), Map("en" -> 0.1, "zh" -> 0.5), defaultFraction = 0.25)
+        .select("doc_id", "lang").orderBy("doc_id")),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -807,5 +818,46 @@ object SparkEntry {
         |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    // q44: connected components over the exact jaccard>=1/2 pair set
+    // (same pair CTE as q26's oracle) via a recursive reachability
+    // closure; cluster_id = MIN reachable id. The Spark side's
+    // iterative min-label propagation must converge to the same
+    // fixpoint — any missed merge or early stop is a hash mismatch.
+    "q44_dup_clusters" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+        |  WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE common * 2 >= sa.nsh + sb.nsh - common),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM dup
+        |          UNION ALL SELECT doc_b, doc_a FROM dup),
+        |cc AS (
+        |  SELECT DISTINCT u AS node, u AS r FROM edges
+        |  UNION
+        |  SELECT e.u, cc.r FROM edges e JOIN cc ON cc.node = e.v),
+        |lbl AS (SELECT node, MIN(r) AS cluster_id FROM cc GROUP BY 1),
+        |cn AS (SELECT cluster_id, COUNT(*) AS cluster_n FROM lbl GROUP BY 1)
+        |SELECT node AS doc_id, cluster_id, cluster_n
+        |FROM lbl JOIN cn USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q45: membership = md5 16-bit bucket under an integer per-stratum
+    // cutoff — bit-for-bit reproducible in any engine with md5.
+    "q45_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+        |  < CASE lang WHEN 'en' THEN 6553 WHEN 'zh' THEN 32768 ELSE 16384 END
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -202,4 +202,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Collapse near-dup PAIRS into CLUSTERS: connected components over
+    * the pair graph, labeling every member with the smallest doc_id in
+    * its component (the canonical survivor a 100 TB dedup pass keeps).
+    * Input: (doc_a, doc_b) pairs from any of the pair ops above.
+    * Output: (doc_id, cluster_id, cluster_n) for every doc that appears
+    * in at least one pair, cluster_id = min id of the component.
+    *
+    * Algorithm: iterative min-label propagation over the (bidirected)
+    * edge list — label(v) ← min(label(v), min over neighbors u of
+    * label(u)) — plus a pointer-jumping step each round
+    * (label(v) ← label(label(v)), an equi-join on the label column)
+    * that compresses label chains, so convergence is O(log n) rounds
+    * even on path-shaped components instead of O(diameter). Every round
+    * is two shuffles on 8-byte keys (edges never carry bodies) and the
+    * working set is localCheckpoint'ed per round to keep the plan flat.
+    * The driver loop touches only a scalar convergence count, never
+    * data. Near-dup graphs in practice have tiny components, so this
+    * typically converges in 2-3 rounds.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
+      .unionByName(pairs
+        .select(col("doc_b").cast("long").as("u"), col("doc_a").cast("long").as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIters) {
+      // neighbor-min propagation: best label reachable over one edge
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("lbl", "vlbl"), "v")
+        .groupBy(col("u").as("id")).agg(min("vlbl").as("nlbl"))
+      val hopped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jumping: follow my label's own label (labels always
+      // point to smaller ids, so this halves chain depth per round)
+      val next = hopped.as("x")
+        .join(hopped.select(col("id").as("lbl"), col("lbl").as("plbl")).as("y"),
+          Seq("lbl"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .where(col("lbl") < col("old")).isEmpty
+      labels = next
+      converged = changed
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_n"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_n"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level text analysis for training-data pipelines.
@@ -76,6 +76,32 @@ object TextOps {
     aggregate(toks, lit(0L), (h, t) =>
       pmod(h * lit(RollB) +
         conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(RollM)))
+  }
+
+  /** Deterministic 16-bit hash bucket of a key (0..65535): the leading
+    * 4 hex digits of md5 of the key's string form. The same expression
+    * exists verbatim in DuckDB ('0x'||substring(md5(..),1,4)), so
+    * sample membership is oracle-exact — no RNG, no seed state, and a
+    * re-run (or a different cluster size) selects the SAME rows. */
+  def hashBucket16(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int")
+
+  /** Deterministic per-stratum hash sampling — the training-data
+    * mixing primitive ("rebalance the language mix to these rates").
+    * Keeps a row iff hashBucket16(key) < floor(fraction(stratum) ·
+    * 65536). A pure filter: no shuffle, no RNG, embarrassingly
+    * parallel at any cluster size, and the kept set is a SUBSET
+    * relation across fractions (raising a stratum's rate only ADDS
+    * rows — stable incremental re-mixes). Integer threshold compare,
+    * so the DuckDB oracle reproduces membership bit-for-bit. */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double): DataFrame = {
+    def cutoff(f: Double): Int = (f * 65536).toInt
+    val cut = fractions.foldLeft(lit(cutoff(defaultFraction))) {
+      case (acc, (k, f)) => when(stratum === k, lit(cutoff(f))).otherwise(acc)
+    }
+    df.where(hashBucket16(key) < cut)
   }
 
   /** Integer-threshold quality gate (all-integer arithmetic so the

@@ -277,4 +277,53 @@ class SparkEntrySpec extends AnyFunSuite {
     val dedup = SparkEntry.queries("q20_exact_dedup")(spark, dir).count()
     assert(dedup == distinctTexts)
   }
+
+  test("q44 dup clusters: components + min labels on chain/pair/triangle") {
+    import spark.implicits._
+    // the 1-2-3-4 chain needs label info to travel 3 hops — exercises
+    // multiple propagation rounds AND the pointer-jumping compression
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = graft.ops.Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)))
+  }
+
+  test("q44 dup clusters: empty pair set yields empty output") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.ops.Dedup.dupClusters(empty).count() == 0)
+  }
+
+  test("q45 stratified sample: deterministic, md5-exact, monotone in rate") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fr = Map("en" -> 0.1, "zh" -> 0.5)
+    val got = graft.ops.TextOps.stratifiedHashSample(
+        docs, col("doc_id"), col("lang"), fr, defaultFraction = 0.25)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // independent membership recomputation (plain JDK md5)
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16)
+    }
+    val expect = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, l) =>
+        bucket(id) < (fr.getOrElse(l, 0.25) * 65536).toInt }.toSet
+    assert(got == expect && got.nonEmpty)
+    // raising a stratum's rate only ADDS rows (subset stability)
+    val wider = graft.ops.TextOps.stratifiedHashSample(
+        docs, col("doc_id"), col("lang"), Map("en" -> 0.6, "zh" -> 0.5),
+        defaultFraction = 0.25)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.subsetOf(wider))
+  }
 }
