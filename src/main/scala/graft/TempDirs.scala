@@ -28,8 +28,21 @@ object TempDirs {
     f.delete(); ()
   }
 
-  /** Register `dir` for recursive deletion at JVM exit; returns it. */
+  private val OwnerMarker = ".owner-pid"
+
+  /** Register `dir` for recursive deletion at JVM exit; returns it.
+    * Also drops a pid liveness marker inside the dir: fixture dirs are
+    * write-once-read-many, so their mtime freezes at generation time —
+    * an age gate alone would let a later concurrent run reap a LIVE
+    * run's input mid-flight. sweepStale only reclaims marked dirs whose
+    * owning JVM is gone. */
   def cleanupOnExit(dir: String): String = {
+    try {
+      new File(dir).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, OwnerMarker),
+        ProcessHandle.current().pid().toString)
+    } catch { case _: Throwable => () }
     Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
       def run(): Unit =
         try deleteRec(new File(dir)) catch { case _: Throwable => () }
@@ -37,17 +50,34 @@ object TempDirs {
     dir
   }
 
-  /** Delete leaked scratch dirs from PRIOR crashed runs: any dir under
-    * java.io.tmpdir with an owned prefix not modified for `maxAgeMs`
-    * (default 1 h — far longer than any live run goes without writing). */
+  private def ownerPid(f: File): Option[Long] =
+    try {
+      val m = new File(f, OwnerMarker)
+      if (m.isFile)
+        Some(java.nio.file.Files.readString(m.toPath).trim.toLong)
+      else None
+    } catch { case _: Throwable => None }
+
+  /** Delete leaked scratch dirs from PRIOR dead runs: any dir under
+    * java.io.tmpdir with an owned prefix whose recorded owner process
+    * is gone (immediate reclaim — no waiting), or, for unmarked dirs
+    * (older layouts), not modified for `maxAgeMs`. A dir whose owner
+    * pid is still alive is NEVER touched, regardless of age. */
   def sweepStale(maxAgeMs: Long = 3600L * 1000): Unit = {
     val tmp = new File(System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - maxAgeMs
     val fs = tmp.listFiles()
     if (fs != null) fs.foreach { f =>
-      if (f.isDirectory && prefixes.exists(f.getName.startsWith) &&
-          f.lastModified < cutoff)
-        try deleteRec(f) catch { case _: Throwable => () }
+      if (f.isDirectory && prefixes.exists(f.getName.startsWith)) {
+        val pid = ownerPid(f)
+        val alive = pid.exists(p => ProcessHandle.of(p).isPresent)
+        val reclaim =
+          if (alive) false
+          else if (pid.isDefined) true       // owner dead: reclaim now
+          else f.lastModified < cutoff        // unmarked: age gate
+        if (reclaim)
+          try deleteRec(f) catch { case _: Throwable => () }
+      }
     }
   }
 }

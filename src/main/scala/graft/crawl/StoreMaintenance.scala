@@ -14,21 +14,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * it — /root/reference/Source/WebCrawler/DataLayer/MySQLDataLayer.cs:361-370)
   * re-expressed over the snapshot store:
   *
-  *  1. every committed wave's `articles` / `frontier` / `metrics` deltas
+  *  1. the carried seen-sketches evict every deleted url's fingerprint
+  *     from its bucket cuckoo (the same multiset delete the recrawl TTL
+  *     uses) and the affected buckets' Blooms are REBUILT from the
+  *     surviving articles via [[SeenFilter.BloomAgg]] (the documented
+  *     offline rebuild path — a Bloom cannot forget in place), so the
+  *     deleted urls are immediately re-crawlable on re-seed instead of
+  *     costing stale-positive probes forever. This pass runs FIRST,
+  *     while the store still holds the doomed rows: every lazy/cached
+  *     dataset it consumes can then be recomputed correctly from disk;
+  *  2. every committed wave's `articles` / `frontier` / `metrics` deltas
   *     are rewritten through an anti-join against the doomed host set —
   *     the distributed form of `DELETE WHERE host IN (...)`. On the
   *     Iceberg binding the same pass is a metadata-level
   *     `DELETE FROM t WHERE host IN (...)` per table (no rewrite here:
   *     this file is the [[SnapshotStore]]-local binding);
-  *  2. the carried `state` row of each doomed host is dropped, so a
-  *     re-seeded host starts from a clean checkpoint;
-  *  3. the carried seen-sketches evict every deleted url's fingerprint
-  *     from its bucket cuckoo (the same multiset delete the recrawl TTL
-  *     uses) and the affected buckets' Blooms are REBUILT from the
-  *     remaining articles via [[SeenFilter.BloomAgg]] (the documented
-  *     offline rebuild path — a Bloom cannot forget in place), so the
-  *     deleted urls are immediately re-crawlable on re-seed instead of
-  *     costing stale-positive probes forever.
+  *  3. the carried `state` row of each doomed host is dropped, so a
+  *     re-seeded host starts from a clean checkpoint.
   *
   * Scale shape: one anti-join scan per delta partition (host-sized
   * broadcast probe side), one scan of the remaining articles bucketed
@@ -71,8 +73,15 @@ object StoreMaintenance {
     val doomedDf = broadcast(doomed.toDF("host"))
     val hb = cfg.hostBuckets; val sl = cfg.salt
 
-    // fingerprint evictions and affected buckets — computed BEFORE the
-    // article rewrite removes the rows they come from
+    // fingerprint evictions and affected buckets. The ENTIRE sketch
+    // pass (step 1 below) runs BEFORE any delta rewrite: delPairs is
+    // lazily derived from the articles deltas, and a cache-evicted
+    // partition is silently RECOMPUTED from its source — if the source
+    // had already been rewritten without the doomed host, the recompute
+    // would yield an empty eviction set and the deleted urls would stay
+    // "seen" forever. With the sketch pass first, every possible
+    // recompute reads the still-intact store and is correct by
+    // construction (the cache is then purely an optimization).
     val delPairs = store.readDeltas(spark, "articles", last)
       .map(_.join(doomedDf, Seq("host"), "left_semi")
         .select($"host", $"url").as[(String, String)]
@@ -81,24 +90,15 @@ object StoreMaintenance {
     val affected: Set[Int] =
       delPairs.map(_.map(_._1).distinct().collect().toSet).getOrElse(Set.empty)
 
-    // 1. per-wave delta rewrites (DELETE WHERE host IN ...)
-    for (w <- 0 to last if store.isCommitted(w);
-         table <- Seq("articles", "frontier", "metrics"))
-      rewrite(spark, store, table, w)(
-        _.join(doomedDf, Seq("host"), "left_anti"))
-
-    // 2. carried host state (only the last committed wave is ever read
-    //    by the next runWave)
-    rewrite(spark, store, "state", last)(
-      _.join(doomedDf, Seq("host"), "left_anti"))
-
-    // 3. carried seen-sketches: cuckoo fingerprint eviction + Bloom
-    //    rebuild of the affected buckets from the REMAINING articles
+    // 1. carried seen-sketches: cuckoo fingerprint eviction + Bloom
+    //    rebuild of the affected buckets from the SURVIVING articles
+    //    (explicit anti-join — the store still holds the doomed rows)
     delPairs.filter(_ => affected.nonEmpty).foreach { dels =>
       val carried = store.read(spark, "seen", last).as[SeenSketch]
       val afterCuckoo = SeenFilter.updateSketches(dels, carried,
         cfg.cuckooCapacityPerBucket, cfg.expectedUrlsPerBucket, cfg.bloomFpp)
       val remaining = store.readDeltas(spark, "articles", last).get
+        .join(doomedDf, Seq("host"), "left_anti")
         .select($"host", $"url").as[(String, String)]
         .map { case (h, u) => (SeenFilter.bucket(h, u, hb, sl), u) }
         .filter(p => affected.contains(p._1))
@@ -123,5 +123,17 @@ object StoreMaintenance {
       merged.unpersist()
       dels.unpersist()
     }
+
+    // 2. per-wave delta rewrites (DELETE WHERE host IN ...) — only
+    //    after the sketch pass no longer needs the doomed rows
+    for (w <- 0 to last if store.isCommitted(w);
+         table <- Seq("articles", "frontier", "metrics"))
+      rewrite(spark, store, table, w)(
+        _.join(doomedDf, Seq("host"), "left_anti"))
+
+    // 3. carried host state (only the last committed wave is ever read
+    //    by the next runWave)
+    rewrite(spark, store, "state", last)(
+      _.join(doomedDf, Seq("host"), "left_anti"))
   }
 }

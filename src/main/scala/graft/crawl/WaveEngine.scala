@@ -366,8 +366,15 @@ object WaveEngine {
     //    work the next action needs anyway (one extra job of
     //    scheduling latency). The politeness grouping above is the
     //    only stage that must stay whole-host.
+    // The configured cap is only a valid stand-in for the batch size
+    // when it PROVES the batch fits under the broadcast limit; a cap
+    // above the limit says nothing about the actual rows (a 2M cap on
+    // a few-thousand-row wave must not force the shuffle path), so
+    // count the cached batch in that case.
     val taskBatchRows: Long =
-      if (cfg.maxTasksPerWave > 0) cfg.maxTasksPerWave.toLong
+      if (cfg.maxTasksPerWave > 0 &&
+          cfg.maxTasksPerWave <= cfg.broadcastTaskLimit)
+        cfg.maxTasksPerWave.toLong
       else tasks.count()
     val hintTaskBroadcast = taskBatchRows <= cfg.broadcastTaskLimit
     val tasksDF = tasks.toDF().withColumnRenamed("title", "cat_title")
@@ -397,7 +404,7 @@ object WaveEngine {
 
     // -- extraction: per-partition batched typed map (byte-identical
     //    text), rule-aware (article-stage overrides)
-    val extracted = queued.select(
+    val extractedRaw = queued.select(
       $"url", $"host", $"wave", $"seq", $"cat_title", $"published",
       $"html", $"warc_ts", $"rule").as[(String, String, Int, Int, String,
         Option[Timestamp], Array[Byte], Timestamp, Option[RuleSpec])]
@@ -418,11 +425,38 @@ object WaveEngine {
     // Anti-join against the CACHED extracted set (≡ fetched urls, since
     // the fetch-join is inner) so the big pages table isn't re-scanned.
     val fetchFails = tasksDF
-      .join(extracted.toDF().select($"url"), Seq("url"), "left_anti")
+      .join(extractedRaw.toDF().select($"url"), Seq("url"), "left_anti")
       .select($"host", $"url").as[(String, String)].cache()
 
-    // -- per-partition lineage rows (north rule)
-    val lineage = extracted
+    // -- unique-fetch contract: the reference performs ONE fetch per
+    //    url (UNIQUE article key). A Common-Crawl-style pages table may
+    //    carry SEVERAL snapshots of one url inside a wave's window; the
+    //    inner fetch-join then yields several rows per (url, host, seq)
+    //    and every downstream count/write would drift from the
+    //    reference (the winner semi-join would re-admit all of them).
+    //    Detection is free of shuffles: tasks are unique per (host,
+    //    url), the inner join emits one row per MATCHING page row, and
+    //    fetchFails counts the tasks with zero page rows — so
+    //    |extracted| == |tasks| − |fails| holds IFF every present url
+    //    matched exactly one snapshot (three counts over caches the
+    //    next stages materialize anyway). ONLY a violating input pays
+    //    the body-window dedup: newest snapshot wins (warc_ts desc),
+    //    content-md5 tiebreak, so the kept row is fully deterministic.
+    val extracted =
+      if (extractedRaw.count() == tasks.count() - fetchFails.count())
+        extractedRaw
+      else {
+        val uniqW = org.apache.spark.sql.expressions.Window
+          .partitionBy($"url", $"host", $"seq")
+          .orderBy($"warc_ts".desc, md5($"content"))
+        extractedRaw.toDF().withColumn("rn", row_number().over(uniqW))
+          .where($"rn" === 1).drop("rn").as[ArticleRow].cache()
+      }
+
+    // -- per-partition lineage rows (north rule) — over the RAW
+    //    extraction output: lineage records the work the extract stage
+    //    actually did, including rows a dup-snapshot dedup later drops
+    val lineage = extractedRaw
       .groupBy(spark_partition_id().as("partition_id"))
       .agg(count(lit(1)).as("rows"), countDistinct($"host").as("hosts"))
       .select(lit(wave).as("wave"), lit("extract").as("stage"),
@@ -609,7 +643,8 @@ object WaveEngine {
       "seen" -> -1L, "metrics" -> g(5), "lineage" -> -1L))
     val res = WaveResult(wave, g(0), g(1), nArticles, g(2), g(3))
     outcomes.unpersist(); tasks.unpersist(); fetchFails.unpersist()
-    extracted.unpersist(); classified.unpersist(); winners.unpersist()
+    extracted.unpersist(); extractedRaw.unpersist()
+    classified.unpersist(); winners.unpersist()
     counts.unpersist(); mCached.unpersist(); homesOk.unpersist()
     res
   }

@@ -48,7 +48,12 @@ object Multimodal {
   /** STUB: deterministic fake decode — derives plausible dimensions
     * from hex slices of md5(bytes) instead of real codec output (each
     * slice is 15 hex digits = 60 bits, so it parses as a non-negative
-    * Long and as a SQL BIGINT identically). */
+    * Long and as a SQL BIGINT identically). One md5 yields only 32 hex
+    * digits, so the third slice [16,31) deliberately overlaps the
+    * second [15,30) — duration therefore correlates with height across
+    * rows. Fine here: the stub is a PLUMBING contract (schema, batch
+    * shape, oracle parity — pinned in SparkEntrySpec), not a realism
+    * model; don't use its fields for distribution tests. */
   def decodeStub(docId: Long, kind: String, bytes: Array[Byte],
                  md: java.security.MessageDigest = java.security.MessageDigest.getInstance("MD5")): MediaInfo = {
     val hex = md5Hex(md, bytes)

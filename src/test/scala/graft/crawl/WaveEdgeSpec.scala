@@ -95,6 +95,43 @@ class WaveEdgeSpec extends AnyFunSuite {
     assert(s.read(spark, "state", 1).head().getAs[Int]("robots_wave") == 1)
   }
 
+  test("duplicate page snapshots of one url yield ONE article, newest wins") {
+    import spark.implicits._
+    val host = "dup.example.com"
+    val hosts = spark.createDataset(Seq(
+      HostConfig(1, host, s"http://$host/", 1, enabled = true, 100L, 1)))
+    val robots = spark.createDataset(Seq(FixtureGen.RobotsRow(host, "")))
+    val s = newStore()
+    val ts1 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2024-06-02 00:00:00")
+    def art(word: String) = ("<html><body><h1>Story</h1><div>" +
+      (0 until 4).map(k =>
+        s"<p>The $word report number $k brings further detail about " +
+          "the situation, and the description keeps going with " +
+          "additional sentences. More narrative text follows here so " +
+          "the density scan of the extractor sees real content.</p>")
+        .mkString + "</div></body></html>").getBytes("UTF-8")
+    val lis = (0 until 3).map(j =>
+      s"""<li><a href="http://$host/a/$j.html">Story number $j</a>""" +
+        s"""<span>2024-02-0${j + 1} 10:00</span></li>""").mkString
+    // Common-Crawl-style input: /a/1.html appears TWICE in the wave's
+    // window (two warc_ts snapshots, different bodies)
+    val pages = Seq(
+      Page(s"http://$host/", ts1,
+        s"<html><body><ul>$lis</ul></body></html>".getBytes("UTF-8"), "", "en"),
+      Page(s"http://$host/a/0.html", ts1, art("alpha"), "", "en"),
+      Page(s"http://$host/a/1.html", ts1, art("bravo"), "", "en"),
+      Page(s"http://$host/a/1.html", ts2, art("charlie"), "", "en"),
+      Page(s"http://$host/a/2.html", ts1, art("delta"), "", "en"))
+    WaveEngine.runWave(spark, s, spark.createDataset(pages), hosts, robots, 0, cc)
+    val arts = s.read(spark, "articles", 0)
+    assert(arts.count() == 3, "exactly one article row per url")
+    val b = arts.where($"url" === s"http://$host/a/1.html").collect()
+    assert(b.length == 1, "the winner semi-join must not re-admit dup rows")
+    assert(b.head.getAs[String]("content").contains("charlie"),
+      "the NEWEST snapshot (warc_ts desc) must win")
+  }
+
   test("budget-dropped hosts defer: checkpoint reverts like the all-failed path") {
     val s = newStore(); runAll(s, 1, cc.copy(maxTasksPerWave = 10))
     def stateMap(st: SnapshotStore) = st.read(spark, "state", 0)
