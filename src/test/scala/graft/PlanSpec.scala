@@ -151,4 +151,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       plan.take(3000))
   }
+
+  test("stratified hash sample plans as scan+filter: no exchange, no join (q45)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sampled = graft.ops.TextOps.stratifiedHashSample(docs,
+      col("doc_id"), col("lang"), Map("en" -> 0.1, "zh" -> 0.5), 0.25)
+    val plan = planOf(sampled)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      plan.take(3000))
+    assert(plan.contains("Filter"), plan.take(3000))
+  }
 }
