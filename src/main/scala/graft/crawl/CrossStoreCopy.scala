@@ -9,12 +9,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * (/root/reference/Source/WebCrawler.WPF/ViewModels/ManageViewModel.cs
   * crosscopy command; MySQLDataLayer bulk read/insert paths).
   *
-  * COMPILE-TIME SEAM: written entirely against Spark's own JDBC surface
-  * (`DataFrameReader.jdbc` / `DataFrameWriter.jdbc`), so it compiles
-  * and its plan shape is reviewable offline; RUNNING it needs the
-  * target databases' JDBC driver jars on the executor classpath (none
-  * ship in this zero-egress sandbox — documented limitation, verified
-  * by the judge as a legitimate n/a in round 1, now a real seam).
+  * Written entirely against Spark's own JDBC surface
+  * (`DataFrameReader.jdbc` / `DataFrameWriter.jdbc`). RUNTIME-VERIFIED
+  * in this sandbox against embedded Derby (which ships with Spark):
+  * CrossStoreCopySpec drives both the full range-partitioned copy and
+  * the incremental watermark path end-to-end across two in-memory
+  * databases. Production targets (MySQL/Postgres) only need their
+  * driver jar on the executor classpath — the code path is identical.
   *
   * Scale shape: the read is RANGE-PARTITIONED on a numeric key so the
   * source table streams through `numPartitions` parallel cursors
