@@ -292,6 +292,18 @@ class SparkEntrySpec extends AnyFunSuite {
       (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)))
   }
 
+  test("q44 dup clusters: a 33-node chain collapses to one component") {
+    import spark.implicits._
+    // worst-case diameter shape: pointer jumping must compress the
+    // label chain in O(log n) rounds, far under the maxIters guard
+    val n = 33
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val got = graft.ops.Dedup.dupClusters(pairs).collect()
+    assert(got.length == n)
+    assert(got.forall(r => r.getLong(1) == 1L && r.getLong(2) == n.toLong))
+  }
+
   test("q44 dup clusters: empty pair set yields empty output") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
