@@ -45,20 +45,34 @@ final class CuckooFilter private (
     val i1 = bucketIndex(hash64)
     val i2 = altIndex(i1, fp)
     if (tryInsertAt(i1, fp) || tryInsertAt(i2, fp)) return true
-    // relocate: deterministic slot choice seeded by the fingerprint
+    // relocate: deterministic slot choice seeded by the fingerprint.
+    // The kick path is recorded so a failed chain can be UNDONE: the
+    // classic "drop the final victim" behavior silently removes a
+    // PREVIOUSLY INSERTED fingerprint while the new item stays — the
+    // caller then counts the new item as dropped (n_dropped) when the
+    // actually-uncovered key is some arbitrary older URL. After
+    // rollback the table is bit-identical to its pre-insert state and
+    // the reported drop is the real uncovered item.
     var idx = if (((fp & 0xffff) & 1) == 0) i1 else i2
     var cur = fp
     var n = 0
+    val pathIdx = new Array[Int](MaxKicks)
+    val pathSlot = new Array[Int](MaxKicks)
+    val pathPrev = new Array[Short](MaxKicks)
     while (n < MaxKicks) {
       val slot = ((cur & 0xffff) + n) % SlotsPerBucket
       val evicted = slotGet(idx, slot)
+      pathIdx(n) = idx; pathSlot(n) = slot; pathPrev(n) = evicted
       slotSet(idx, slot, cur)
       cur = evicted
       idx = altIndex(idx, cur)
       if (tryInsertAt(idx, cur)) return true
       n += 1
     }
-    // table too full — caller should have sized it; report failure
+    // table too full — caller should have sized it; undo the chain and
+    // report failure for THIS item
+    var u = n - 1
+    while (u >= 0) { slotSet(pathIdx(u), pathSlot(u), pathPrev(u)); u -= 1 }
     false
   }
 

@@ -8,21 +8,34 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.crawl.CrawlJob <jar> \
   *   --store /path/to/store --waves 3 \
   *   [--pages /path/to/pages_parquet_template_with_{wave}] \
+  *   [--hosts-table /path/hosts.parquet]   (HostConfig rows — seed list)
+  *   [--robots-table /path/robots.parquet] (RobotsRow rows)
   *   [--hosts N --base N --growth N --hot N]    (synthetic fixture)
   * }}}
   *
   * With `--pages`, each wave reads the real page snapshot from the
   * template path (`{wave}` substituted) — the production shape where the
-  * input is an Iceberg/parquet table of Common-Crawl-style pages.
-  * Without it, the deterministic synthetic fixture is generated at the
-  * given scale (no external data). The job resumes from the last
-  * committed snapshot automatically: committed waves are skipped.
+  * input is an Iceberg/parquet table of Common-Crawl-style pages; pair
+  * it with `--hosts-table`/`--robots-table` so the seed list and robots
+  * snapshot come from real data too (a real pages table crawled against
+  * the synthetic seed list would fetch nothing). Without them, the
+  * deterministic synthetic fixture is generated at the given scale (no
+  * external data). The job resumes from the last committed snapshot
+  * automatically: committed waves are skipped.
   */
 object CrawlJob {
 
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    // strict pairing: a flag without a value (or a value starting with
+    // --) must be a usage error, not a silently dropped/mispaired flag
+    // that produces a plausible-looking wrong run
+    require(args.length % 2 == 0,
+      s"malformed arguments (flag without value): ${args.mkString(" ")}")
+    val opts = args.sliding(2, 2).map {
+      case Array(k, v) =>
+        require(k.startsWith("--") && !v.startsWith("--"),
+          s"malformed flag pair: $k $v")
+        k.drop(2) -> v
     }.toMap
     val storeDir = opts.getOrElse("store",
       sys.error("--store <dir> is required"))
@@ -61,11 +74,20 @@ object CrawlJob {
           w => FixtureGen.pagesParquet(spark, fx, w, dir)
       }
 
+    // seed list + robots: real tables when supplied (the production
+    // pairing for --pages), else the synthetic fixture's
+    val hostsDs = opts.get("hosts-table")
+      .map(p => spark.read.parquet(p).as[HostConfig])
+      .getOrElse(FixtureGen.hosts(spark, fx))
+    val robotsDs = opts.get("robots-table")
+      .map(p => spark.read.parquet(p).as[RobotsRow])
+      .getOrElse(FixtureGen.robots(spark, fx))
+
     val store = new SnapshotStore(storeDir)
     (0 until waves).foreach { w =>
       val t0 = System.nanoTime()
       val r = WaveEngine.runWave(spark, store, pagesAt(w),
-        FixtureGen.hosts(spark, fx), FixtureGen.robots(spark, fx), w, cc)
+        hostsDs, robotsDs, w, cc)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"wave":${r.wave},"scheduled":${r.scheduled},""" +
         f""""fetched":${r.fetched},"inserted":${r.inserted},""" +

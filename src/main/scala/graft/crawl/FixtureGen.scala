@@ -318,10 +318,22 @@ object FixtureGen {
     * re-running on every downstream action. */
   def pagesParquet(spark: SparkSession, cfg: FixtureCfg, wave: Int,
                    dir: String): Dataset[Page] = {
+    import java.nio.file.{Files, Paths}
     import spark.implicits._
     val path = s"$dir/pages_wave=$wave"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    // the memo is keyed on the FULL FixtureCfg: a leftover parquet from
+    // a run at a different scale must be regenerated, not silently
+    // reused (a stale 50-host snapshot under a 100-host config reads
+    // as 50 broken hosts and silently wrong numbers). The marker is
+    // underscore-prefixed so Spark's parquet reader ignores it.
+    val mark = Paths.get(path, "_fixture_cfg")
+    val cfgStr = cfg.toString
+    val fresh = Files.exists(Paths.get(path)) &&
+      Files.exists(mark) && Files.readString(mark) == cfgStr
+    if (!fresh) {
       pages(spark, cfg, wave).write.mode("overwrite").parquet(path)
+      Files.writeString(mark, cfgStr)
+    }
     spark.read.parquet(path).as[Page]
   }
 
@@ -380,7 +392,10 @@ object FixtureGen {
     case _                   => graft.core.RobotsPolicy.empty
   }
 
-  final case class RobotsRow(host: String, robots_txt: String)
+  // RobotsRow moved to Schemas.scala — it is an engine INPUT row, not a
+  // fixture type; aliases keep existing sources/tests stable
+  type RobotsRow = graft.crawl.RobotsRow
+  val RobotsRow = graft.crawl.RobotsRow
 
   def robots(spark: SparkSession, cfg: FixtureCfg): Dataset[RobotsRow] = {
     import spark.implicits._

@@ -29,7 +29,16 @@ trait FrontierStore extends Serializable {
   /** Drop commits AFTER `wave` (crash simulation / time travel). */
   def rollbackTo(wave: Int): Unit
 
-  def write(df: DataFrame, table: String, wave: Int): Long
+  /** Write + return the row count. Shared default: cache once so the
+    * count and the write scan the same materialization (bindings only
+    * provide [[writeNoCount]]). */
+  def write(df: DataFrame, table: String, wave: Int): Long = {
+    val cached = df.cache()
+    val n = cached.count()
+    writeNoCount(cached, table, wave)
+    cached.unpersist()
+    n
+  }
 
   /** Write without a row-count job (one Spark action instead of two). */
   def writeNoCount(df: DataFrame, table: String, wave: Int): Unit
@@ -72,9 +81,15 @@ final class IcebergFrontierStore(
   }
 
   override def lastCommittedWave: Option[Int] = {
-    var w = 0
-    while (isCommitted(w)) w += 1
-    if (w == 0) None else Some(w - 1)
+    // ONE scan of the commits table (was one isCommitted query + DDL
+    // round-trip PER WAVE in a while loop — O(committed waves) Spark
+    // jobs on every resume); the contiguous-prefix rule is applied to
+    // the collected wave ids (bounded by the wave count, tiny).
+    ensureCommits()
+    val waves = spark.table(commits).select("wave").distinct()
+      .collect().map(_.getInt(0)).sorted
+    waves.zipWithIndex.takeWhile { case (w, i) => w == i }
+      .lastOption.map(_._1)
   }
 
   override def commit(wave: Int, tables: Map[String, Long]): Unit = {
@@ -89,14 +104,6 @@ final class IcebergFrontierStore(
   override def rollbackTo(wave: Int): Unit = {
     ensureCommits()
     spark.sql(s"DELETE FROM $commits WHERE wave > $wave")
-  }
-
-  override def write(df: DataFrame, table: String, wave: Int): Long = {
-    val cached = df.cache()
-    val n = cached.count()
-    writeNoCount(cached, table, wave)
-    cached.unpersist()
-    n
   }
 
   override def writeNoCount(df: DataFrame, table: String, wave: Int): Unit = {

@@ -73,10 +73,19 @@ object HostHealth {
     val dateFacts = frontier.groupBy("host").agg(
       sum(when(col("published").isNull, 1).otherwise(0)).as("n_undated"),
       max(col("published")).as("newest_published"))
+    // validate_date comes from the host's RULE when the hosts frame
+    // carries one (RuleSpec.validate_date — a host that opts out of
+    // date validation must not be classified WarningNoDates/
+    // ErrorOutdate and auto-disabled); hosts frames without a rule
+    // column (bare dimension inputs) default to validating.
+    val vd =
+      if (hosts.columns.contains("rule"))
+        coalesce(col("rule").getField("validate_date"), lit(true))
+      else lit(true)
     val facts = metrics
       .join(dateFacts, Seq("host"), "left")
       .join(hosts.select(col("host"), col("enabled"),
-        lit(true).as("validate_date")), Seq("host"), "left")
+        vd.as("validate_date")), Seq("host"), "left")
       .join(prevStatus, Seq("host"), "left")
       .select(col("host"),
         (col("fetch_failed") > 0 && col("catalog_found") === 0).as("home_failed"),

@@ -74,6 +74,11 @@ object RuleSpec {
       for { e <- r.item_url_revise_exp; p <- r.item_url_revise_rep } yield (e, p))
 }
 
+/** One robots.txt document per host — engine INPUT row (alongside the
+  * pages table and the host dimension), not a fixture type: production
+  * callers supply their own robots snapshot in this shape. */
+final case class RobotsRow(host: String, robots_txt: String)
+
 final case class HostConfig(
     host_id: Int,
     host: String,          // registered host, lowercase

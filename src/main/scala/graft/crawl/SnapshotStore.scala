@@ -66,13 +66,9 @@ final class SnapshotStore(val root: String) extends FrontierStore {
     while (isCommitted(w)) { Files.delete(manifestPath(w)); w += 1 }
   }
 
-  def write(df: DataFrame, table: String, wave: Int): Long = {
-    val out = df.cache()
-    val n = out.count()
-    out.write.mode("overwrite").parquet(dataPath(table, wave))
-    out.unpersist()
-    n
-  }
+  // write(df, table, wave) is inherited from the trait default
+  // (cache → count → writeNoCount → unpersist), shared with the
+  // Iceberg binding.
 
   /** Write without the row-count job (manifest records -1). One Spark
     * action instead of two — the wave engine calls this for tables whose

@@ -199,7 +199,7 @@ object WaveEngine {
       store: FrontierStore,
       pages: Dataset[Page],
       hosts: Dataset[HostConfig],
-      robots: Dataset[FixtureGen.RobotsRow],
+      robots: Dataset[RobotsRow],
       wave: Int,
       cfg: CrawlConfig = CrawlConfig()): WaveResult = {
     import spark.implicits._
@@ -244,9 +244,20 @@ object WaveEngine {
     }
     val homeTargets = seeded.withColumn("home_canon",
       homeCanonUdf($"home", $"rule.page_url_revise_exp", $"rule.page_url_revise_rep"))
+    // one home fetch per HOST even when the pages window carries
+    // several snapshots of a home url (same unique-fetch contract as
+    // the article join at the extraction stage; without it every
+    // downstream per-host stage fans out and the duplicate state rows
+    // COMPOUND across waves). This side is host-sized after the join,
+    // so the always-on window is free: newest snapshot wins, md5(html)
+    // tiebreak keeps the pick deterministic.
+    val homeUniqW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"host").orderBy($"fetched_ts".desc, md5($"html"))
     val homesOk = pages.toDF()
       .select($"url".as("home_canon"), $"html", $"warc_ts".as("fetched_ts"))
       .join(broadcast(homeTargets), Seq("home_canon"), "inner")
+      .withColumn("rn", row_number().over(homeUniqW))
+      .where($"rn" === 1).drop("rn")
       .cache() // host-sized after the join; saves a second full pages scan
     val homesMissing = homeTargets
       .join(homesOk.select($"host".as("ok_host")),
@@ -587,7 +598,7 @@ object WaveEngine {
       .select($"host", lit(true).as("all_failed"))
       .unionByName(budgetDroppedHosts)
       .distinct()
-    val newState = outcomes
+    val wavedState = outcomes
       .map(o => (o.state.host, o.state.lasthandled, o.prevLast,
         o.state.broken_since, o.state.robots_disallow, o.state.robots_allow,
         o.state.robots_delay_ms, o.state.robots_wave))
@@ -599,6 +610,16 @@ object WaveEngine {
           .otherwise($"cand_last").as("lasthandled"),
         $"broken_since", $"robots_disallow", $"robots_allow",
         $"robots_delay_ms", $"robots_wave")
+    // carry forward the state of hosts ABSENT from this wave (disabled
+    // this round, or temporarily off the seed list): the reference
+    // persists lasthandled per site regardless of the enabled flag —
+    // dropping the row would re-walk the whole catalog (and re-insert
+    // TTL-expired articles) on re-enable. Host-sized anti-join.
+    val newState = wavedState
+      .unionByName(prevState.toDF()
+        .join(wavedState.select($"host".as("wh")),
+          $"host" === $"wh", "left_anti")
+        .drop("wh"))
       .as[HostState]
 
     // -- commit (manifest rename = the snapshot swap). Host-sized tables
@@ -658,7 +679,7 @@ object WaveEngine {
       store: FrontierStore,
       pagesAt: Int => Dataset[Page],
       hosts: Dataset[HostConfig],
-      robots: Dataset[FixtureGen.RobotsRow],
+      robots: Dataset[RobotsRow],
       nWaves: Int,
       cfg: CrawlConfig = CrawlConfig()): Seq[WaveResult] =
     (0 until nWaves).map { w =>

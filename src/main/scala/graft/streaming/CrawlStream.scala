@@ -25,7 +25,7 @@ object CrawlStream {
       store: FrontierStore,
       pages: Dataset[Page],          // streaming Dataset (isStreaming)
       hosts: Dataset[HostConfig],
-      robots: Dataset[FixtureGen.RobotsRow],
+      robots: Dataset[graft.crawl.RobotsRow],
       cfg: CrawlConfig,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {

@@ -62,6 +62,25 @@ class FilterSpec extends AnyFunSuite {
     assert(stillThere < del.size / 50, s"$stillThere of ${del.size} remained")
   }
 
+  test("cuckoo: failed inserts roll back the kick chain — no prior item lost") {
+    // drive a deliberately tiny filter past saturation: every item that
+    // ever reported inserted=true must STILL be covered after failures
+    // (pre-rollback, each exhausted kick chain silently evicted the
+    // final victim — an arbitrary previously-inserted fingerprint)
+    val cf = CuckooFilter.create(64)
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    var failures = 0
+    var i = 0
+    while (failures < 10 && i < 100000) {
+      val s = s"overflow-$i"
+      if (cf.insertString(s)) kept += s else failures += 1
+      i += 1
+    }
+    assert(failures == 10, s"filter never saturated after $i inserts")
+    val lost = kept.filterNot(cf.containsString)
+    assert(lost.isEmpty, s"rolled-back inserts lost prior items: $lost")
+  }
+
   test("cuckoo: serialization round-trip") {
     val cf = CuckooFilter.create(1000)
     (0 until 800).foreach(i => cf.insertString(s"u$i"))

@@ -131,4 +131,30 @@ class RuleHealthSpec extends AnyFunSuite {
     assert(HostHealth.nextEnabled(true, HostHealth.WarningNoDates, HostHealth.WarningNoDates))
     assert(!HostHealth.nextEnabled(true, HostHealth.ErrorOutdate, HostHealth.ErrorOutdate))
   }
+
+  test("sweep honors rule.validate_date=false: undated host stays Normal/enabled") {
+    import graft.crawl.{HostConfig, RuleSpec}
+    import spark.implicits._
+    val asOf = Timestamp.valueOf("2024-06-01 00:00:00")
+    val metrics = Seq(("nodates.com", 0, 5), ("strict.com", 0, 5))
+      .toDF("host", "fetch_failed", "catalog_found")
+    val frontier = Seq(
+      ("nodates.com", None: Option[Timestamp]),
+      ("strict.com", None: Option[Timestamp]))
+      .toDF("host", "published")
+    val hosts = spark.createDataset(Seq(
+      HostConfig(1, "nodates.com", "http://nodates.com/", 1, enabled = true,
+        100L, 1, rule = Some(RuleSpec("XPath", "//li", validate_date = false))),
+      HostConfig(2, "strict.com", "http://strict.com/", 1, enabled = true,
+        100L, 1))).toDF()
+    val prev = Seq(("nodates.com", HostHealth.Normal),
+      ("strict.com", HostHealth.Normal)).toDF("host", "prev_status")
+    val got = HostHealth.sweep(metrics, frontier, hosts, prev, asOf)
+      .select("host", "status", "next_enabled").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    // same undated facts: the opted-out host must NOT be flagged or
+    // auto-disabled; the validating host must
+    assert(got("nodates.com") == ((HostHealth.Normal, true)))
+    assert(got("strict.com") == ((HostHealth.WarningNoDates, false)))
+  }
 }

@@ -132,6 +132,64 @@ class WaveEdgeSpec extends AnyFunSuite {
       "the NEWEST snapshot (warc_ts desc) must win")
   }
 
+  test("duplicate home snapshots: one state row, newest catalog wins") {
+    import spark.implicits._
+    val host = "duph.example.com"
+    val hosts = spark.createDataset(Seq(
+      HostConfig(1, host, s"http://$host/", 1, enabled = true, 100L, 1)))
+    val robots = spark.createDataset(Seq(FixtureGen.RobotsRow(host, "")))
+    val s = newStore()
+    val ts1 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2024-06-02 00:00:00")
+    def homeOf(n: Int): Array[Byte] = {
+      val lis = (0 until n).map(j =>
+        s"""<li><a href="http://$host/a/$j.html">Story number $j</a>""" +
+          s"""<span>2024-02-0${j + 1} 10:00</span></li>""").mkString
+      s"<html><body><ul>$lis</ul></body></html>".getBytes("UTF-8")
+    }
+    def art(j: Int) = ("<html><body><h1>Story</h1><div>" +
+      (0 until 4).map(k =>
+        s"<p>The number-$j report part $k brings further detail about " +
+          "the situation, and the description keeps going with more " +
+          "sentences so the extractor's density scan sees content.</p>")
+        .mkString + "</div></body></html>").getBytes("UTF-8")
+    // TWO home snapshots in the window: the newer one lists 3 items
+    val pages = Seq(
+      Page(s"http://$host/", ts1, homeOf(2), "", "en"),
+      Page(s"http://$host/", ts2, homeOf(3), "", "en")) ++
+      (0 until 3).map(j => Page(s"http://$host/a/$j.html", ts1, art(j), "", "en"))
+    WaveEngine.runWave(spark, s, spark.createDataset(pages), hosts, robots, 0, cc)
+    assert(s.read(spark, "state", 0).where($"host" === host).count() == 1,
+      "dup home snapshots must not fan out into duplicate state rows")
+    assert(s.read(spark, "frontier", 0).count() == 3,
+      "the NEWEST home snapshot's catalog must win")
+    val m = s.read(spark, "metrics", 0).where($"host" === host).head()
+    assert(m.getAs[Int]("scheduled") == 3 && m.getAs[Int]("fetched_ok") == 3,
+      "per-host metrics must count each fetch once")
+  }
+
+  test("a disabled wave keeps a host's carried state (lasthandled survives)") {
+    import spark.implicits._
+    val s = newStore()
+    runAll(s, 1) // wave 0: all fixture hosts enabled
+    val st0 = s.read(spark, "state", 0)
+      .select("host", "lasthandled").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(st0.nonEmpty && st0.values.exists(_.isDefined))
+    // wave 1: every host disabled — the reference persists per-site
+    // checkpoints regardless of the enabled flag
+    val disabled = FixtureGen.hosts(spark, fx).map(_.copy(enabled = false))
+    WaveEngine.runWave(spark, s,
+      FixtureGen.pagesParquet(spark, fx, 1, pagesDir),
+      disabled, FixtureGen.robots(spark, fx), 1, cc)
+    val st1 = s.read(spark, "state", 1)
+      .select("host", "lasthandled").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(st1 == st0,
+      "a wave with the host disabled must carry its state forward unchanged")
+    assert(s.read(spark, "frontier", 1).count() == 0)
+  }
+
   test("budget-dropped hosts defer: checkpoint reverts like the all-failed path") {
     val s = newStore(); runAll(s, 1, cc.copy(maxTasksPerWave = 10))
     def stateMap(st: SnapshotStore) = st.read(spark, "state", 0)
