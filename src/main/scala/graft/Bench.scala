@@ -348,11 +348,18 @@ object Bench {
     // far better sample than a slow-window measurement would.
     var waitedSec = 0
     def awaitCleanWindow(pairEstSec: Double): Unit = {
-      var deliverable = spinThroughput(nHi) / spinThroughput(nLo)
+      // probe with the extract KERNEL, not the register-only spin: a
+      // measured window delivered spin 3.9 while the kernel (and the
+      // whole string-heavy pipeline) could only get 2.7 — memory-
+      // bandwidth/turbo decay is invisible to ALU-only work, so a spin
+      // gate green-lights windows the pipeline cannot scale in.
+      def kernelRatio(): Double =
+        extractThroughput(nHi) / extractThroughput(nLo)
+      var deliverable = kernelRatio()
       while (deliverable < 3.0 && waitedSec < 360 &&
              (budgetSec - elapsed) > pairEstSec * 1.3 + 120) {
         Thread.sleep(90000); waitedSec += 90
-        deliverable = spinThroughput(nHi) / spinThroughput(nLo)
+        deliverable = kernelRatio()
       }
     }
 
