@@ -47,9 +47,14 @@ object CatalogDetect {
 
   private def effectiveBase(html: String, baseUrl: String): String = {
     val m = basePat.matcher(html)
-    if (m.find())
-      Option(m.group(2)).orElse(Option(m.group(3))).getOrElse(baseUrl)
-    else baseUrl
+    if (m.find()) {
+      val b = Option(m.group(2)).orElse(Option(m.group(3))).getOrElse(baseUrl)
+      // a relative <base href> ("/en/", "//cdn.example.com/") must
+      // itself be absolutized against the page URL (HtmlHelper.cs:42-55)
+      // — used verbatim it would leave every relative link unresolved
+      // and the host would silently yield zero fetchable items
+      UrlCanon.resolve(baseUrl, b)
+    } else baseUrl
   }
 
   private def isValidLink(href: String): Boolean =

@@ -262,12 +262,20 @@ object LinkTreeDetect {
               col.foreach(_.updateRelations(null))
           }
           leafNodes = root.descendants(leafOnly = true).toVector
-          val byColumn2 = leafNodes.groupBy(_.segments.drop(drDepth).mkString("/"))
-          // among duplicate-url columns keep the min-avg-text one
-          val dupCols = byColumn2.values
-            .filter(col => col.map(_.link.url).distinct.size > 1)
-            .map(col => (col, col.map(_.link.text.length).sum / col.size))
-            .toVector.sortBy(_._2)
+          val colKey = (n: TNode) => n.segments.drop(drDepth).mkString("/")
+          val byColumn2 = leafNodes.groupBy(colKey)
+          // among duplicate-url columns keep the min-avg-text one;
+          // equal averages tie-break on DOCUMENT ORDER of the column's
+          // first link (the reference's LINQ GroupBy is insertion-
+          // ordered and OrderBy stable — a HashMap-iteration tie-break
+          // would pick a different survivor across runs/Scala versions)
+          val firstIdx: Map[String, Int] = leafNodes.zipWithIndex
+            .groupMapReduce(p => colKey(p._1))(_._2)(math.min)
+          val dupCols = byColumn2.toVector
+            .filter { case (_, col) => col.map(_.link.url).distinct.size > 1 }
+            .map { case (key, col) =>
+              (col, col.map(_.link.text.length).sum / col.size, firstIdx(key)) }
+            .sortBy { case (_, avg, idx) => (avg, idx) }
           dupCols.drop(1).foreach(_._1.foreach(_.updateRelations(null)))
           root = root.simplify()
         }

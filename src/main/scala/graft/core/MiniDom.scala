@@ -31,6 +31,35 @@ final class DomNode(
     walk(this)
     sb.toString
   }
+
+  /** Serialized markup of the node's CHILDREN (≈ HtmlAgilityPack's
+    * `InnerHtml`, which the reference stores as an article's
+    * content-with-tags under an XPath content override,
+    * HtmlAnalyzer.cs:183). MiniDom keeps no source offsets, so this is
+    * re-serialized from the tree: tags lowercase, attributes
+    * double-quoted in name order — structurally faithful, not
+    * byte-identical to the input (documented deviation). */
+  def innerHtml: String = {
+    val sb = new java.lang.StringBuilder
+    def walk(n: DomNode): Unit = {
+      if (n.isText) sb.append(n.text)
+      else {
+        sb.append('<').append(n.tag)
+        n.attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          sb.append(' ').append(k).append("=\"")
+            .append(v.replace("\"", "&quot;")).append('"')
+        }
+        if (n.children.isEmpty) sb.append("/>")
+        else {
+          sb.append('>')
+          n.children.foreach(walk)
+          sb.append("</").append(n.tag).append('>')
+        }
+      }
+    }
+    children.foreach(walk)
+    sb.toString
+  }
 }
 
 /** Minimal lenient HTML parser — just enough tree for the XPath rule
@@ -106,12 +135,24 @@ object MiniDom {
           while (n != null && n.tag != name) n = n.parent
           if (n != null && (n ne root)) cur = n.parent
         } else {
-          val selfClose = m.group(8) == "/" || voidTags.contains(name)
+          // HTML5: a '/' immediately ending an UNQUOTED attribute value
+          // belongs to the value, not a self-close marker
+          // (<a href=/news/123/> keeps the trailing slash and stays
+          // open — treating it as self-closing orphans the anchor text
+          // and changes the canonical URL)
+          var attrsStr = m.group(7)
+          var selfMark = m.group(8) == "/"
+          if (selfMark && attrsStr != null &&
+              attrsStr.matches("(?s).*=\\s*[^\\s>\"']*")) {
+            attrsStr += "/"
+            selfMark = false
+          }
+          val selfClose = selfMark || voidTags.contains(name)
           // implied closes (li-before-li etc.)
           impliedClose.get(name).foreach { closes =>
             if (!cur.eq(root) && closes.contains(cur.tag)) cur = cur.parent
           }
-          val node = new DomNode(name, parseAttrs(m.group(7)), "", cur)
+          val node = new DomNode(name, parseAttrs(attrsStr), "", cur)
           cur.children += node
           if (!selfClose) {
             if (rawTextTags.contains(name)) {

@@ -24,7 +24,13 @@ import java.util.regex.Pattern
   *  - Article-stage overrides (ParseArticle, HtmlAnalyzer.cs:155-235)
   *    → [[parseArticle]]: XPath overrides any of title/date/author/
   *    content; JPath REPLACES the whole article; Regex overrides
-  *    date/author only — exactly the reference's switch.
+  *    date/author only — the reference's switch, with one DOCUMENTED
+  *    deviation: when an XPath override expression matches NO node we
+  *    keep the auto-extracted value, where the reference overwrites
+  *    the field with an empty string (HtmlAnalyzer.cs:168-184). The
+  *    lenient choice degrades gracefully on site redesigns at the cost
+  *    of masking a stale rule; flip by removing the orElse/getOrElse
+  *    fallbacks in the XPath branch.
   */
 final case class CatalogRule(
     matchType: String,                    // "XPath" | "Regex" | "JPath"
@@ -71,6 +77,15 @@ object RuleEngine {
     * (mirroring the auto path, HtmlAnalyzer.cs:328-334). */
   def detect(content: String, pageUrl: String, rule: CatalogRule): Vector[CatalogItem] = {
     if (content == null || content.isEmpty) return Vector.empty
+    // Reference fallback (HtmlAnalyzer.cs:46-48): a rule whose catalog
+    // item expression is EMPTY — e.g. one that only sets article-stage
+    // overrides — falls back to full auto-detection; treating "" as a
+    // literal (empty) path would leave the host's catalog permanently
+    // empty. XPath root mode is exempt: there the containers come from
+    // rootExp and itemExp is legitimately unused.
+    if ((rule.itemExp == null || rule.itemExp.isEmpty) &&
+        !(rule.matchType == "XPath" && rule.rootExp.exists(_.nonEmpty)))
+      return CatalogDetect.detect(content, pageUrl)
     val raw: Vector[(String, String, Option[String])] = rule.matchType match {
       case "XPath" => return xpathCatalog(content, pageUrl, rule)
       case "Regex" =>
@@ -102,7 +117,11 @@ object RuleEngine {
         throw new IllegalArgumentException(s"unknown rule matchType: $other")
     }
     canonDedup(raw.map { case (u, t, d) =>
-      (u, t, d.flatMap(ArticleExtractor.parseDate), None)
+      // find-based parse (Html2Article.GetPublishDate): rule-supplied
+      // date strings are routinely decorated ("2024-06-01T08:30:00",
+      // "发布于 2024-06-01") — the strict whole-string parse would
+      // drop the date the reference extracts
+      (u, t, d.flatMap(ArticleExtractor.getPublishDate), None)
     }, pageUrl, rule)
   }
 
@@ -156,64 +175,15 @@ object RuleEngine {
         }.filter(_._1.nonEmpty)
         canonDedup(raw, pageUrl, rule)
       case None =>
-        // Block.ContainerPath / RelativeLinkXPath split (HtmlAnalyzer.cs:687-720)
-        val linkPath = rule.itemExp
-        val starIdx = linkPath.lastIndexOf("[*]")
-        val (containerPath, relLink) =
-          if (starIdx < 0) (linkPath, ".")
-          else (linkPath.substring(0, starIdx),
-            "." + linkPath.substring(starIdx + 3))
-        final case class Raw(url: String, title: String,
-            date: Option[java.time.LocalDateTime], dateRaw: Option[String]) {
-          // CatalogItem.HasDate: parsed date OR partial raw date string
-          // (HtmlAnalyzer.cs:732-738)
-          def hasDate: Boolean = date.isDefined || dateRaw.isDefined
-        }
-        var items = MiniXPath.selectNodes(doc, containerPath).flatMap { block =>
-          val linkNode =
-            if (relLink == ".") Some(block)
-            else MiniXPath.selectSingle(block, relLink)
-          linkNode.flatMap { ln =>
-            ln.attr("href").filter(_.nonEmpty).map { href =>
-              // date FOUND anywhere in the container's full text —
-              // both the parsed and raw forms, like the reference
-              // (GetPublishDate/GetPublishDateRaw(blockNode.InnerText),
-              // HtmlAnalyzer.cs:320-323)
-              val blockText = block.innerText
-              Raw(href,
-                TextNormalize.normalizeText(ln.innerText),
-                ArticleExtractor.getPublishDate(blockText),
-                ArticleExtractor.getPublishDateRaw(blockText))
-            }
-          }
-        }
-        // dedup by url keeping the first TITLED item, in first-occurrence
-        // order; untitled-only urls are dropped (HtmlAnalyzer.cs:328-335)
-        locally {
-          val order = Vector.newBuilder[String]
-          val seenUrl = scala.collection.mutable.HashSet.empty[String]
-          val chosen = scala.collection.mutable.HashMap.empty[String, Raw]
-          items.foreach { r =>
-            if (seenUrl.add(r.url)) order += r.url
-            if (!chosen.contains(r.url) && r.title.nonEmpty) chosen.put(r.url, r)
-          }
-          items = order.result().flatMap(chosen.get)
-        }
-        // trim undated head/tail when the dated run is significant (W4);
-        // "dated" = HasDate (parsed OR raw partial date — cs:341-344)
-        if (rule.validateDate &&
-            items.count(_.hasDate) >= MinLinkCountDated) {
-          val from = items.indexWhere(_.hasDate)
-          val last = items.lastIndexWhere(_.hasDate)
-          items = items.slice(from, last + 1)
-        }
-        // trim short-text head/tail links — the guard mirrors the
-        // reference literally, quirks included (HtmlAnalyzer.cs:356-363)
-        val fromIdx = items.indexWhere(_.title.length >= MinLinkTextLenSafe)
-        val endIdx = items.lastIndexWhere(_.title.length >= MinLinkTextLenSafe)
-        if (fromIdx > 0 || endIdx > 0)
-          items = items.slice(fromIdx, endIdx + 1)
-        canonDedup(items.map(r => (r.url, r.title, r.date, r.dateRaw)),
+        // Block.ContainerPath / RelativeLinkXPath split
+        // (HtmlAnalyzer.cs:687-720) — SHARED with the auto path:
+        // LinkTreeDetect.itemsFromLinkPath IS the rule link-path
+        // semantics (container/[*] split, titled-first dedup, W4
+        // dated-run trim, short-text trim). One copy, one set of
+        // reference quirks.
+        val items = LinkTreeDetect.itemsFromLinkPath(doc, rule.itemExp,
+          rule.validateDate)
+        canonDedup(items.map(r => (r.url, r.title, r.published, r.publishedRaw)),
           pageUrl, rule)
     }
   }
@@ -240,6 +210,12 @@ object RuleEngine {
           def txt(exp: Option[String]): Option[String] =
             exp.filter(_.nonEmpty)
               .flatMap(e => MiniXPath.selectSingle(doc, e)).map(_.innerText)
+          // content node selected ONCE; with-tags is the node's
+          // innerHtml (reference assigns InnerHtml, HtmlAnalyzer.cs:183
+          // — innerText here silently stripped every tag from the
+          // stored contenthtml of rule-extracted articles)
+          val contentNode = r.artContentExp.filter(_.nonEmpty)
+            .flatMap(e => MiniXPath.selectSingle(doc, e))
           auto.copy(
             title = txt(r.artTitleExp)
               .map(TextNormalize.normalizeText).getOrElse(auto.title),
@@ -247,9 +223,10 @@ object RuleEngine {
               .flatMap(ArticleExtractor.getPublishDate).orElse(auto.published),
             author = txt(r.artAuthorExp)
               .map(TextNormalize.normalizeText).orElse(auto.author),
-            content = txt(r.artContentExp)
-              .map(TextNormalize.normalizeText).getOrElse(auto.content),
-            contentWithTags = txt(r.artContentExp).getOrElse(auto.contentWithTags))
+            content = contentNode.map(n => TextNormalize.normalizeText(n.innerText))
+              .getOrElse(auto.content),
+            contentWithTags = contentNode.map(_.innerHtml)
+              .getOrElse(auto.contentWithTags))
         case "JPath" =>
           // full replacement from the JSON article document
           // (HtmlAnalyzer.cs:187-204); unparseable JSON → auto draft
@@ -270,7 +247,10 @@ object RuleEngine {
                 content = TextNormalize.normalizeText(
                   rawContent.map(TextNormalize.trimHtmlTags).getOrElse("")),
                 contentWithTags = rawContent.getOrElse(""),
-                published = tok(r.artDateExp).flatMap(ArticleExtractor.parseDate),
+                // find-based (GetPublishDate, HtmlAnalyzer.cs:200):
+                // ISO-8601 JSON timestamps etc. carry the date inside
+                // a longer token the strict parse rejects
+                published = tok(r.artDateExp).flatMap(ArticleExtractor.getPublishDate),
                 author = tok(r.artAuthorExp).map(TextNormalize.normalizeText))
           }
         case "Regex" =>

@@ -99,6 +99,22 @@ object UrlCanon {
     val r = rel.trim
     if (r.regionMatches(true, 0, "http://", 0, 7) ||
         r.regionMatches(true, 0, "https://", 0, 8)) return r
+    // any other explicit scheme (mailto:, tel:, data:, ftp:, …) is
+    // already absolute — the reference's `new Uri(base, link)` keeps it
+    // as-is; gluing it onto the base path would enqueue phantom http
+    // fetches and pollute the seen-set with bogus canonical keys
+    val ci = r.indexOf(':')
+    if (ci > 0 && r.charAt(0).isLetter && {
+          val sl = r.indexOf('/'); sl < 0 || ci < sl
+        } && {
+          var i = 1; var ok = true
+          while (ok && i < ci) {
+            val c = r.charAt(i)
+            ok = c.isLetter || c.isDigit || c == '+' || c == '-' || c == '.'
+            i += 1
+          }
+          ok
+        }) return r
     val b = if (base == null) "" else base.trim
     val scheme =
       if (b.regionMatches(true, 0, "https://", 0, 8)) "https"
@@ -138,7 +154,10 @@ object UrlCanon {
     val bm = baseHrefPat.matcher(html)
     val base =
       if (bm.find())
-        Option(bm.group(2)).orElse(Option(bm.group(3))).getOrElse(pageUrl)
+        // a relative <base href> is itself resolved against the page
+        // URL first (HtmlHelper.cs:42-55)
+        resolve(pageUrl,
+          Option(bm.group(2)).orElse(Option(bm.group(3))).getOrElse(pageUrl))
       else pageUrl
     val m = hrefSrcAttr.matcher(html)
     val sb = new java.lang.StringBuilder

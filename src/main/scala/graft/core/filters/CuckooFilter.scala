@@ -132,10 +132,18 @@ object CuckooFilter {
     (if (f == 0) 0x5bd1 else f).toShort
   }
 
-  /** Capacity for n items at ~95% load of 4-slot buckets. */
+  /** Capacity for n items at ~95% load of 4-slot buckets. Bucket count
+    * is computed in Long and CLAMPED at 2^28 (2^30 slots ≈ 2 GiB
+    * table — the practical single-array JVM ceiling): Int arithmetic
+    * used to wrap for expectedItems ≳1.1e9 into a negative/zero-length
+    * table. Beyond the clamp a filter reports inserts as failed
+    * (n_dropped — visible, not a crash); bigger seen-sets scale OUT
+    * via more hostBuckets × salt sketch buckets, not one giant table. */
   def create(expectedItems: Int): CuckooFilter = {
-    val needed = math.max(1, math.ceil(expectedItems / (SlotsPerBucket * 0.95)).toInt)
-    val buckets = Integer.highestOneBit(math.max(1, needed - 1)) * 2
+    val needed = math.max(1L,
+      math.ceil(expectedItems.toDouble / (SlotsPerBucket * 0.95)).toLong)
+    val pow2 = java.lang.Long.highestOneBit(math.max(1L, needed - 1)) * 2L
+    val buckets = math.min(pow2, 1L << 28).toInt
     new CuckooFilter(buckets, new Array[Short](buckets * SlotsPerBucket), 0)
   }
 

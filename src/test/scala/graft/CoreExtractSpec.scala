@@ -207,4 +207,63 @@ class CoreExtractSpec extends AnyFunSuite {
     val a = ArticleExtractor.extract(html)
     assert(a.content.contains("Line oriented scanning"))
   }
+
+  // --- round-3 core review fixes -------------------------------------
+
+  test("resolve: foreign schemes pass through untouched") {
+    assert(UrlCanon.resolve("http://s.com/news/", "mailto:ed@s.com")
+      == "mailto:ed@s.com")
+    assert(UrlCanon.resolve("http://s.com/news/", "tel:+1-555")
+      == "tel:+1-555")
+    assert(UrlCanon.resolve("http://s.com/news/", "ftp://f.com/a")
+      == "ftp://f.com/a")
+    // but ordinary relatives still resolve
+    assert(UrlCanon.resolve("http://s.com/news/", "a/1.html")
+      == "http://s.com/news/a/1.html")
+    // and query/fragment forms are untouched by the scheme check
+    assert(UrlCanon.resolve("http://s.com/p", "?q=a:b") == "http://s.com/p?q=a:b")
+  }
+
+  test("relative <base href> is absolutized against the page URL") {
+    val html = """<html><head><base href="/en/"></head>
+      |<body><a href="news/1.html">x</a></body></html>""".stripMargin
+    val out = UrlCanon.resolveHtmlUrls(html, "http://x.com/a/index.html")
+    assert(out.contains("href=\"http://x.com/en/news/1.html\""), out)
+  }
+
+  test("MiniDom: '/' ending an unquoted attr value stays in the value") {
+    val doc = MiniDom.parse("<div><a href=/news/123/>Story</a></div>")
+    val a = doc.children.head.children.head
+    assert(a.tag == "a" && a.attr("href").contains("/news/123/"))
+    assert(a.innerText == "Story",
+      "the anchor must not be self-closing — its text belongs inside")
+    // whitespace-separated '/' is still a self-close marker
+    val d2 = MiniDom.parse("<div><span a=1 /></div>")
+    assert(d2.children.head.children.head.children.isEmpty)
+  }
+
+  test("rule with empty itemExp falls back to auto catalog detection") {
+    val lis = (0 until 5).map(j =>
+      s"""<li><a href="/a/$j.html">Catalog story number $j</a></li>""").mkString
+    val html = s"<html><body><ul>$lis</ul></body></html>"
+    val rule = CatalogRule("XPath", itemExp = "",
+      artContentExp = Some("//div[@id='c']"))
+    val items = RuleEngine.detect(html, "http://h.com/", rule)
+    assert(items.size == 5, s"auto fallback must find the list: $items")
+  }
+
+  test("JPath dates parse find-based (ISO-8601 inside a longer token)") {
+    assert(ArticleExtractor.getPublishDate("2024-06-01T08:30:00")
+      .contains(java.time.LocalDateTime.of(2024, 6, 1, 0, 0)))
+  }
+
+  test("XPath content override stores innerHtml as content-with-tags") {
+    val html = """<html><body><div id="c"><p>Hello <b>world</b></p></div>
+      |<p>Other</p></body></html>""".stripMargin
+    val rule = CatalogRule("XPath", "//ul/li[*]/a",
+      artContentExp = Some("//div[@id='c']"))
+    val d = RuleEngine.parseArticle(html, Some(rule))
+    assert(d.contentWithTags == "<p>Hello <b>world</b></p>", d.contentWithTags)
+    assert(d.content == "Hello world")
+  }
 }
