@@ -540,20 +540,20 @@ object SparkEntry {
     "q19_text_stats" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tokens,
         |  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
         |  len(regexp_extract_all(text, '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS n_stop,
         |  CASE WHEN length(text) = 0 THEN 'empty'
         |    WHEN (length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))) * 10 > length(text) THEN 'cjk'
         |    ELSE 'latin' END AS lang_guess,
         |  (CASE WHEN length(trim(text)) = 0 THEN 0
-        |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END >= 20)
+        |     ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END >= 20)
         |  AND (len(regexp_extract_all(text, '\b(the|a|an|and|of|to|in|is|it|for)\b')) * 50
         |       >= CASE WHEN length(trim(text)) = 0 THEN 0
-        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |          ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END)
         |  AND (len(regexp_extract_all(text, '[.,!?;:]')) * 5
         |       <= CASE WHEN length(trim(text)) = 0 THEN 0
-        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS quality_ok
+        |          ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END) AS quality_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     // q42: full integer replay of the Rabin-Karp rolling hash — same
     // token split, same md5-prefix token hash, same (h*B + th) % M
@@ -563,24 +563,24 @@ object SparkEntry {
         |  list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
         |      list_transform(
-        |        list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |        list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
         |                    t -> t <> ''),
         |        t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT))),
         |    (h, th) -> (h * 1000003 + th) % 2147483647) AS rh
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q43_bpe_tokens" ->
       """SELECT doc_id,
-        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS n_bpe,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws
+        |    ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_ws
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q20_exact_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM documents
-        |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |GROUP BY md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))))
         |ORDER BY keep_id""".stripMargin,
     "q21_ngram_jaccard" ->
       """WITH words AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
         |  FROM documents),
         |sh0 AS (
         |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
@@ -663,7 +663,7 @@ object SparkEntry {
     // exactly what this oracle is for.
     "q26_minhash_lsh" ->
       """WITH words AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
@@ -739,7 +739,7 @@ object SparkEntry {
     "q27_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |    unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS tok
         |  FROM documents),
         |th AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
         |       FROM toks WHERE tok <> ''),
@@ -825,7 +825,7 @@ object SparkEntry {
     // fixpoint — any missed merge or early stop is a hash mismatch.
     "q44_dup_clusters" ->
       """WITH RECURSIVE words AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s

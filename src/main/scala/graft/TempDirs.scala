@@ -35,13 +35,20 @@ object TempDirs {
     * write-once-read-many, so their mtime freezes at generation time —
     * an age gate alone would let a later concurrent run reap a LIVE
     * run's input mid-flight. sweepStale only reclaims marked dirs whose
-    * owning JVM is gone. */
+    * owning JVM is gone. The marker records the owner's START TIME next
+    * to the pid so a pid later RECYCLED to an unrelated long-lived
+    * process doesn't keep the leak alive forever (pid alone can't tell
+    * "my owner" from "whoever got its number next"). */
   def cleanupOnExit(dir: String): String = {
     try {
       new File(dir).mkdirs()
+      val ph = ProcessHandle.current()
+      val start = {
+        val s = ph.info().startInstant()
+        if (s.isPresent) s.get.toEpochMilli.toString else "?"
+      }
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(dir, OwnerMarker),
-        ProcessHandle.current().pid().toString)
+        java.nio.file.Paths.get(dir, OwnerMarker), s"${ph.pid()} $start")
     } catch { case _: Throwable => () }
     Runtime.getRuntime.addShutdownHook(new Thread(new Runnable {
       def run(): Unit =
@@ -50,31 +57,59 @@ object TempDirs {
     dir
   }
 
-  private def ownerPid(f: File): Option[Long] =
+  /** Parsed marker: (pid, recorded start-epoch-ms if stamped). Older
+    * one-field markers parse as (pid, None). */
+  private def ownerInfo(f: File): Option[(Long, Option[Long])] =
     try {
       val m = new File(f, OwnerMarker)
-      if (m.isFile)
-        Some(java.nio.file.Files.readString(m.toPath).trim.toLong)
-      else None
+      if (!m.isFile) None
+      else {
+        val parts = java.nio.file.Files.readString(m.toPath).trim
+          .split("\\s+")
+        Some((parts(0).toLong,
+          if (parts.length > 1) parts(1).toLongOption else None))
+      }
     } catch { case _: Throwable => None }
+
+  /** True iff the marker's pid refers to the SAME process that wrote
+    * it: the pid must be present AND (when both sides have a start
+    * stamp) the start times must agree — a recycled pid with a
+    * different start time is not the owner. Unknowable start times
+    * resolve to "alive" (conservative: never reap a live run). */
+  private def ownerAlive(pid: Long, recordedStart: Option[Long]): Boolean = {
+    val oh = ProcessHandle.of(pid)
+    if (!oh.isPresent) false
+    else recordedStart match {
+      case Some(rec) =>
+        val s = oh.get.info().startInstant()
+        if (s.isPresent) s.get.toEpochMilli == rec else true
+      case None => true
+    }
+  }
 
   /** Delete leaked scratch dirs from PRIOR dead runs: any dir under
     * java.io.tmpdir with an owned prefix whose recorded owner process
-    * is gone (immediate reclaim — no waiting), or, for unmarked dirs
-    * (older layouts), not modified for `maxAgeMs`. A dir whose owner
-    * pid is still alive is NEVER touched, regardless of age. */
-  def sweepStale(maxAgeMs: Long = 3600L * 1000): Unit = {
+    * is gone — including a pid RECYCLED to a process with a different
+    * start time — (immediate reclaim), or, for unmarked dirs (older
+    * layouts), not modified for `maxAgeMs`. A marked dir whose owner
+    * looks alive is still reclaimed past `markedMaxAgeMs` (default 7
+    * days) — the backstop for markers written without a start stamp on
+    * JVMs that can't report one; no bench run lives that long. */
+  def sweepStale(maxAgeMs: Long = 3600L * 1000,
+                 markedMaxAgeMs: Long = 7L * 86400 * 1000): Unit = {
     val tmp = new File(System.getProperty("java.io.tmpdir"))
-    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val now = System.currentTimeMillis()
+    val cutoff = now - maxAgeMs
+    val markedCutoff = now - markedMaxAgeMs
     val fs = tmp.listFiles()
     if (fs != null) fs.foreach { f =>
       if (f.isDirectory && prefixes.exists(f.getName.startsWith)) {
-        val pid = ownerPid(f)
-        val alive = pid.exists(p => ProcessHandle.of(p).isPresent)
-        val reclaim =
-          if (alive) false
-          else if (pid.isDefined) true       // owner dead: reclaim now
-          else f.lastModified < cutoff        // unmarked: age gate
+        val info = ownerInfo(f)
+        val reclaim = info match {
+          case Some((pid, start)) =>
+            !ownerAlive(pid, start) || f.lastModified < markedCutoff
+          case None => f.lastModified < cutoff // unmarked: age gate
+        }
         if (reclaim)
           try deleteRec(f) catch { case _: Throwable => () }
       }

@@ -38,7 +38,12 @@ final class DomNode(
     * HtmlAnalyzer.cs:183). MiniDom keeps no source offsets, so this is
     * re-serialized from the tree: tags lowercase, attributes
     * double-quoted in name order — structurally faithful, not
-    * byte-identical to the input (documented deviation). */
+    * byte-identical to the input (documented deviation). Text nodes
+    * hold RAW source text (entities are never decoded at parse time),
+    * so emitting them verbatim IS source parity; attribute values are
+    * re-quoted, so they escape `"`/`<` and any `&` that does not
+    * already start an entity reference (see [[MiniDom.escapeAttr]]) —
+    * otherwise the serialized form could re-parse differently. */
   def innerHtml: String = {
     val sb = new java.lang.StringBuilder
     def walk(n: DomNode): Unit = {
@@ -47,7 +52,7 @@ final class DomNode(
         sb.append('<').append(n.tag)
         n.attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
           sb.append(' ').append(k).append("=\"")
-            .append(v.replace("\"", "&quot;")).append('"')
+            .append(MiniDom.escapeAttr(v)).append('"')
         }
         if (n.children.isEmpty) sb.append("/>")
         else {
@@ -92,6 +97,21 @@ object MiniDom {
 
   private val tagPat = Pattern.compile(
     "(?s)<(?:(!--.*?--)|(!\\[CDATA\\[.*?]])|(![^>]*)|(\\?[^>]*)|(/?)([a-zA-Z][a-zA-Z0-9:-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?))>")
+
+  // '&' NOT already starting an entity reference (named / decimal / hex).
+  // Attribute values hold RAW source text, so '&amp;' in the source must
+  // stay '&amp;' — blanket escaping would double-escape it.
+  private val bareAmp = Pattern.compile(
+    "&(?![a-zA-Z][a-zA-Z0-9]*;|#[0-9]+;|#[xX][0-9a-fA-F]+;)")
+
+  /** Escape a raw-source attribute value for double-quoted
+    * re-serialization: bare `&` → `&amp;` first (so inserted entities
+    * below are not re-escaped), then `<` → `&lt;` (never legal raw in a
+    * re-emitted value) and `"` → `&quot;` (the source may have
+    * single-quoted it). */
+  private[core] def escapeAttr(v: String): String =
+    bareAmp.matcher(v).replaceAll("&amp;")
+      .replace("<", "&lt;").replace("\"", "&quot;")
   private val attrPat = Pattern.compile(
     "([a-zA-Z_:][-a-zA-Z0-9_:.]*)\\s*(?:=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+)))?")
 

@@ -77,14 +77,18 @@ object RuleEngine {
     * (mirroring the auto path, HtmlAnalyzer.cs:328-334). */
   def detect(content: String, pageUrl: String, rule: CatalogRule): Vector[CatalogItem] = {
     if (content == null || content.isEmpty) return Vector.empty
-    // Reference fallback (HtmlAnalyzer.cs:46-48): a rule whose catalog
-    // item expression is EMPTY — e.g. one that only sets article-stage
-    // overrides — falls back to full auto-detection; treating "" as a
+    // Reference fallback (HtmlAnalyzer.cs:45-48): ONLY the XPath branch
+    // auto-detects when the catalog item expression is EMPTY — e.g. a
+    // rule that only sets article-stage overrides; treating "" as a
     // literal (empty) path would leave the host's catalog permanently
     // empty. XPath root mode is exempt: there the containers come from
-    // rootExp and itemExp is legitimately unused.
-    if ((rule.itemExp == null || rule.itemExp.isEmpty) &&
-        !(rule.matchType == "XPath" && rule.rootExp.exists(_.nonEmpty)))
+    // rootExp and itemExp is legitimately unused. JPath runs its select
+    // regardless (HtmlAnalyzer.cs:84-91 — an empty path over the JSON
+    // doc yields nothing), and the reference's Regex branch is
+    // NotImplementedException (cs:92-93; ours is a documented
+    // extension) — neither ever falls back to HTML auto-detection.
+    if (rule.matchType == "XPath" && (rule.itemExp == null || rule.itemExp.isEmpty) &&
+        !rule.rootExp.exists(_.nonEmpty))
       return CatalogDetect.detect(content, pageUrl)
     val raw: Vector[(String, String, Option[String])] = rule.matchType match {
       case "XPath" => return xpathCatalog(content, pageUrl, rule)
@@ -225,7 +229,11 @@ object RuleEngine {
               .map(TextNormalize.normalizeText).orElse(auto.author),
             content = contentNode.map(n => TextNormalize.normalizeText(n.innerText))
               .getOrElse(auto.content),
-            contentWithTags = contentNode.map(_.innerHtml)
+            // the reference passes rule-extracted ContentWithTags
+            // through NormalizeHtml (trim + whitespace collapse) at the
+            // end of DetectArticle (HtmlAnalyzer.cs:234)
+            contentWithTags = contentNode
+              .map(n => TextNormalize.normalizeHtml(n.innerHtml))
               .getOrElse(auto.contentWithTags))
         case "JPath" =>
           // full replacement from the JSON article document
@@ -246,7 +254,11 @@ object RuleEngine {
                 title = TextNormalize.normalizeText(tok(r.artTitleExp).getOrElse("")),
                 content = TextNormalize.normalizeText(
                   rawContent.map(TextNormalize.trimHtmlTags).getOrElse("")),
-                contentWithTags = rawContent.getOrElse(""),
+                // NormalizeHtml applies to the JPath path too — the
+                // reference's tail normalization (HtmlAnalyzer.cs:234)
+                // runs on every rule-built article
+                contentWithTags = TextNormalize.normalizeHtml(
+                  rawContent.getOrElse("")),
                 // find-based (GetPublishDate, HtmlAnalyzer.cs:200):
                 // ISO-8601 JSON timestamps etc. carry the date inside
                 // a longer token the strict parse rejects

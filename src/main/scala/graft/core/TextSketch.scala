@@ -22,9 +22,14 @@ object TextSketch {
     z ^ (z >>> 31)
   }
 
+  // explicit whitespace class (== Java \s) so the split is
+  // engine-identical with the DuckDB RE2 oracle, which excludes \x0B
+  // from its \s — see graft.ops.TextOps.WsClass
+  private val Ws = "[ \\t\\n\\x0B\\f\\r]+"
+
   def tokens(text: String): Array[String] =
     if (text == null || text.isEmpty) Array.empty
-    else text.toLowerCase(Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    else text.toLowerCase(Locale.ROOT).split(Ws).filter(_.nonEmpty)
 
   /** Distinct hashes of word n-gram shingles. */
   def shingleHashes(text: String, n: Int): Array[Long] = {

@@ -40,21 +40,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * id set (≤ B×S ints).
   *
   * Crash safety on the local binding: each rewritten partition is
-  * written to a side directory and swapped in with two renames; a crash
-  * between renames loses at most one table's partition to a stale read,
-  * and re-running the delete is idempotent (anti-join of already-clean
-  * data is a no-op).
+  * written to a side directory and swapped in with two renames
+  * (original → `.old`, rewrite → table, drop `.old`); a crash at ANY
+  * point leaves a complete table version on disk (possibly renamed
+  * aside), [[recoverSwap]] restores it on the next pass, and re-running
+  * the delete is idempotent (anti-join of already-clean data is a
+  * no-op).
   */
 object StoreMaintenance {
 
+  /** Rewrite one table partition in place with a TWO-RENAME swap: write
+    * the rewrite to `path+".rewrite"`, rename the original aside to
+    * `path+".old"`, rename the rewrite in, then delete the aside. At no
+    * point is `path` a partially-deleted table: a crash leaves either
+    * the intact original (possibly renamed aside) or the complete
+    * rewrite, and [[recoverSwap]] (run on entry) restores the readable
+    * state either way. (The previous delete-then-move implementation
+    * had a window — after the delete, before the move — where a crash
+    * lost the table while its wave manifest still said committed.) */
   private def rewrite(spark: SparkSession, store: SnapshotStore,
       table: String, wave: Int)(f: DataFrame => DataFrame): Unit = {
     val path = store.dataPath(table, wave)
+    recoverSwap(path)
     if (!Files.exists(Paths.get(path))) return
     val tmp = path + ".rewrite"
     f(spark.read.parquet(path)).write.mode("overwrite").parquet(tmp)
-    deleteDir(Paths.get(path))
+    val old = Paths.get(path + ".old")
+    Files.move(Paths.get(path), old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    deleteDir(old)
+  }
+
+  /** Recover `path` from a crash mid-[[rewrite]]. The swap sequence is
+    * rename-aside → rename-in → delete-aside, so a crash can leave:
+    * (a) `path` missing with `.old` present (between the two renames) —
+    * roll the intact original back in; (b) `path` present with stray
+    * `.old` / `.rewrite` dirs (crash before the first rename, after the
+    * second, or mid-write) — drop the strays. Either way the table
+    * reads complete afterwards, and re-running the interrupted
+    * maintenance pass is idempotent. */
+  private[crawl] def recoverSwap(path: String): Unit = {
+    val p = Paths.get(path)
+    val old = Paths.get(path + ".old")
+    if (!Files.exists(p) && Files.exists(old))
+      Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(p)) {
+      deleteDir(old)
+      deleteDir(Paths.get(path + ".rewrite"))
+    }
   }
 
   private def deleteDir(p: Path): Unit =
@@ -70,6 +103,13 @@ object StoreMaintenance {
     import spark.implicits._
     val last = store.lastCommittedWave.getOrElse(return)
     if (doomed.isEmpty) return
+    // recover any mid-swap crash left by a PRIOR interrupted pass
+    // BEFORE reading anything: a table renamed aside mid-[[rewrite]]
+    // would otherwise silently read as absent, and the sketch pass
+    // would compute an empty eviction set for its urls
+    for (w <- 0 to last if store.isCommitted(w);
+         t <- Seq("articles", "frontier", "metrics", "state", "seen"))
+      recoverSwap(store.dataPath(t, w))
     val doomedDf = broadcast(doomed.toDF("host"))
     val hb = cfg.hostBuckets; val sl = cfg.salt
 

@@ -46,7 +46,7 @@ object Dedup {
                         maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val words = docs.select(
       col("doc_id"),
-      split(lower(trim(col("text"))), "\\s+").as("w"))
+      split(lower(trim(col("text"))), TextOps.Ws).as("w"))
     // shingle strings (not hashes) so the DuckDB oracle can reproduce
     // them verbatim; the hashed variant is minhashLshPairs below.
     val shingles = words
@@ -216,11 +216,13 @@ object Dedup {
     * (label(v) ← label(label(v)), an equi-join on the label column)
     * that compresses label chains, so convergence is O(log n) rounds
     * even on path-shaped components instead of O(diameter). Every round
-    * is two shuffles on 8-byte keys (edges never carry bodies) and the
-    * working set is localCheckpoint'ed per round to keep the plan flat.
-    * The driver loop touches only a scalar convergence count, never
-    * data. Near-dup graphs in practice have tiny components, so this
-    * typically converges in 2-3 rounds.
+    * is two shuffles on 8-byte keys (edges never carry bodies), runs as
+    * ONE Spark job — the changed-label count is folded into the same
+    * action that materializes the round's (lazy) localCheckpoint, not a
+    * separate join+isEmpty job — and the checkpoint keeps the plan
+    * flat. The driver loop touches only a scalar convergence count,
+    * never data. Near-dup graphs in practice have tiny components, so
+    * this typically converges in 2-3 rounds.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs
@@ -233,24 +235,33 @@ object Dedup {
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIters) {
-      // neighbor-min propagation: best label reachable over one edge
+      // neighbor-min propagation: best label reachable over one edge.
+      // The PRE-ROUND label rides along as `old` so convergence is
+      // decided inside the round's own materializing action — no
+      // separate join+isEmpty job per round.
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "v").withColumnRenamed("lbl", "vlbl"), "v")
         .groupBy(col("u").as("id")).agg(min("vlbl").as("nlbl"))
       val hopped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("old"))
       // pointer jumping: follow my label's own label (labels always
       // point to smaller ids, so this halves chain depth per round)
       val next = hopped.as("x")
         .join(hopped.select(col("id").as("lbl"), col("lbl").as("plbl")).as("y"),
           Seq("lbl"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .where(col("lbl") < col("old")).isEmpty
-      labels = next
-      converged = changed
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"),
+          col("old"))
+        .localCheckpoint(false) // lazy: materialized by the count below
+      // ONE job per round: the filtered count both materializes the
+      // round's checkpoint (truncating lineage) and yields the
+      // changed-label count (labels only ever decrease, so lbl < old
+      // ⇔ changed)
+      val nChanged = next.where(col("lbl") < col("old")).count()
+      labels = next.select(col("id"), col("lbl"))
+      converged = nChanged == 0L
       iter += 1
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_n"))

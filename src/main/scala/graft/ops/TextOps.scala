@@ -14,9 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Explicit whitespace character class used by EVERY token split that
+    * an oracle replays. Java's `\s` includes vertical tab (\x0B) but
+    * RE2's (DuckDB) does not, so `\s` is NOT engine-identical — a
+    * document containing \x0B would tokenize differently in Spark vs
+    * the oracle and break the bit-for-bit contract. This class spells
+    * out Java's set; the oracle SQL uses the same literal characters. */
+  val WsClass = "[ \\t\\n\\x0B\\f\\r]"
+
+  /** One-or-more run of [[WsClass]] — the token-split pattern. */
+  val Ws: String = WsClass + "+"
+
   /** Whitespace-collapsed, trimmed, lowercased canonical text. */
   def normalized(text: Column): Column =
-    lower(trim(regexp_replace(text, "\\s+", " ")))
+    lower(trim(regexp_replace(text, Ws, " ")))
 
   /** Exact-dup fingerprint: md5 hex of the normalized text (same
     * function exists in DuckDB for the oracle). */
@@ -25,7 +36,7 @@ object TextOps {
   /** Whitespace token count; empty/blank text counts 0. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+      .otherwise(size(split(trim(text), Ws)))
 
   /** Number of CJK (CJK Unified Ideographs block) characters. */
   def cjkCount(text: Column): Column =
@@ -56,7 +67,7 @@ object TextOps {
     * BPE-ish tokens. */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text,
-      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0)))
 
   private val RollB = 1000003L        // polynomial base (prime)
   private val RollM = 2147483647L     // modulus 2^31-1 (Mersenne prime)
@@ -72,7 +83,7 @@ object TextOps {
     * (`aggregate` higher-order fn over `split`) — no UDF, stays
     * distributed and pruning-friendly. Empty/blank text hashes to 0. */
   def rollingFingerprint(text: Column): Column = {
-    val toks = filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+    val toks = filter(split(lower(trim(text)), Ws), t => t =!= "")
     aggregate(toks, lit(0L), (h, t) =>
       pmod(h * lit(RollB) +
         conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(RollM)))

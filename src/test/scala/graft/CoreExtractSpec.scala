@@ -252,6 +252,23 @@ class CoreExtractSpec extends AnyFunSuite {
     assert(items.size == 5, s"auto fallback must find the list: $items")
   }
 
+  test("empty-itemExp fallback is XPath-only (reference HtmlAnalyzer.cs:45-48)") {
+    val lis = (0 until 5).map(j =>
+      s"""<li><a href="/a/$j.html">Catalog story number $j</a></li>""").mkString
+    val html = s"<html><body><ul>$lis</ul></body></html>"
+    // a JPath rule with an empty itemExp must NOT run HTML auto-
+    // detection over the content — the reference's JPath branch runs
+    // its (empty) select over the JSON doc and yields nothing
+    val jrule = CatalogRule("JPath", itemExp = "")
+    assert(RuleEngine.detect(html, "http://h.com/", jrule).isEmpty,
+      "JPath rule auto-detected an HTML catalog")
+    // Regex likewise never falls back (the reference branch is
+    // NotImplementedException; our extension yields no named groups)
+    val rrule = CatalogRule("Regex", itemExp = "")
+    assert(RuleEngine.detect(html, "http://h.com/", rrule).isEmpty,
+      "Regex rule auto-detected an HTML catalog")
+  }
+
   test("JPath dates parse find-based (ISO-8601 inside a longer token)") {
     assert(ArticleExtractor.getPublishDate("2024-06-01T08:30:00")
       .contains(java.time.LocalDateTime.of(2024, 6, 1, 0, 0)))
@@ -265,5 +282,38 @@ class CoreExtractSpec extends AnyFunSuite {
     val d = RuleEngine.parseArticle(html, Some(rule))
     assert(d.contentWithTags == "<p>Hello <b>world</b></p>", d.contentWithTags)
     assert(d.content == "Hello world")
+  }
+
+  test("content-with-tags passes through NormalizeHtml (HtmlAnalyzer.cs:234)") {
+    val html = "<html><body><div id=\"c\">\n  <p>Hello\r\n  <b>world</b></p>\n</div></body></html>"
+    val rule = CatalogRule("XPath", "//ul/li[*]/a",
+      artContentExp = Some("//div[@id='c']"))
+    val d = RuleEngine.parseArticle(html, Some(rule))
+    // trimmed at the ends, inner runs of \r\n\t/space collapse to one
+    assert(d.contentWithTags == "<p>Hello <b>world</b></p>", d.contentWithTags)
+  }
+
+  test("innerHtml re-quotes attribute values safely; raw source entities survive") {
+    val html = """<div id="c"><a href='/x?a=1&b=2&amp;c="q"' title='5 &lt; 6'>t</a>""" +
+      "<p>a &amp; b &lt; c</p></div>"
+    val doc = MiniDom.parse(html)
+    val div = doc.children.head
+    val out = div.innerHtml
+    // bare & escapes, existing entity refs are NOT double-escaped, and
+    // the single-quoted source value re-emits double-quoted with " and
+    // < escaped
+    assert(out.contains("href=\"/x?a=1&amp;b=2&amp;c=&quot;q&quot;\""), out)
+    assert(out.contains("title=\"5 &lt; 6\""), out)
+    // text children are raw source (entities undecoded) — verbatim
+    assert(out.contains("<p>a &amp; b &lt; c</p>"), out)
+    // the serialized form re-parses to the same STRUCTURE (the r3 form
+    // with raw " or < in a double-quoted value could re-parse
+    // differently) — attr values hold the raw escaped text since
+    // MiniDom never decodes entities
+    val re = MiniDom.parse("<div>" + out + "</div>")
+    val a1 = re.children.head.children.head
+    assert(a1.tag == "a")
+    assert(a1.attrs("href") == "/x?a=1&amp;b=2&amp;c=&quot;q&quot;")
+    assert(a1.attrs("title") == "5 &lt; 6")
   }
 }

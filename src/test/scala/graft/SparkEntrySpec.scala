@@ -304,6 +304,54 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(got.forall(r => r.getLong(1) == 1L && r.getLong(2) == n.toLong))
   }
 
+  test("q44 dup clusters: convergence check folded into the round (no extra join job)") {
+    import spark.implicits._
+    // single edge ⇒ exactly 2 propagation rounds (one that relabels,
+    // one that observes no change). Each round must run as ONE Spark
+    // job — the changed-label count rides the same action that
+    // materializes the round's checkpoint; the pre-fold implementation
+    // paid an additional join+isEmpty job per round.
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // settle the async listener bus so earlier tests' stray job events
+    // can't leak into the count
+    Thread.sleep(500)
+    spark.sparkContext.addSparkListener(l)
+    // AQE runs each query stage as its own job, and every broadcast
+    // exchange is a job of its own — both make raw job counts
+    // meaningless as an ACTION count. Pin the per-action contract with
+    // AQE + auto-broadcast off (1 action ⇒ 1 job).
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val abj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val measured =
+      try {
+        val got = graft.ops.Dedup.dupClusters(pairs).collect()
+        assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+          Set((1L, 1L), (2L, 1L)))
+        Thread.sleep(500) // listener drain
+        jobs.get
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abj)
+        spark.sparkContext.removeSparkListener(l)
+      }
+    // fixed actions: edges checkpoint, isEmpty, label-init checkpoint,
+    // final collect = 4; rounds: 2 × 1 (the changed-count rides the
+    // round's checkpoint-materializing action). The pre-fold
+    // implementation paid 2 more (one join+isEmpty per round).
+    assert(measured <= 7,
+      s"dupClusters spawned $measured jobs for a 2-round run — " +
+        "per-round convergence must not cost a separate job")
+  }
+
   test("q44 dup clusters: empty pair set yields empty output") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

@@ -256,4 +256,40 @@ class WaveEdgeSpec extends AnyFunSuite {
     assert((w0urls intersect reUrls).nonEmpty,
       "deleted urls were still treated as seen — cascade missed the sketches")
   }
+
+  test("rewrite crash between the two renames: table recovers complete, re-run finishes the delete") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val s = newStore(); runAll(s, 2)
+    val victim = FixtureGen.hostName(FixtureGen.HotHost)
+    val path = s.dataPath("articles", 0)
+    val before = s.read(spark, "articles", 0).count()
+    val keepRows = s.read(spark, "articles", 0)
+      .where($"host" =!= victim).count()
+    assert(before > keepRows, "fixture must have victim rows in wave 0")
+    // Simulate a crash EXACTLY between rewrite's two renames: the
+    // original is renamed aside, the staged rewrite exists, and the
+    // table path is GONE while the wave manifest still says committed —
+    // the window the round-3 delete-then-move implementation could not
+    // survive. (A stale .rewrite content is deliberately garbage: the
+    // recovery contract rolls BACK to the intact original and re-runs.)
+    JFiles.move(JPaths.get(path), JPaths.get(path + ".old"))
+    JFiles.createDirectories(JPaths.get(path + ".rewrite"))
+    JFiles.writeString(JPaths.get(path + ".rewrite", "garbage"), "not parquet")
+    assert(!JFiles.exists(JPaths.get(path)), "crash window staged")
+    // re-running the maintenance pass must first recover the aside
+    // original (so the sketch pass sees the doomed rows) and then
+    // complete the delete end-to-end
+    StoreMaintenance.deleteHosts(spark, s, Seq(victim), cc)
+    assert(JFiles.exists(JPaths.get(path)))
+    assert(!JFiles.exists(JPaths.get(path + ".old")), "stray .old not cleaned")
+    assert(!JFiles.exists(JPaths.get(path + ".rewrite")), "stray .rewrite not cleaned")
+    assert(s.read(spark, "articles", 0).count() == keepRows)
+    assert(s.read(spark, "articles", 0).where($"host" === victim).count() == 0)
+    // the deleted urls are re-crawlable: the sketch eviction ran against
+    // the RECOVERED wave-0 rows, not an absent table
+    runAll(s, 3)
+    assert(s.read(spark, "articles", 2).where($"host" === victim).count() > 0,
+      "recovered-table delete left the victim's urls marked seen")
+  }
 }
