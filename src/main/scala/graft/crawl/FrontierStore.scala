@@ -43,11 +43,35 @@ trait FrontierStore extends Serializable {
   /** Write without a row-count job (one Spark action instead of two). */
   def writeNoCount(df: DataFrame, table: String, wave: Int): Unit
 
+  /** Write a bucket-keyed table PHYSICALLY PARTITIONED by its `bucket`
+    * column, so later bucket-set probes prune at the partition level
+    * (the seenurls anti-join build side). Default: plain write —
+    * bindings that can partition should override. */
+  def writeBucketed(df: DataFrame, table: String, wave: Int): Unit =
+    writeNoCount(df, table, wave)
+
+  /** Whether `table` has data for `wave` (committed or not). Lets the
+    * engine fall back when a LEGACY store predates a table (e.g. a
+    * pre-seenurls store resumed by a newer engine). */
+  def hasTable(table: String, wave: Int): Boolean
+
   /** Read one table at one committed wave. */
   def read(spark: SparkSession, table: String, wave: Int): DataFrame
 
   /** Union of a delta table across all committed waves 0..upTo. */
   def readDeltas(spark: SparkSession, table: String, upTo: Int): Option[DataFrame]
+
+  /** Union of a BUCKET-KEYED delta table across committed waves
+    * 0..upTo, restricted to `buckets`. Bindings prune the physical read
+    * to those buckets (leaf-directory selection on the local store,
+    * partition pruning on Iceberg); the default filters a full read.
+    * Only the table's DATA columns are guaranteed in the result (the
+    * `bucket` partition column may be absent). */
+  def readBuckets(spark: SparkSession, table: String, upTo: Int,
+      buckets: Seq[Int]): Option[DataFrame] =
+    readDeltas(spark, table, upTo).map(
+      _.where(org.apache.spark.sql.functions.col("bucket")
+        .isin(buckets.map(Int.box): _*)))
 }
 
 /** Iceberg production binding: each engine table is an Iceberg table
@@ -115,6 +139,21 @@ final class IcebergFrontierStore(
     else
       tagged.writeTo(name).overwritePartitions() // idempotent re-run
   }
+
+  /** Bucket-keyed tables add `bucket` as a second partition column, so
+    * the anti-join's bucket IN-filter is Iceberg partition pruning. */
+  override def writeBucketed(df: DataFrame, table: String, wave: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val tagged = df.withColumn("_wave", lit(wave))
+    val name = fq(table)
+    if (!spark.catalog.tableExists(name))
+      tagged.writeTo(name).partitionedBy(col("_wave"), col("bucket")).create()
+    else
+      tagged.writeTo(name).overwritePartitions()
+  }
+
+  override def hasTable(table: String, wave: Int): Boolean =
+    spark.catalog.tableExists(fq(table))
 
   override def read(spark: SparkSession, table: String, wave: Int): DataFrame = {
     require(isCommitted(wave), s"wave $wave not committed")

@@ -169,6 +169,18 @@ final case class PartitionLineage(
     rows: Long,
     hosts: Long)
 
+/** One committed url in the SLIM seen-urls side table (`seenurls`,
+  * appended per wave next to the articles delta): `bucket` is the same
+  * B×S url-bucket the sketches use ([[SeenFilter.urlBucket]] — a pure
+  * function of the url), and the table is PHYSICALLY PARTITIONED by it,
+  * so the exact-seen anti-join's build side prunes to just the buckets
+  * that hold maybe-seen rows in a wave instead of re-scanning the whole
+  * committed url set (which grows with the store — the 10^10-URL
+  * scale-killer). `host` rides along only so the S9 host-delete cascade
+  * can rewrite this table with the same anti-join as the others; `wave`
+  * supports the recrawl-TTL window filter. */
+final case class SeenUrl(bucket: Int, host: String, url: String, wave: Int)
+
 /** Bloom-then-Cuckoo seen-filter state, one row per host-hash bucket.
   * BOTH sketches are carried wave-to-wave and merged incrementally
   * (Bloom union is lossless; Cuckoo supports insert+delete), so no wave

@@ -38,6 +38,18 @@ object SeenFilter {
     hb * salt + s
   }
 
+  /** Bucket id as a PURE FUNCTION OF THE URL: host affinity comes from
+    * the url's OWN registered host, not the scheduling host. The
+    * url-seen contract is global per url (the reference's
+    * `UNIQUE KEY url`, MySQLSchema.sql:14) — keying the bucket on the
+    * scheduling host would give the same canonical url scheduled by
+    * two different hosts (cross-site syndication) two different
+    * buckets, so the second host's wave would miss the sketches AND
+    * the bucket-pruned exact anti-join and re-insert a committed url.
+    * Every probe, insert, eviction and rebuild MUST use this function. */
+  def urlBucket(url: String, hostBuckets: Int, salt: Int): Int =
+    bucket(graft.core.UrlCanon.host(url), url, hostBuckets, salt)
+
   /** Typed aggregator building one Bloom filter per group (bucket) with
     * map-side partial aggregation — the Spark-idiomatic replacement for
     * collecting URLs to the driver. Fixed geometry so partials merge. */

@@ -76,6 +76,19 @@ final class SnapshotStore(val root: String) extends FrontierStore {
   def writeNoCount(df: DataFrame, table: String, wave: Int): Unit =
     df.write.mode("overwrite").parquet(dataPath(table, wave))
 
+  /** Bucket-partitioned write: `bucket=K/` dirs under the wave path, so
+    * a bucket IN-filter on the read side becomes partition pruning. The
+    * repartition puts each bucket in ONE task — one file per non-empty
+    * bucket instead of (tasks × buckets) shards; the shuffled rows are
+    * slim (bucket, host, url, wave) only, never bodies. */
+  override def writeBucketed(df: DataFrame, table: String, wave: Int): Unit =
+    df.repartition(org.apache.spark.sql.functions.col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(dataPath(table, wave))
+
+  def hasTable(table: String, wave: Int): Boolean =
+    Files.exists(Paths.get(dataPath(table, wave)))
+
   /** Read one table at one committed wave; empty-schema-safe via
     * caller-provided fallback. */
   def read(spark: SparkSession, table: String, wave: Int): DataFrame = {
@@ -88,6 +101,22 @@ final class SnapshotStore(val root: String) extends FrontierStore {
   def readDeltas(spark: SparkSession, table: String, upTo: Int): Option[DataFrame] = {
     val paths = (0 to upTo).filter(isCommitted).map(dataPath(table, _))
       .filter(p => Files.exists(Paths.get(p)))
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+
+  /** Maximal bucket pruning for the local binding: only the requested
+    * `bucket=K` LEAF directories are even listed — unaffected buckets
+    * cost nothing, and waves whose table is empty (a `partitionBy`
+    * write of zero rows leaves no bucket dirs) are skipped without the
+    * schema-inference failure a root read would hit. */
+  override def readBuckets(spark: SparkSession, table: String, upTo: Int,
+      buckets: Seq[Int]): Option[DataFrame] = {
+    val paths = for {
+      w <- 0 to upTo if isCommitted(w)
+      b <- buckets
+      p = s"${dataPath(table, w)}/bucket=$b"
+      if Files.exists(Paths.get(p))
+    } yield p
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 }

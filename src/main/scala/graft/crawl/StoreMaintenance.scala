@@ -59,16 +59,31 @@ object StoreMaintenance {
     * had a window — after the delete, before the move — where a crash
     * lost the table while its wave manifest still said committed.) */
   private def rewrite(spark: SparkSession, store: SnapshotStore,
-      table: String, wave: Int)(f: DataFrame => DataFrame): Unit = {
+      table: String, wave: Int, bucketed: Boolean = false)(
+      f: DataFrame => DataFrame): Unit = {
     val path = store.dataPath(table, wave)
     recoverSwap(path)
     if (!Files.exists(Paths.get(path))) return
+    // a bucket-partitioned table written from zero rows has no bucket
+    // dirs (only _SUCCESS) — nothing to rewrite, and a root read would
+    // fail schema inference
+    if (bucketed && !hasBucketDirs(path)) return
     val tmp = path + ".rewrite"
-    f(spark.read.parquet(path)).write.mode("overwrite").parquet(tmp)
+    val out = f(spark.read.parquet(path))
+    if (bucketed)
+      out.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    else out.write.mode("overwrite").parquet(tmp)
     val old = Paths.get(path + ".old")
     Files.move(Paths.get(path), old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     deleteDir(old)
+  }
+
+  private def hasBucketDirs(path: String): Boolean = {
+    val s = Files.list(Paths.get(path))
+    try s.anyMatch(p => p.getFileName.toString.startsWith("bucket="))
+    finally s.close()
   }
 
   /** Recover `path` from a crash mid-[[rewrite]]. The swap sequence is
@@ -108,7 +123,7 @@ object StoreMaintenance {
     // would otherwise silently read as absent, and the sketch pass
     // would compute an empty eviction set for its urls
     for (w <- 0 to last if store.isCommitted(w);
-         t <- Seq("articles", "frontier", "metrics", "state", "seen"))
+         t <- Seq("articles", "frontier", "metrics", "state", "seen", "seenurls"))
       recoverSwap(store.dataPath(t, w))
     val doomedDf = broadcast(doomed.toDF("host"))
     val hb = cfg.hostBuckets; val sl = cfg.salt
@@ -124,8 +139,8 @@ object StoreMaintenance {
     // construction (the cache is then purely an optimization).
     val delPairs = store.readDeltas(spark, "articles", last)
       .map(_.join(doomedDf, Seq("host"), "left_semi")
-        .select($"host", $"url").as[(String, String)]
-        .map { case (h, u) => (SeenFilter.bucket(h, u, hb, sl), u, false) }
+        .select($"url").as[String]
+        .map(u => (SeenFilter.urlBucket(u, hb, sl), u, false))
         .cache())
     val affected: Set[Int] =
       delPairs.map(_.map(_._1).distinct().collect().toSet).getOrElse(Set.empty)
@@ -137,10 +152,20 @@ object StoreMaintenance {
       val carried = store.read(spark, "seen", last).as[SeenSketch]
       val afterCuckoo = SeenFilter.updateSketches(dels, carried,
         cfg.cuckooCapacityPerBucket, cfg.expectedUrlsPerBucket, cfg.bloomFpp)
-      val remaining = store.readDeltas(spark, "articles", last).get
-        .join(doomedDf, Seq("host"), "left_anti")
-        .select($"host", $"url").as[(String, String)]
-        .map { case (h, u) => (SeenFilter.bucket(h, u, hb, sl), u) }
+      // surviving urls of the affected buckets: prefer the slim
+      // bucket-pruned seenurls read (only the affected leaf dirs are
+      // listed); a legacy store falls back to the article-store scan
+      val affectedSeq = affected.toSeq.sorted
+      val slimComplete = (0 to last).filter(store.isCommitted)
+        .forall(store.hasTable("seenurls", _))
+      val remaining = (if (slimComplete)
+        store.readBuckets(spark, "seenurls", last, affectedSeq) else None)
+        .map(_.join(doomedDf, Seq("host"), "left_anti")
+          .select($"url").as[String])
+        .getOrElse(store.readDeltas(spark, "articles", last).get
+          .join(doomedDf, Seq("host"), "left_anti")
+          .select($"url").as[String])
+        .map(u => (SeenFilter.urlBucket(u, hb, sl), u))
         .filter(p => affected.contains(p._1))
       val rebuilt = remaining.groupByKey(_._1)
         .agg(new SeenFilter.BloomAgg(cfg.expectedUrlsPerBucket, cfg.bloomFpp)
@@ -165,11 +190,16 @@ object StoreMaintenance {
     }
 
     // 2. per-wave delta rewrites (DELETE WHERE host IN ...) — only
-    //    after the sketch pass no longer needs the doomed rows
-    for (w <- 0 to last if store.isCommitted(w);
-         table <- Seq("articles", "frontier", "metrics"))
-      rewrite(spark, store, table, w)(
+    //    after the sketch pass no longer needs the doomed rows. The
+    //    slim seenurls table carries `host` exactly for this cascade
+    //    (its rewrite keeps the bucket partitioning).
+    for (w <- 0 to last if store.isCommitted(w)) {
+      for (table <- Seq("articles", "frontier", "metrics"))
+        rewrite(spark, store, table, w)(
+          _.join(doomedDf, Seq("host"), "left_anti"))
+      rewrite(spark, store, "seenurls", w, bucketed = true)(
         _.join(doomedDf, Seq("host"), "left_anti"))
+    }
 
     // 3. carried host state (only the last committed wave is ever read
     //    by the next runWave)

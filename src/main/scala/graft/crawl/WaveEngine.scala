@@ -92,14 +92,16 @@ final case class CrawlConfig(
   * mapPartitions extract                    (byte-identical text,
   *        |                                  rule-aware, on scan splits)
   *        v
-  * bloom-probe → cuckoo-probe → exact anti-join   (URL-seen dedup)
-  *        v
-  * append articles + state + seen + metrics + lineage; manifest commit
+  * bloom-probe → cuckoo-probe → bucket-pruned exact anti-join
+  *        v                                       (URL-seen dedup)
+  * append articles + state + seen + seenurls + metrics + lineage;
+  * manifest commit
   * }}}
   *
   * Everything stays in typed Dataset / DataFrame ops (no RDDs); the only
-  * driver-side data are per-host state (≤ seed-list size) and per-bucket
-  * sketches (bounded by B×S), both of which are broadcast.
+  * driver-side data are per-host state (≤ seed-list size), per-bucket
+  * sketches (bounded by B×S), and the wave's affected-bucket id set
+  * (≤ B×S ints, prunes the exact anti-join's build-side scan).
   */
 object WaveEngine {
 
@@ -191,6 +193,32 @@ object WaveEngine {
       inserted: Long,
       deduped: Long,
       failed: Long)
+
+  /** Build side of the exact-seen anti-join: the committed url set
+    * restricted to the buckets that actually hold maybe-seen rows this
+    * wave, and to the recrawl-TTL window. Reads the slim
+    * bucket-partitioned `seenurls` table projected to `url` only —
+    * the scan cost is proportional to the AFFECTED BUCKETS' size, not
+    * the whole store (the previous shape re-scanned the article
+    * store's entire url column every wave, which grows without bound
+    * at a 10^10-URL store). A legacy store missing `seenurls` for any
+    * committed wave falls back to that full article-store url scan
+    * (unpruned, but correct). None ⇔ nothing committed can match. */
+  private[graft] def seenBuildSide(
+      spark: SparkSession, store: FrontierStore, prevWave: Int,
+      wave: Int, ttl: Int, buckets: Seq[Int]): Option[DataFrame] = {
+    import spark.implicits._
+    if (buckets.isEmpty) return None
+    val committed = (0 to prevWave).filter(store.isCommitted)
+    if (committed.isEmpty) return None
+    val base =
+      if (committed.forall(store.hasTable("seenurls", _)))
+        store.readBuckets(spark, "seenurls", prevWave, buckets)
+      else store.readDeltas(spark, "articles", prevWave)
+    base.map { df =>
+      (if (ttl > 0) df.where($"wave" > wave - ttl) else df).select($"url")
+    }
+  }
 
   // ---- the wave ---------------------------------------------------------
 
@@ -486,13 +514,7 @@ object WaveEngine {
         store.read(spark, "seen", prevWave).as[SeenSketch]
       else spark.emptyDataset[SeenSketch]
 
-    // recrawl TTL: rows older than the TTL stop counting as "seen" for
-    // the exact anti-join, so their urls are eligible for re-fetch
     val ttl = cfg.recrawlAfterWaves
-    val existing: Option[DataFrame] =
-      (if (wave > 0) store.readDeltas(spark, "articles", prevWave) else None)
-        .map(df => if (ttl > 0) df.where($"wave" > wave - ttl) else df)
-
     val hb = cfg.hostBuckets; val sl = cfg.salt
     // both sketches ride in the carried state (incrementally merged at
     // commit time) — no article-store scan to rebuild filters per wave
@@ -506,18 +528,35 @@ object WaveEngine {
     // anti-join and the dedup window tripled the cached bytes and
     // collapsed 4-core scaling via spill/recompute CPU once contenthtml
     // doubled the row size.)
+    // bucket key is a pure function of the URL (SeenFilter.urlBucket):
+    // the url-seen contract is global per url, so the same canonical
+    // url scheduled by two different hosts in different waves must
+    // probe the SAME bucket
     val keyed = extracted.map(a =>
-      (SeenFilter.bucket(a.host, a.url, hb, sl), UrlRef(a.url, a.host, a.seq)))
+      (SeenFilter.urlBucket(a.url, hb, sl), UrlRef(a.url, a.host, a.seq)))
     val classified = SeenFilter.probe(keyed, sketches).cache()
 
     val definitelyNew = classified.filter(!_._2).map(_._1)
     val maybeSeen = classified.filter(_._2).map(_._1)
-    val confirmedNew = existing match {
-      case None => maybeSeen
-      case Some(art) => maybeSeen.toDF()
-        .join(art.select($"url").distinct(), Seq("url"), "left_anti")
-        .as[UrlRef]
-    }
+    // exact-seen anti-join, BUCKET-PRUNED: the affected bucket ids (a
+    // tiny driver set, ≤ B×S ints off the cached slim probe output)
+    // restrict the build side to just the slim `seenurls` partitions
+    // that could hold a maybe-seen url — the scan no longer grows with
+    // the committed store (round 3 re-read the whole article store's
+    // url column every wave). An all-new wave (no maybe rows) skips the
+    // build-side read entirely.
+    val confirmedNew =
+      if (wave == 0) maybeSeen
+      else {
+        val maybeBuckets = classified.filter(_._2)
+          .map(t => SeenFilter.urlBucket(t._1.url, hb, sl))
+          .distinct().collect().toSeq.sorted
+        seenBuildSide(spark, store, prevWave, wave, ttl, maybeBuckets) match {
+          case None => maybeSeen
+          case Some(side) => maybeSeen.toDF()
+            .join(side, Seq("url"), "left_anti").as[UrlRef]
+        }
+      }
     // intra-wave duplicates (two hosts syndicating the same canonical
     // url in one wave): the reference's UNIQUE key keeps whichever
     // insert lands first; our deterministic projection keeps the
@@ -573,14 +612,14 @@ object WaveEngine {
     //    keeps its newer entry). The Bloom keeps its stale positives;
     //    they only cost exact anti-join probes.
     val inserts = winners.map(a =>
-      (SeenFilter.bucket(a.host, a.url, hb, sl), a.url, true))
+      (SeenFilter.urlBucket(a.url, hb, sl), a.url, true))
     val evictWave = wave - ttl
     val changes =
       if (ttl > 0 && evictWave >= 0 && store.isCommitted(evictWave))
         inserts.unionByName(
           store.read(spark, "articles", evictWave)
-            .select($"host", $"url").as[(String, String)]
-            .map { case (h, u) => (SeenFilter.bucket(h, u, hb, sl), u, false) })
+            .select($"url").as[String]
+            .map(u => (SeenFilter.urlBucket(u, hb, sl), u, false)))
       else inserts
     val newSeen = SeenFilter.updateSketches(
       changes, carriedSeen, cfg.cuckooCapacityPerBucket,
@@ -648,10 +687,16 @@ object WaveEngine {
     val agg = mCached.groupBy().agg(
       sum("scheduled"), sum("fetched_ok"), sum("deduped"),
       sum("fetch_failed"), sum("inserted"), count(lit(1))).head()
+    // slim committed-url side table, appended per wave and PARTITIONED
+    // by the same url-bucket the sketches use — the bucket-pruned build
+    // side of the next waves' exact-seen anti-join
+    val seenUrlRows = winners.map(w =>
+      SeenUrl(SeenFilter.urlBucket(w.url, hb, sl), w.host, w.url, wave))
     val smallWrites = Seq(
       // frontier is task-batch-sized (up to maxPerHost × hosts) — keeps
       // its partitioning; genuinely host-/bucket-sized tables coalesce(1)
       Future(store.writeNoCount(tasks.toDF(), "frontier", wave)),
+      Future(store.writeBucketed(seenUrlRows.toDF(), "seenurls", wave)),
       Future(store.writeNoCount(newState.toDF().coalesce(1), "state", wave)),
       Future(store.writeNoCount(newSeen.toDF().coalesce(1), "seen", wave)),
       Future(store.writeNoCount(mCached, "metrics", wave)),
@@ -661,7 +706,8 @@ object WaveEngine {
     val nArticles = g(4)
     store.commit(wave, Map(
       "articles" -> nArticles, "frontier" -> g(0), "state" -> g(5),
-      "seen" -> -1L, "metrics" -> g(5), "lineage" -> -1L))
+      "seen" -> -1L, "seenurls" -> nArticles, "metrics" -> g(5),
+      "lineage" -> -1L))
     val res = WaveResult(wave, g(0), g(1), nArticles, g(2), g(3))
     outcomes.unpersist(); tasks.unpersist(); fetchFails.unpersist()
     extracted.unpersist(); extractedRaw.unpersist()

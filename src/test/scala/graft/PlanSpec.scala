@@ -152,6 +152,36 @@ class PlanSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("exact-seen anti-join build side reads ONLY the affected bucket dirs") {
+    import spark.implicits._
+    import graft.crawl.{SeenFilter, SeenUrl, SnapshotStore, WaveEngine}
+    val store = new SnapshotStore(
+      Files.createTempDirectory("planseen").toString)
+    // 64 urls over 8 buckets (synthetic bucket ids — the engine computes
+    // them via SeenFilter.urlBucket; here we pin the READ path)
+    val rows = (0 until 64).map(i =>
+      SeenUrl(i % 8, s"h${i % 8}.example.com",
+        s"http://h${i % 8}.example.com/a/$i", 0))
+    store.writeBucketed(spark.createDataset(rows).toDF(), "seenurls", 0)
+    store.commit(0, Map("seenurls" -> 64L))
+    val side = WaveEngine.seenBuildSide(
+      spark, store, prevWave = 0, wave = 1, ttl = 0, buckets = Seq(3)).get
+    // DIRECTORY-level pruning: only the affected bucket=3 leaf dirs are
+    // even listed — unaffected buckets cost nothing, so the build-side
+    // scan is proportional to the maybe-seen buckets, not the store
+    assert(side.inputFiles.nonEmpty)
+    assert(side.inputFiles.forall(_.contains("bucket=3")),
+      "unaffected bucket dirs were scanned: " +
+        side.inputFiles.mkString(", "))
+    assert(side.as[String].collect().toSet ==
+      rows.filter(_.bucket == 3).map(_.url).toSet)
+    // recrawl-TTL window composes with the pruned read (wave is a data
+    // column in the leaf files)
+    val expired = WaveEngine.seenBuildSide(
+      spark, store, prevWave = 0, wave = 9, ttl = 2, buckets = Seq(3)).get
+    assert(expired.count() == 0, "TTL-expired urls must drop out")
+  }
+
   test("stratified hash sample plans as scan+filter: no exchange, no join (q45)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val sampled = graft.ops.TextOps.stratifiedHashSample(docs,

@@ -259,6 +259,29 @@ class CrawlPipelineSpec extends AnyFunSuite {
     assert(r.inserted == m)
   }
 
+  test("seenurls side table mirrors the committed articles (bucket = urlBucket)") {
+    import spark.implicits._
+    // the slim anti-join build table must hold EXACTLY the committed
+    // (host, url, wave) rows — a drift here silently breaks dedup once
+    // the bloom routes a url to the exact check
+    val arts = store.readDeltas(spark, "articles", nWaves - 1).get
+      .select($"host", $"url", $"wave").as[(String, String, Int)]
+      .collect().toSet
+    val slim = store.readBuckets(spark, "seenurls", nWaves - 1,
+      0 until cc.hostBuckets * cc.salt).get
+      .select($"host", $"url", $"wave").as[(String, String, Int)]
+      .collect().toSet
+    assert(slim == arts)
+    // physical partition dir == the sketches' bucket function (a pure
+    // function of the url), so probe buckets and build-side pruning agree
+    val w0 = spark.read.parquet(store.dataPath("seenurls", 0))
+    w0.select($"bucket", $"url").as[(Int, String)].collect().foreach {
+      case (b, u) =>
+        assert(b == SeenFilter.urlBucket(u, cc.hostBuckets, cc.salt),
+          s"partition dir bucket=$b != urlBucket($u)")
+    }
+  }
+
   test("offline bloom rebuild covers every inserted url per bucket") {
     // the documented saturation-recovery path (SeenSketch scaladoc):
     // re-derive a bucket's Bloom from the committed article store
@@ -266,8 +289,8 @@ class CrawlPipelineSpec extends AnyFunSuite {
     import graft.core.filters.BloomFilter
     val arts = store.readDeltas(spark, "articles", nWaves - 1).get
     val hb = cc.hostBuckets; val sl = cc.salt
-    val pairs = arts.select("host", "url").as[(String, String)]
-      .map { case (h, u) => (SeenFilter.bucket(h, u, hb, sl), u) }
+    val pairs = arts.select("url").as[String]
+      .map(u => (SeenFilter.urlBucket(u, hb, sl), u))
     val blooms = SeenFilter.buildBlooms(pairs, expectedPerBucket = 2048)
       .collect().toMap.view.mapValues(BloomFilter.deserialize).toMap
     pairs.collect().foreach { case (b, u) =>

@@ -257,6 +257,58 @@ class WaveEdgeSpec extends AnyFunSuite {
       "deleted urls were still treated as seen — cascade missed the sketches")
   }
 
+  test("cross-host syndication ACROSS waves: a committed url is never re-inserted") {
+    import spark.implicits._
+    // the url-seen contract is GLOBAL per url (reference UNIQUE KEY
+    // url): host A commits c.example.com urls in wave 0; host B lists
+    // the same urls in wave 1 and every one must dedup. A bucket keyed
+    // on the SCHEDULING host (the pre-r4 shape) probes a different
+    // bucket for host B, misses the sketches AND the pruned anti-join,
+    // and re-inserts all three.
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val arts = (0 until 3).map { j =>
+      val html =
+        s"""<html><head><title>Shared $j</title></head><body>
+           |<h1>Shared $j</h1><div>2024-02-0${j + 1} 10:00</div>
+           |<p>${("shared body text that is long enough to extract " * 8) + j}</p>
+           |</body></html>""".stripMargin
+      Page(s"http://c.example.com/a/$j.html", ts,
+        html.getBytes("UTF-8"), "", "en")
+    }
+    def home(hostUrl: String, withList: Boolean) = {
+      val lis =
+        if (!withList) ""
+        else (0 until 3).map(j =>
+          s"""<li><a href="http://c.example.com/a/$j.html">Shared story $j</a>""" +
+            s"""<span>2024-02-0${j + 1} 10:00</span></li>""").mkString
+      Page(hostUrl, ts,
+        s"<html><body><ul>$lis</ul></body></html>".getBytes("UTF-8"), "", "en")
+    }
+    val hosts = spark.createDataset(Seq(
+      HostConfig(1, "a.example.com", "http://a.example.com/", 1, enabled = true, 100L, 1),
+      HostConfig(2, "b.example.com", "http://b.example.com/", 2, enabled = true, 100L, 1)))
+    val robots = spark.emptyDataset[FixtureGen.RobotsRow]
+    val s = newStore()
+    // wave 0: only A lists the shared urls
+    WaveEngine.runWave(spark, s, spark.createDataset(
+      arts :+ home("http://a.example.com/", withList = true)
+        :+ home("http://b.example.com/", withList = false)),
+      hosts, robots, 0, cc)
+    assert(s.read(spark, "articles", 0).count() == 3)
+    // wave 1: B lists the SAME urls (A's checkpoint stops its batch)
+    WaveEngine.runWave(spark, s, spark.createDataset(
+      arts :+ home("http://a.example.com/", withList = true)
+        :+ home("http://b.example.com/", withList = true)),
+      hosts, robots, 1, cc)
+    val all = s.readDeltas(spark, "articles", 1).get
+    assert(all.count() == 3, "syndicated urls re-inserted in wave 1")
+    val m1 = s.read(spark, "metrics", 1).where($"host" === "b.example.com").head()
+    assert(m1.getAs[Int]("fetched_ok") == 3)
+    assert(m1.getAs[Int]("deduped") == 3,
+      "host B's re-listed urls must dedup against A's committed set")
+    assert(m1.getAs[Int]("inserted") == 0)
+  }
+
   test("rewrite crash between the two renames: table recovers complete, re-run finishes the delete") {
     import spark.implicits._
     import java.nio.file.{Files => JFiles, Paths => JPaths}
