@@ -11,7 +11,15 @@ import org.apache.spark.sql.SparkSession
   *   [--hosts-table /path/hosts.parquet]   (HostConfig rows — seed list)
   *   [--robots-table /path/robots.parquet] (RobotsRow rows)
   *   [--hosts N --base N --growth N --hot N]    (synthetic fixture)
+  *   [--delete-hosts h1.com,h2.com]  (S9 cascade, then crawl/exit)
+  *   [--store-kind local|iceberg --catalog ice --namespace graft]
   * }}}
+  *
+  * `--store-kind iceberg` binds the engine to [[IcebergFrontierStore]]
+  * (the catalog must be configured via `spark.sql.catalog.<name>` and
+  * `iceberg-spark-runtime` on the classpath — SCALE.md §10's cluster
+  * smoke test); `--store` then only hosts the synthetic fixture pages.
+  * `--delete-hosts` maintenance is local-store-only (path rewrites).
   *
   * With `--pages`, each wave reads the real page snapshot from the
   * template path (`{wave}` substituted) — the production shape where the
@@ -37,10 +45,6 @@ object CrawlJob {
           s"malformed flag pair: $k $v")
         k.drop(2) -> v
     }.toMap
-    val storeDir = opts.getOrElse("store",
-      sys.error("--store <dir> is required"))
-    val waves = opts.getOrElse("waves", "3").toInt
-
     val builder = SparkSession.builder()
       .appName("graft-crawl")
       .config("spark.sql.session.timeZone", "UTC")
@@ -53,7 +57,24 @@ object CrawlJob {
     opts.get("master").foreach(builder.master)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(opts.getOrElse("loglevel", "WARN"))
+    try run(spark, opts) finally spark.stop()
+  }
+
+  /** The job body, session-agnostic for tests (main owns the session
+    * lifecycle). Returns one [[WaveEngine.WaveResult]] per crawled wave. */
+  def run(spark: SparkSession,
+      opts: Map[String, String]): Seq[WaveEngine.WaveResult] = {
     import spark.implicits._
+    val storeDir = opts.getOrElse("store",
+      sys.error("--store <dir> is required"))
+    val deleteHosts = opts.get("delete-hosts")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    // a pure-maintenance invocation (--delete-hosts without --waves)
+    // defaults to crawling nothing; an explicit --waves still crawls
+    // after the cascade (delete-then-resume in one submit)
+    val waves = opts.getOrElse("waves",
+      if (deleteHosts.nonEmpty) "0" else "3").toInt
 
     val fx = FixtureCfg(
       nHosts = opts.getOrElse("hosts", "50").toInt,
@@ -83,8 +104,22 @@ object CrawlJob {
       .map(p => spark.read.parquet(p).as[RobotsRow])
       .getOrElse(FixtureGen.robots(spark, fx))
 
-    val store = new SnapshotStore(storeDir)
-    (0 until waves).foreach { w =>
+    val store: FrontierStore = opts.getOrElse("store-kind", "local") match {
+      case "local" => new SnapshotStore(storeDir)
+      case "iceberg" => new IcebergFrontierStore(spark,
+        opts.getOrElse("catalog", "ice"), opts.getOrElse("namespace", "graft"))
+      case k => sys.error(s"unknown --store-kind: $k (local|iceberg)")
+    }
+    if (deleteHosts.nonEmpty) store match {
+      case local: SnapshotStore =>
+        val t0 = System.nanoTime()
+        StoreMaintenance.deleteHosts(spark, local, deleteHosts, cc)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"deleted_hosts":${deleteHosts.size},"sec":$sec%.2f}""")
+      case _ => sys.error("--delete-hosts requires --store-kind local " +
+        "(Iceberg stores use DELETE FROM + the sketch rebuild runbook)")
+    }
+    (0 until waves).map { w =>
       val t0 = System.nanoTime()
       val r = WaveEngine.runWave(spark, store, pagesAt(w),
         hostsDs, robotsDs, w, cc)
@@ -92,7 +127,7 @@ object CrawlJob {
       println(f"""{"wave":${r.wave},"scheduled":${r.scheduled},""" +
         f""""fetched":${r.fetched},"inserted":${r.inserted},""" +
         f""""deduped":${r.deduped},"failed":${r.failed},"sec":$sec%.2f}""")
+      r
     }
-    spark.stop()
   }
 }

@@ -50,9 +50,13 @@ trait FrontierStore extends Serializable {
   def writeBucketed(df: DataFrame, table: String, wave: Int): Unit =
     writeNoCount(df, table, wave)
 
-  /** Whether `table` has data for `wave` (committed or not). Lets the
+  /** Whether `table` has data for `wave` — exact at least for
+    * COMMITTED waves (the only waves the engine asks about). Lets the
     * engine fall back when a LEGACY store predates a table (e.g. a
-    * pre-seenurls store resumed by a newer engine). */
+    * pre-seenurls store resumed by a newer engine): per-WAVE accuracy
+    * matters, because a store upgraded mid-life has the table for new
+    * waves but not the old ones, and claiming completeness there would
+    * silently drop old committed urls from the dedup build side. */
   def hasTable(table: String, wave: Int): Boolean
 
   /** Read one table at one committed wave. */
@@ -91,17 +95,17 @@ final class IcebergFrontierStore(
     spark: SparkSession,
     catalog: String,
     namespace: String) extends FrontierStore {
+  import IcebergFrontierStore.Sql
 
-  private def fq(table: String) = s"$catalog.$namespace.$table"
-  private def commits = fq("graft_commits")
+  private def fq(table: String) = Sql.fq(catalog, namespace, table)
+  private def commits = fq(Sql.commitsTable)
 
   private def ensureCommits(): Unit =
-    spark.sql(s"CREATE TABLE IF NOT EXISTS $commits " +
-      "(wave INT, tbl STRING, rows BIGINT, ts TIMESTAMP) USING iceberg")
+    spark.sql(Sql.commitsDdl(commits))
 
   override def isCommitted(wave: Int): Boolean = {
     ensureCommits()
-    !spark.table(commits).where(s"wave = $wave").isEmpty
+    !spark.table(commits).where(Sql.committedFilter(wave)).isEmpty
   }
 
   override def lastCommittedWave: Option[Int] = {
@@ -127,37 +131,44 @@ final class IcebergFrontierStore(
 
   override def rollbackTo(wave: Int): Unit = {
     ensureCommits()
-    spark.sql(s"DELETE FROM $commits WHERE wave > $wave")
+    spark.sql(Sql.rollback(commits, wave))
   }
 
-  override def writeNoCount(df: DataFrame, table: String, wave: Int): Unit = {
+  private def writeTagged(df: DataFrame, table: String, wave: Int,
+      bucketed: Boolean): Unit = {
     import org.apache.spark.sql.functions._
     val tagged = df.withColumn("_wave", lit(wave))
     val name = fq(table)
-    if (!spark.catalog.tableExists(name))
-      tagged.writeTo(name).partitionedBy(col("_wave")).create()
-    else
+    if (!spark.catalog.tableExists(name)) {
+      val parts = Sql.partitionCols(bucketed).map(col)
+      tagged.writeTo(name).partitionedBy(parts.head, parts.tail: _*).create()
+    } else
       tagged.writeTo(name).overwritePartitions() // idempotent re-run
   }
 
-  /** Bucket-keyed tables add `bucket` as a second partition column, so
-    * the anti-join's bucket IN-filter is Iceberg partition pruning. */
-  override def writeBucketed(df: DataFrame, table: String, wave: Int): Unit = {
-    import org.apache.spark.sql.functions._
-    val tagged = df.withColumn("_wave", lit(wave))
-    val name = fq(table)
-    if (!spark.catalog.tableExists(name))
-      tagged.writeTo(name).partitionedBy(col("_wave"), col("bucket")).create()
-    else
-      tagged.writeTo(name).overwritePartitions()
-  }
+  override def writeNoCount(df: DataFrame, table: String, wave: Int): Unit =
+    writeTagged(df, table, wave, bucketed = false)
 
-  override def hasTable(table: String, wave: Int): Boolean =
-    spark.catalog.tableExists(fq(table))
+  /** Bucket-keyed tables add `bucket` as a second partition column, so
+    * the anti-join's bucket IN-filter (and [[readBuckets]]'s default
+    * `bucket IN` pushdown) is Iceberg partition pruning. */
+  override def writeBucketed(df: DataFrame, table: String, wave: Int): Unit =
+    writeTagged(df, table, wave, bucketed = true)
+
+  /** Per-WAVE, via the commits manifest — table existence alone would
+    * claim completeness for waves that predate the table on an
+    * upgraded store (see the trait scaladoc). The manifest row is
+    * written for every table at [[commit]], so (wave, tbl) presence ⇔
+    * that wave's write happened. */
+  override def hasTable(table: String, wave: Int): Boolean = {
+    ensureCommits()
+    spark.catalog.tableExists(fq(table)) &&
+      !spark.table(commits).where(Sql.hasTableFilter(table, wave)).isEmpty
+  }
 
   override def read(spark: SparkSession, table: String, wave: Int): DataFrame = {
     require(isCommitted(wave), s"wave $wave not committed")
-    spark.table(fq(table)).where(s"_wave = $wave").drop("_wave")
+    spark.table(fq(table)).where(Sql.waveFilter(wave)).drop("_wave")
   }
 
   override def readDeltas(spark: SparkSession, table: String,
@@ -166,6 +177,51 @@ final class IcebergFrontierStore(
     val committed = (0 to upTo).filter(isCommitted)
     if (committed.isEmpty) None
     else Some(spark.table(fq(table))
-      .where(s"_wave IN (${committed.mkString(",")})").drop("_wave"))
+      .where(Sql.deltaFilter(committed)).drop("_wave"))
+  }
+}
+
+object IcebergFrontierStore {
+  /** Every SQL statement, identifier and filter string the binding
+    * emits, as PURE functions — the sandbox has no Iceberg runtime jars
+    * (verified: /opt/spark/jars), so the binding cannot execute here;
+    * golden-pinning this text (IcebergSeamSpec) plus the SCALE.md §10
+    * one-command cluster smoke test is what makes the seam falsifiable
+    * offline. Everything else the class does goes through Spark's own
+    * `DataFrameWriterV2`/catalog surface, which compiles and is
+    * exercised by the SnapshotStore binding's shared engine tests. */
+  private[graft] object Sql {
+    val commitsTable = "graft_commits"
+
+    def fq(catalog: String, namespace: String, table: String): String =
+      s"$catalog.$namespace.$table"
+
+    /** The commit point: one append to this table = one atomic Iceberg
+      * snapshot swap. Schema must stay in lockstep with [[commit]]'s
+      * DataFrame columns. */
+    def commitsDdl(commits: String): String =
+      s"CREATE TABLE IF NOT EXISTS $commits " +
+        "(wave INT, tbl STRING, rows BIGINT, ts TIMESTAMP) USING iceberg"
+
+    def rollback(commits: String, wave: Int): String =
+      s"DELETE FROM $commits WHERE wave > $wave"
+
+    def committedFilter(wave: Int): String = s"wave = $wave"
+
+    def hasTableFilter(table: String, wave: Int): String = {
+      require(!table.contains("'"), s"unsafe table name: $table")
+      s"wave = $wave AND tbl = '$table'"
+    }
+
+    def waveFilter(wave: Int): String = s"_wave = $wave"
+
+    def deltaFilter(waves: Seq[Int]): String =
+      s"_wave IN (${waves.mkString(",")})"
+
+    /** Partition spec per table kind; `_wave` first so wave-level
+      * overwrite/prune stays coarse, `bucket` second for the seenurls
+      * anti-join pruning. */
+    def partitionCols(bucketed: Boolean): Seq[String] =
+      if (bucketed) Seq("_wave", "bucket") else Seq("_wave")
   }
 }
