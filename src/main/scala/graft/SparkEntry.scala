@@ -279,6 +279,19 @@ object SparkEntry {
       TextOps.stratifiedHashSample(t(s, d, "documents"), col("doc_id"),
         col("lang"), Map("en" -> 0.1, "zh" -> 0.5), defaultFraction = 0.25)
         .select("doc_id", "lang").orderBy("doc_id")),
+    "q46_dedup_corpus" -> ((s, d) => { // the END-TO-END corpus dedup a
+      // 100 TB training run executes: near-dup pairs (banded LSH +
+      // exact verify) → connected components → keep each cluster's
+      // canonical (min doc_id), drop the rest. The drop set rides an
+      // 8-byte-key left-anti join; document bodies never shuffle.
+      val docs = t(s, d, "documents")
+      val losers = Dedup.dupClusters(
+        Dedup.minhashLshPairs(docs).select("doc_a", "doc_b"))
+        .where(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    }),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -851,6 +864,38 @@ object SparkEntry {
         |cn AS (SELECT cluster_id, COUNT(*) AS cluster_n FROM lbl GROUP BY 1)
         |SELECT node AS doc_id, cluster_id, cluster_n
         |FROM lbl JOIN cn USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q46: q44's recursive-CC closure, then keep only canonical docs
+    // (not a non-min member of any component) — the oracle for the
+    // composed keep-canonical corpus filter.
+    "q46_dedup_corpus" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+        |  WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE common * 2 >= sa.nsh + sb.nsh - common),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM dup
+        |          UNION ALL SELECT doc_b, doc_a FROM dup),
+        |cc AS (
+        |  SELECT DISTINCT u AS node, u AS r FROM edges
+        |  UNION
+        |  SELECT e.u, cc.r FROM edges e JOIN cc ON cc.node = e.v),
+        |lbl AS (SELECT node, MIN(r) AS cluster_id FROM cc GROUP BY 1),
+        |losers AS (SELECT node FROM lbl WHERE node <> cluster_id)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM losers)
         |ORDER BY doc_id""".stripMargin,
     // q45: membership = md5 16-bit bucket under an integer per-stratum
     // cutoff — bit-for-bit reproducible in any engine with md5.

@@ -42,6 +42,22 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Int]("dist") <= 3))
   }
 
+  test("q46 dedup corpus keeps exactly one canonical doc per q44 cluster") {
+    val clusters = SparkEntry.queries("q44_dup_clusters")(spark, dir).collect()
+    assert(clusters.nonEmpty, "fixture must contain near-dup clusters")
+    val losers = clusters.filter(r =>
+      r.getAs[Long]("doc_id") != r.getAs[Long]("cluster_id"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val kept = SparkEntry.queries("q46_dedup_corpus")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // kept = corpus minus every non-canonical cluster member…
+    assert(kept == all -- losers)
+    // …and each cluster's canonical doc survives (nothing over-dropped)
+    assert(clusters.map(_.getAs[Long]("cluster_id")).toSet.subsetOf(kept))
+  }
+
   test("md5-derived sketch constants are pinned (oracle contract)") {
     // These exact values are what the DuckDB oracles recompute in SQL
     // (q27/q39) — a change here silently breaks oracle parity, so the
