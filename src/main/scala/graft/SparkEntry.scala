@@ -292,6 +292,35 @@ object SparkEntry {
       docs.join(losers, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang")).orderBy("doc_id")
     }),
+    "q47_decontaminate" -> ((s, d) => // eval-set decontamination:
+      // per corpus doc, distinct word 5-grams shared with the eval
+      // slice (doc_id % 20 == 0); 60-bit md5 gram hashes ride the
+      // join, eval side broadcasts
+      Dedup.contaminationCounts(t(s, d, "documents"), n = 5,
+        isEval = col("doc_id") % 20 === 0)),
+    "q48_repetition_stats" -> ((s, d) => { // Gopher-style within-doc
+      // repetition signals (duplicate-token and duplicate-2-gram
+      // counts, most-common-2-gram frequency) — pure projection,
+      // zero shuffle, pinned by PlanSpec
+      val w = TextOps.tokens(col("text"))
+      val g2 = TextOps.bigrams(w)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(w).as("n_tok"),
+        size(array_distinct(w)).as("n_utok"),
+        size(g2).as("n_gram2"),
+        size(array_distinct(g2)).as("n_ugram2"),
+        TextOps.topGramFreq(g2).as("top_gram2_n"))
+        .orderBy("doc_id")
+    }),
+    "q49_bpe_merge_pairs" -> ((s, d) => // tokenizer-training step 1:
+      // global adjacent-pair frequency table, top-100 (map-side
+      // partial agg + TakeOrdered — no global sort)
+      t(s, d, "documents")
+        .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(100)),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -615,6 +644,61 @@ object SparkEntry {
     "q24_lang_distribution" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q47: same tokenization, same 5-gram windows, same 60-bit
+    // md5-prefix gram hash — the join key is recomputed verbatim, so
+    // contamination counts are bit-exact.
+    "q47_decontaminate" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST('0x' || substring(md5(array_to_string(w[i:i+4], ' ')), 1, 15) AS BIGINT) AS gh
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-4)) AS i) g
+        |  WHERE len(w) >= 5),
+        |ev AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 20 = 0),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_contam FROM grams JOIN ev USING (gh)
+        |  WHERE doc_id % 20 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(h.n_contam, 0) AS n_contam
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""".stripMargin,
+    // q48: list-lambda replay of the projection — same token filter,
+    // same adjacent-pair construction, same within-doc top count.
+    "q48_repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+        |                t -> t <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) >= 2
+        |      THEN list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+        |      ELSE [] END AS g2
+        |  FROM toks)
+        |SELECT doc_id,
+        |  len(w) AS n_tok,
+        |  len(list_distinct(w)) AS n_utok,
+        |  len(g2) AS n_gram2,
+        |  len(list_distinct(g2)) AS n_ugram2,
+        |  CASE WHEN len(g2) = 0 THEN 0
+        |    ELSE list_max(list_transform(list_distinct(g2),
+        |           x -> len(list_filter(g2, y -> y = x))))
+        |  END AS top_gram2_n
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q49_bpe_merge_pairs" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+        |                     t -> t <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(CASE WHEN len(w) >= 2
+        |    THEN list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+        |    ELSE [] END) AS pair
+        |  FROM toks)
+        |SELECT pair, COUNT(*) AS n FROM g
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 100""".stripMargin,
     "q29_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events

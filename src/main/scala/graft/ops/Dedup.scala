@@ -203,6 +203,46 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Eval-set decontamination: for every NON-eval document, how many
+    * of its distinct word n-grams also occur in ANY eval-set document
+    * (0 for clean docs, so the output covers the whole corpus slice).
+    * The training-data hygiene pass every serious pretraining run
+    * executes — benchmark/test-set text must not leak into the corpus,
+    * and n-gram collision (n≈5..13 words) is the standard detector.
+    *
+    * Scale shape (the 100 TB story): grams ride the join as 60-bit
+    * md5-prefix hashes (8 bytes), never strings; both sides are
+    * per-doc DISTINCT before the join so multiplicity is bounded by
+    * doc count, not gram count; and the eval side is tiny relative to
+    * the corpus (eval sets are fixed benchmark suites), so the planner
+    * broadcasts it — the corpus side is then a map-side hash probe
+    * with NO shuffle of corpus grams. The same md5-prefix expression
+    * exists verbatim in DuckDB, so counts are oracle-exact
+    * (hash collisions, were any to occur, are identical in both
+    * engines by construction).
+    *
+    * `isEval` is a predicate over `doc_id` (e.g. `col("doc_id") % 20
+    * === 0` for a deterministic 5% eval slice in tests).
+    */
+  def contaminationCounts(docs: DataFrame, n: Int, isEval: Column): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      split(lower(trim(col("text"))), TextOps.Ws).as("w"))
+    val grams = words.where(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - n),
+          i => conv(substring(md5(
+            concat_ws(" ", slice(col("w"), i + 1, lit(n)))), 1, 15), 16, 10)
+            .cast("long"))).as("gh"))
+      .distinct()
+    val ev = grams.where(isEval).select("gh").distinct()
+    val hits = grams.where(not(isEval)).join(ev, "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contam"))
+    docs.where(not(isEval)).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_contam"), lit(0L)).as("n_contam"))
+      .orderBy("doc_id")
+  }
+
   /** Collapse near-dup PAIRS into CLUSTERS: connected components over
     * the pair graph, labeling every member with the smallest doc_id in
     * its component (the canonical survivor a 100 TB dedup pass keeps).

@@ -115,6 +115,32 @@ object TextOps {
     df.where(hashBucket16(key) < cut)
   }
 
+  /** Non-empty lowercase whitespace tokens as an array column (pure
+    * projection — the building block the repetition / merge-pair ops
+    * below compose). */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), Ws), t => t =!= "")
+
+  /** Adjacent token pairs ("bigrams") of a token-array column — the
+    * within-doc repetition unit (Gopher-style duplicate-2-gram
+    * signals) and the BPE merge-candidate unit. Empty array for docs
+    * with fewer than 2 tokens, identical to the oracle's CASE guard. */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Highest within-doc occurrence count over a grams array (0 when
+    * empty) — the numerator of Gopher's "fraction of characters in the
+    * most common n-gram" repetition filter. O(d²) in the per-doc gram
+    * count but a pure projection: no shuffle, no UDF, embarrassingly
+    * parallel at any corpus size. */
+  def topGramFreq(grams: Column): Column =
+    when(size(grams) === 0, lit(0))
+      .otherwise(array_max(transform(array_distinct(grams),
+        x => size(filter(grams, y => y === x)))))
+
   /** Integer-threshold quality gate (all-integer arithmetic so the
     * oracle comparison is exact): a doc passes when it has at least 20
     * tokens, at least one stopword per 50 tokens, and punctuation

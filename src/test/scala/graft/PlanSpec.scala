@@ -191,4 +191,33 @@ class PlanSpec extends AnyFunSuite {
       plan.take(3000))
     assert(plan.contains("Filter"), plan.take(3000))
   }
+
+  test("repetition signals are a pure projection: no exchange, no join (q48 core)") {
+    import graft.ops.TextOps
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = TextOps.tokens(col("text"))
+    val g2 = TextOps.bigrams(w)
+    // the op itself (the orderBy in q48 exists only for oracle
+    // determinism) must plan as scan+project — per-doc repetition
+    // signals cost zero shuffle at any corpus size
+    val rep = docs.select(col("doc_id"), size(w).as("n_tok"),
+      size(array_distinct(g2)).as("n_ugram2"),
+      TextOps.topGramFreq(g2).as("top_gram2_n"))
+    val plan = planOf(rep)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      plan.take(3000))
+  }
+
+  test("merge-pair table plans as partial agg + TakeOrdered (q49)") {
+    val plan = planOf(SparkEntry.queries("q49_bpe_merge_pairs")(spark, dir))
+    // map-side combine before the shuffle, top-k instead of global sort
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("decontamination joins on gram hashes — no cartesian (q47)") {
+    val plan = planOf(SparkEntry.queries("q47_decontaminate")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }

@@ -402,4 +402,53 @@ class SparkEntrySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got.subsetOf(wider))
   }
+
+  test("q47 decontamination counts shared 5-grams against the eval slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "one two three four five six"),   // eval doc: 2 distinct 5-grams
+      (1L, "one two three four five seven"), // shares "one two three four five"
+      (2L, "zz yy xx ww vv uu"),             // clean
+      (3L, "pad two three four five six"),   // shares "two three four five six"
+      (4L, "one two")                        // too short for any 5-gram
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup
+      .contaminationCounts(docs, n = 5, isEval = col("doc_id") === 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 0L)))
+  }
+
+  test("q48 repetition stats: distinct-token/gram counts and the top gram") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextOps
+    val docs = Seq(
+      (1L, "a b a b c"), // 5 toks, 3 uniq; grams [a b, b a, a b, b c]: 4, 3 uniq, top=2
+      (2L, "hello"),     // 1 tok, no grams
+      (3L, "  ")         // blank: all zeros
+    ).toDF("doc_id", "text")
+    val w = TextOps.tokens(col("text"))
+    val g2 = TextOps.bigrams(w)
+    val got = docs.select(col("doc_id"), size(w), size(array_distinct(w)),
+        size(g2), size(array_distinct(g2)), TextOps.topGramFreq(g2))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5))).toSeq
+    assert(got == Seq((1L, 5, 3, 4, 3, 2), (2L, 1, 1, 0, 0, 0),
+      (3L, 0, 0, 0, 0, 0)))
+  }
+
+  test("q49 merge pairs rank the most frequent adjacent pair first") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextOps
+    val docs = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = docs
+      .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("x y", 3L), ("y x", 1L), ("y z", 1L)))
+  }
 }
