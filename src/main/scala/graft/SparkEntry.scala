@@ -313,6 +313,11 @@ object SparkEntry {
         TextOps.topGramFreq(g2).as("top_gram2_n"))
         .orderBy("doc_id")
     }),
+    "q50_repeated_substrings" -> ((s, d) => // substring-level dedup
+      // signals (Lee et al. 2022 shape): distinct 10-token windows
+      // per doc + how many recur verbatim elsewhere in the corpus;
+      // 60-bit window hashes, partial-agg df count
+      Dedup.repeatedWindowCounts(t(s, d, "documents"), k = 10)),
     "q49_bpe_merge_pairs" -> ((s, d) => // tokenizer-training step 1:
       // global adjacent-pair frequency table, top-100 (map-side
       // partial agg + TakeOrdered — no global sort)
@@ -687,6 +692,25 @@ object SparkEntry {
         |           x -> len(list_filter(g2, y -> y = x))))
         |  END AS top_gram2_n
         |FROM g ORDER BY doc_id""".stripMargin,
+    // q50: same filtered tokenization, same 10-token windows, same
+    // 60-bit md5-prefix window hash — df and per-doc counts replayed.
+    "q50_repeated_substrings" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+        |                t -> t <> '') AS w
+        |  FROM documents),
+        |wins AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST('0x' || substring(md5(array_to_string(w[i:i+9], ' ')), 1, 15) AS BIGINT) AS wh
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-9)) AS i) g
+        |  WHERE len(w) >= 10),
+        |rep AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) >= 2),
+        |nw AS (SELECT doc_id, COUNT(*) AS n_win FROM wins GROUP BY 1),
+        |nr AS (SELECT doc_id, COUNT(*) AS n_rep FROM wins JOIN rep USING (wh) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(nw.n_win, 0) AS n_win, COALESCE(nr.n_rep, 0) AS n_rep
+        |FROM documents d LEFT JOIN nw USING (doc_id) LEFT JOIN nr USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q49_bpe_merge_pairs" ->
       """WITH toks AS (
         |  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),

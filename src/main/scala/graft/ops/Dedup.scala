@@ -243,6 +243,49 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Substring-level exact dedup signals (the Lee et al. 2022
+    * "Deduplicating Training Data" detector, window-hash form): for
+    * EVERY document, how many distinct k-token windows it contains
+    * (`n_win`) and how many of those appear verbatim in at least one
+    * OTHER document (`n_rep`). Doc-level near-dup (q21/q26/q27) misses
+    * boilerplate that rides inside otherwise-distinct pages; this
+    * catches any k-token run shared across the corpus, which is what a
+    * substring-dedup pass removes before training.
+    *
+    * Scale shape: windows ride as 60-bit md5-prefix hashes (8 bytes);
+    * per-doc DISTINCT bounds multiplicity; the df count is a partial-
+    * aggregatable groupBy; the join back to docs is an equi-join on
+    * the hash. Hot boilerplate windows (df in the millions at 100 TB)
+    * cost only their aggregation row — nothing here is quadratic in
+    * df. md5-per-window is O(n·k) character work per doc vs O(n) for
+    * a true rolling hash, the price of an expression the DuckDB
+    * oracle replays verbatim; k is small and the work is per-row
+    * parallel, so the scan stays compute-bound, not shuffle-bound.
+    */
+  def repeatedWindowCounts(docs: DataFrame, k: Int): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - k),
+          i => conv(substring(md5(
+            concat_ws(" ", slice(col("w"), i + 1, lit(k)))), 1, 15), 16, 10)
+            .cast("long"))).as("wh"))
+      .distinct()
+    val rep = wins.groupBy("wh").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2).select("wh")
+    val nWin = wins.groupBy("doc_id").agg(count(lit(1)).as("n_win"))
+    val nRep = wins.join(rep, "wh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rep"))
+    docs.select("doc_id")
+      .join(nWin, Seq("doc_id"), "left")
+      .join(nRep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_rep"), lit(0L)).as("n_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Collapse near-dup PAIRS into CLUSTERS: connected components over
     * the pair graph, labeling every member with the smallest doc_id in
     * its component (the canonical survivor a 100 TB dedup pass keeps).

@@ -439,6 +439,21 @@ class SparkEntrySpec extends AnyFunSuite {
       (3L, 0, 0, 0, 0, 0)))
   }
 
+  test("q50 repeated substrings: shared 10-token window detected, short docs zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ten = (1 to 10).map("t" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"$ten x"),                   // windows: [t1..t10], [t2..x]
+      (2L, s"z $ten"),                   // windows: [z..t9], [t1..t10]
+      (3L, "a b c d e f g h i j"),       // 1 window, unshared
+      (4L, "short text")                 // below k: no windows
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.repeatedWindowCounts(docs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 1L, 0L), (4L, 0L, 0L)))
+  }
+
   test("q49 merge pairs rank the most frequent adjacent pair first") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
