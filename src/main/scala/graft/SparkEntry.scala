@@ -326,6 +326,14 @@ object SparkEntry {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(100)),
+    "q51_tfidf_top_term" -> ((s, d) => // keyword extraction: per-doc
+      // top TF-IDF term, all-integer tf·10⁶ div df score so the
+      // oracle replays the ranking bit-for-bit
+      TextOps.tfidfTopTerm(t(s, d, "documents"))),
+    "q52_cross_source_overlap" -> ((s, d) => // inter-dump dedup
+      // diagnostic: near-dup pair counts per unordered source pair;
+      // pairs broadcast against a 2-col (doc_id, source) projection
+      Dedup.crossSourceOverlap(t(s, d, "documents"))),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -723,6 +731,53 @@ object SparkEntry {
         |  FROM toks)
         |SELECT pair, COUNT(*) AS n FROM g
         |GROUP BY 1 ORDER BY n DESC, pair LIMIT 100""".stripMargin,
+    // q51: same filtered tokenization; df over the (doc,term) table;
+    // integer tf·10⁶ // df score; tie-break on term ascending.
+    "q51_tfidf_top_term" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+        |                       t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    (tf.tf * 1000000) // df.df AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY (tf.tf * 1000000) // df.df DESC, tf.term) AS rn
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, score FROM s WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    // q52: the q26 verified-pair closure (exact 3-gram Jaccard >= 0.5,
+    // which the banded LSH recalls completely on this corpus — the q26
+    // oracle pins that equivalence) aggregated per unordered source
+    // pair.
+    "q52_cross_source_overlap" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+        |  WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ok AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE common * 2 >= sa.nsh + sb.nsh - common)
+        |SELECT least(da.source, db.source) AS src_a,
+        |  greatest(da.source, db.source) AS src_b,
+        |  COUNT(*) AS n_pairs
+        |FROM ok
+        |JOIN documents da ON da.doc_id = ok.doc_a
+        |JOIN documents db ON db.doc_id = ok.doc_b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q29_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events

@@ -286,6 +286,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source near-dup overlap matrix: for every unordered pair of
+    * `source` values, how many verified near-dup pairs span them — the
+    * inter-dump diagnostic a multi-snapshot crawl corpus is measured by
+    * before merging ("how much of dump B is already in dump A?"). The
+    * diagonal (src_a = src_b) counts within-source dups.
+    *
+    * Scale shape: the pair set is the (small) near-dup output of
+    * [[minhashLshPairs]], so the two source-lookup equi-joins broadcast
+    * the pairs against a 2-column (doc_id, source) projection of the
+    * corpus — bodies never ride — and the matrix groupBy is bounded by
+    * |sources|², not by corpus size. */
+  def crossSourceOverlap(docs: DataFrame, n: Int = 3, numPerms: Int = 64,
+                         rowsPerBand: Int = 8,
+                         threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(docs, n, numPerms, rowsPerBand, threshold)
+      .select("doc_a", "doc_b")
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "sa"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "sb"), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Collapse near-dup PAIRS into CLUSTERS: connected components over
     * the pair graph, labeling every member with the smallest doc_id in
     * its component (the canonical survivor a 100 TB dedup pass keeps).

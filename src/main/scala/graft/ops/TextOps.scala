@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column-level text analysis for training-data pipelines.
@@ -140,6 +141,36 @@ object TextOps {
     when(size(grams) === 0, lit(0))
       .otherwise(array_max(transform(array_distinct(grams),
         x => size(filter(grams, y => y === x)))))
+
+  /** Per-document top TF-IDF term — the keyword-extraction /
+    * domain-relevance primitive (the signal importance-filtering
+    * pipelines rank documents by). `tf` is the within-doc term count,
+    * `df` the number of documents containing the term, and the score
+    * is the ALL-INTEGER `tf·10⁶ div df` (truncating integer division,
+    * exact in 64-bit on both engines) so the DuckDB oracle replays the
+    * ranking bit-for-bit — a float `ln(N/df)` idf would rank the same
+    * way for a fixed corpus but could not be hash-compared safely.
+    * Ties break on term ascending via the window's ORDER BY.
+    *
+    * Scale shape: the tf table is one row per (doc, term) from a
+    * map-side partial-aggregated groupBy; df aggregates THAT table
+    * (never the raw token stream); the tf⋈df equi-join is on the term
+    * key and the final top-1 is a doc-partitioned window — no global
+    * sort, nothing quadratic, and hot stopword terms cost one df row
+    * each, not a skew blow-up. */
+  def tfidfTopTerm(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score", expr("tf * 1000000 div df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("doc_id", "term", "tf", "df", "score")
+      .orderBy("doc_id")
+  }
 
   /** Integer-threshold quality gate (all-integer arithmetic so the
     * oracle comparison is exact): a doc passes when it has at least 20

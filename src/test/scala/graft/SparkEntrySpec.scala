@@ -454,6 +454,33 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 1L, 0L), (4L, 0L, 0L)))
   }
 
+  test("q51 tfidf: rare term beats frequent common term, score ties break on term asc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),  // apple tf2 df1 → 2000000; banana tf1 df2 → 500000
+      (2L, "banana cherry"),       // both score 500000 → banana wins tie (term asc)
+      (3L, "cherry cherry cherry") // cherry tf3 df2 → 1500000
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.tfidfTopTerm(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, "apple", 2L, 1L, 2000000L),
+      (2L, "banana", 1L, 2L, 500000L),
+      (3L, "cherry", 3L, 2L, 1500000L)))
+  }
+
+  test("q52 cross-source overlap counts near-dup pairs per unordered source pair") {
+    import spark.implicits._
+    val txt = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, txt, "s1"), (2L, txt, "s2"), (3L, txt, "s2"),
+      (4L, "completely different words nothing shared here at all ok", "s1")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.Dedup.crossSourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("s1", "s2", 2L), ("s2", "s2", 1L)))
+  }
+
   test("q49 merge pairs rank the most frequent adjacent pair first") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
