@@ -334,6 +334,20 @@ object SparkEntry {
       // diagnostic: near-dup pair counts per unordered source pair;
       // pairs broadcast against a 2-col (doc_id, source) projection
       Dedup.crossSourceOverlap(t(s, d, "documents"))),
+    "q53_asof_join" -> ((s, d) => { // point-in-time attribution: each
+      // event gets the latest signup of the same user at-or-before its
+      // ts — union+running-window as-of join (ONE key shuffle, no
+      // range-join row explosion); right side pre-aggregated unique
+      // per (user, ts) so the match is deterministic
+      val ev = t(s, d, "events")
+      val left = ev.where(col("event_type") =!= "signup")
+        .select("event_id", "user_id", "ts")
+      val right = ev.where(col("event_type") === "signup")
+        .groupBy("user_id", "ts").agg(max("event_id").as("last_signup_id"))
+      ops.TimeJoin.asofLookup(left, right, "user_id", "ts", "ts", "last_signup_id")
+        .select("event_id", "user_id", "last_signup_id")
+        .orderBy("event_id")
+    }),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -778,6 +792,21 @@ object SparkEntry {
         |JOIN documents da ON da.doc_id = ok.doc_a
         |JOIN documents db ON db.doc_id = ok.doc_b
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q53: DuckDB's NATIVE ASOF LEFT JOIN is the oracle — equality-
+    // inclusive greatest rightTs <= leftTs, exactly the union+window
+    // semantics; the right side is pre-aggregated unique per (user,
+    // ts) in both engines so the match is deterministic.
+    "q53_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type <> 'signup'),
+        |r AS (
+        |  SELECT user_id, ts, max(event_id) AS last_signup_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, r.last_signup_id
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
     "q29_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events

@@ -220,4 +220,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("tfidf top-term: partial-agg tf table, partitioned window, no cartesian (q51)") {
+    val plan = planOf(SparkEntry.queries("q51_tfidf_top_term")(spark, dir))
+    // map-side combine on (doc_id, term) before any shuffle
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the top-1 window is PARTITIONED by doc_id (its input exchange
+    // hashes on doc_id) — a global (empty partition-spec) window would
+    // serialize the corpus through one task
+    assert(plan.contains("row_number"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(doc_id"), plan.take(3000))
+  }
+
+  test("cross-source overlap: near-dup pairs broadcast against the source lookup (q52)") {
+    val plan = planOf(SparkEntry.queries("q52_cross_source_overlap")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the tiny verified-pair set must broadcast into the (doc_id,
+    // source) lookups rather than shuffling the corpus projection
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
+    val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
+    // the whole point: an as-of is NOT a range join here — no join
+    // node of any kind, so no O(|L|·|R|)-per-key row explosion
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(user_id"), plan.take(3000))
+  }
 }

@@ -481,6 +481,27 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(got == Seq(("s1", "s2", 2L), ("s2", "s2", 1L)))
   }
 
+  test("q53 asof lookup: inclusive match, latest-prior wins, no-prior is null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq(
+      (10L, 1L, ts(100)),  // after signup at 50 and 90 → 90's id
+      (11L, 1L, ts(90)),   // EQUAL to signup ts 90 → inclusive match
+      (12L, 1L, ts(40)),   // before any signup → null
+      (13L, 2L, ts(500))   // user with no signups at all → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(50), 100L), (1L, ts(90), 101L)
+    ).toDF("user_id", "ts", "last_signup_id")
+    val got = graft.ops.TimeJoin
+      .asofLookup(left, right, "user_id", "ts", "ts", "last_signup_id")
+      .select("event_id", "last_signup_id").orderBy("event_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(got == Seq((10L, 101L), (11L, 101L), (12L, -1L), (13L, -1L)))
+  }
+
   test("q49 merge pairs rank the most frequent adjacent pair first") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
