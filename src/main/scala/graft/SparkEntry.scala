@@ -348,6 +348,46 @@ object SparkEntry {
         .select("event_id", "user_id", "last_signup_id")
         .orderBy("event_id")
     }),
+    "q54_pii_scrub" -> ((s, d) => { // PII redaction (the C4/RefinedWeb
+      // scrub between crawl and training): emails, IPv4s, phones →
+      // placeholder tokens, pure codegen projection. The corpus text
+      // carries no PII, so each doc gets a deterministic doc_id-derived
+      // contact block appended (same construction in the oracle, q30
+      // pattern); the contract under test is the engine-identical regex
+      // set, the fixed replace order, and counts on the pre-scrub text.
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@ex"), col("doc_id") % 5,
+        lit(".com or ops-"), col("doc_id") % 3,
+        lit("@mail.example.org call +1 (41"), col("doc_id") % 10,
+        lit(") 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), col("doc_id") % 256,
+        lit("."), col("doc_id") % 16, lit(".1"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        ops.Pii.emailCount(pii).cast("long").as("n_email"),
+        ops.Pii.ipCount(pii).cast("long").as("n_ip"),
+        ops.Pii.phoneCount(pii).cast("long").as("n_phone"),
+        md5(ops.Pii.scrub(pii)).as("scrub_md5"))
+        .orderBy("doc_id")
+    }),
+    "q55_line_dedup" -> ((s, d) => { // CCNet/RefinedWeb boilerplate
+      // LINE removal: lines repeated verbatim across >=20 docs (cookie
+      // banner df=|corpus|, per-source footers df=|source|) drop; each
+      // doc's unique body line survives. Corpus text is single-line,
+      // so each doc is framed with deterministic boilerplate (same
+      // construction in the oracle); the operator under test is
+      // df-on-60-bit-hashes + driver-collected boilerplate set +
+      // in-row array-filter rebuild — bodies never shuffle.
+      val lines = array(
+        lit("please accept our cookie policy"),
+        concat(lit("copyright "), col("source"), lit(" all rights reserved")),
+        col("text"),
+        concat(lit("subscribe to the "), col("source"), lit(" newsletter")))
+      Dedup.dropFrequentLines(
+        t(s, d, "documents").select(col("doc_id"), lines.as("lines")),
+        minDf = 20)
+    }),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -807,6 +847,59 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    // q54: same synthesized contact block, same three RE2/Java-common
+    // patterns, same email→ipv4→phone replace order ('g' = Spark's
+    // replace-all default); counts on the pre-scrub text in both.
+    "q54_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@ex' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.com or ops-' || CAST(doc_id % 3 AS VARCHAR)
+        |      || '@mail.example.org call +1 (41' || CAST(doc_id % 10 AS VARCHAR)
+        |      || ') 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.' || CAST(doc_id % 16 AS VARCHAR) || '.1' AS pii
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS n_email,
+        |  len(regexp_extract_all(pii,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ip,
+        |  len(regexp_extract_all(pii,
+        |    '(\+[0-9]{1,2} )?\([0-9]{3}\) [0-9]{3}-[0-9]{4}')) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '(\+[0-9]{1,2} )?\([0-9]{3}\) [0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // q55: same framed line array; df grouped on the raw line (the
+    // Spark side groups its 60-bit hash — collision-free equivalence
+    // is exactly what the hash contract claims), same df < 20 keep
+    // rule, same \n rebuild; empty survivors → md5('').
+    "q55_line_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    ['please accept our cookie policy',
+        |     'copyright ' || source || ' all rights reserved',
+        |     text,
+        |     'subscribe to the ' || source || ' newsletter'] AS lines
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, i, lines[i] AS line
+        |  FROM base, LATERAL (SELECT unnest(generate_series(1, len(lines))) AS i) g),
+        |df AS (SELECT line, COUNT(*) AS n FROM l GROUP BY 1),
+        |kept AS (
+        |  SELECT l.doc_id, l.i, l.line
+        |  FROM l JOIN df ON df.line = l.line WHERE df.n < 20),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    md5(string_agg(line, chr(10) ORDER BY i)) AS clean_md5
+        |  FROM kept GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(a.n_kept, 0) AS n_kept,
+        |  COALESCE(a.clean_md5, md5('')) AS clean_md5
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q29_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events

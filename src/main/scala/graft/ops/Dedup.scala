@@ -380,4 +380,49 @@ object Dedup {
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_n"))
       .orderBy("doc_id")
   }
+
+  /** Boilerplate LINE removal — the CCNet/RefinedWeb pass that drops
+    * lines repeated verbatim across many documents (cookie banners,
+    * copyright footers, nav text) while keeping each document's unique
+    * body. Input: `(doc_id, lines: array<string>)`; output one row per
+    * doc with the surviving line count and the md5 of the cleaned text
+    * (lines joined by \n), so an oracle can pin the rebuild
+    * bit-for-bit.
+    *
+    * Scale shape (the 100 TB story): document frequency is aggregated
+    * over 60-bit md5-prefix line hashes — the only shuffle in the
+    * whole operator moves 8-byte hashes, never line bodies. The
+    * frequent set (df ≥ `minDf`) is by definition boilerplate: a
+    * bounded, corpus-size-independent set of distinct strings, so it
+    * is collected to the driver (same k-row pattern as the IVF
+    * codebook) and applied as a literal IN-filter INSIDE an array
+    * `filter` lambda — the cleaned document is a pure projection of
+    * its own row. Bodies never leave their partition; no join, no
+    * second shuffle, nothing quadratic in df. `maxBoiler` caps the
+    * driver fetch; exceeding it fails loudly rather than silently
+    * truncating the drop set (a truncated set would under-clean). */
+  def dropFrequentLines(docLines: DataFrame, minDf: Int,
+      maxBoiler: Int = 1 << 16): DataFrame = {
+    def h(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val freq = docLines
+      .select(explode(col("lines")).as("line"))
+      .select(h(col("line")).as("lh"))
+      .groupBy("lh").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .limit(maxBoiler + 1)
+      .collect().map(_.getLong(0))
+    require(freq.length <= maxBoiler,
+      s"boilerplate set exceeds maxBoiler=$maxBoiler; raise the cap " +
+        "or pre-shard the df aggregation")
+    val isBoiler: Column => Column =
+      if (freq.isEmpty) _ => lit(false)
+      else l => h(l).isin(freq.toSeq: _*)
+    val kept = filter(col("lines"), l => not(isBoiler(l)))
+    docLines.select(
+      col("doc_id"),
+      size(kept).cast("long").as("n_kept"),
+      md5(concat_ws("\n", kept)).as("clean_md5"))
+      .orderBy("doc_id")
+  }
 }

@@ -243,6 +243,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("pii scrub is a pure projection: no exchange, no join (q54 core)") {
+    import graft.ops.Pii
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the op itself (q54's orderBy exists only for oracle determinism)
+    // must plan as scan+project — redaction costs zero shuffle at any
+    // corpus size
+    val scrubbed = docs.select(col("doc_id"),
+      Pii.emailCount(col("text")).as("n_email"),
+      md5(Pii.scrub(col("text"))).as("scrub_md5"))
+    val plan = planOf(scrubbed)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      plan.take(3000))
+  }
+
+  test("line dedup rebuild is an in-row filter: no join in the q55 plan") {
+    val plan = planOf(SparkEntry.queries("q55_line_dedup")(spark, dir))
+    // the frequent set is a driver-collected literal IN-filter inside
+    // the array lambda — the cleaned doc is a projection of its own
+    // row, so the rebuild side has NO join node (df aggregation runs
+    // as its own tiny hash-only job before the plan is built)
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join

@@ -514,4 +514,54 @@ class SparkEntrySpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("x y", 3L), ("y x", 1L), ("y z", 1L)))
   }
+
+  test("q54 pii scrub: redaction order, placeholder tokens, counts on pre-scrub text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.Pii
+    val docs = Seq(
+      (1L, "mail a.b+c@sub.example.org then 192.168.0.1 and +1 (415) 555-0142 done"),
+      (2L, "no pii here at all"),
+      (3L, "(415) 555-0142 bare phone; 999.1.2.3 permissive ip")
+    ).toDF("doc_id", "text")
+    val got = docs.select(
+      col("doc_id"),
+      Pii.emailCount(col("text")).as("e"),
+      Pii.ipCount(col("text")).as("i"),
+      Pii.phoneCount(col("text")).as("p"),
+      Pii.scrub(col("text")).as("s"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getInt(1) == 1 && got(0).getInt(2) == 1 && got(0).getInt(3) == 1)
+    assert(got(0).getString(4) ==
+      "mail <EMAIL> then <IP> and <PHONE> done")
+    assert(got(1).getInt(1) == 0 && got(1).getInt(2) == 0 && got(1).getInt(3) == 0)
+    assert(got(1).getString(4) == "no pii here at all")
+    // optional +CC prefix and out-of-range octets both redact (recall-
+    // first scrub, like C4)
+    assert(got(2).getString(4) == "<PHONE> bare phone; <IP> permissive ip")
+  }
+
+  test("q55 line dedup drops df>=minDf lines, keeps order, md5-rebuilds in-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 5L).map(i =>
+      (i, Seq("boiler top", s"body $i", "boiler bottom"))) :+
+      (6L, Seq("boiler top", "boiler bottom")) // nothing survives
+    val got = graft.ops.Dedup
+      .dropFrequentLines(docs.toDF("doc_id", "lines"), minDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.toSeq == (1L to 5L).map(i => (i, 1L, hex(s"body $i"))) :+
+      ((6L, 0L, hex(""))))
+  }
+
+  test("q55 line dedup keeps everything when no line clears minDf") {
+    import spark.implicits._
+    val docs = Seq((1L, Seq("a", "b")), (2L, Seq("a", "c")))
+      .toDF("doc_id", "lines")
+    val got = graft.ops.Dedup.dropFrequentLines(docs, minDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 2L)))
+  }
 }
