@@ -71,30 +71,33 @@ object TempDirs {
       }
     } catch { case _: Throwable => None }
 
-  /** True iff the marker's pid refers to the SAME process that wrote
-    * it: the pid must be present AND (when both sides have a start
-    * stamp) the start times must agree — a recycled pid with a
-    * different start time is not the owner. Unknowable start times
-    * resolve to "alive" (conservative: never reap a live run). */
-  private def ownerAlive(pid: Long, recordedStart: Option[Long]): Boolean = {
+  /** Ownership verdict for a marker: `Some(true)` = the pid is live AND
+    * both sides carry a start stamp that MATCHES (provably the writer);
+    * `Some(false)` = the pid is gone, or live with a DIFFERENT start
+    * time (recycled — provably not the writer); `None` = can't tell
+    * (either side lacks a start stamp). */
+  private def ownerVerdict(pid: Long, recordedStart: Option[Long]): Option[Boolean] = {
     val oh = ProcessHandle.of(pid)
-    if (!oh.isPresent) false
-    else recordedStart match {
-      case Some(rec) =>
-        val s = oh.get.info().startInstant()
-        if (s.isPresent) s.get.toEpochMilli == rec else true
-      case None => true
+    if (!oh.isPresent) Some(false)
+    else (recordedStart, {
+      val s = oh.get.info().startInstant()
+      if (s.isPresent) Some(s.get.toEpochMilli) else None
+    }) match {
+      case (Some(rec), Some(live)) => Some(live == rec)
+      case _                       => None
     }
   }
 
   /** Delete leaked scratch dirs from PRIOR dead runs: any dir under
     * java.io.tmpdir with an owned prefix whose recorded owner process
-    * is gone — including a pid RECYCLED to a process with a different
-    * start time — (immediate reclaim), or, for unmarked dirs (older
-    * layouts), not modified for `maxAgeMs`. A marked dir whose owner
-    * looks alive is still reclaimed past `markedMaxAgeMs` (default 7
-    * days) — the backstop for markers written without a start stamp on
-    * JVMs that can't report one; no bench run lives that long. */
+    * is provably gone — including a pid RECYCLED to a process with a
+    * different start time — (immediate reclaim), or, for unmarked dirs
+    * (older layouts), not modified for `maxAgeMs`. The `markedMaxAgeMs`
+    * backstop (default 7 days; no bench run lives that long) applies
+    * ONLY when ownership is unverifiable — a marker written without a
+    * start stamp, or a JVM that can't report one. A dir whose marker
+    * start-stamp MATCHES its live process is the one case age can never
+    * override: that process verifiably is the writer, still running. */
   def sweepStale(maxAgeMs: Long = 3600L * 1000,
                  markedMaxAgeMs: Long = 7L * 86400 * 1000): Unit = {
     val tmp = new File(System.getProperty("java.io.tmpdir"))
@@ -104,11 +107,12 @@ object TempDirs {
     val fs = tmp.listFiles()
     if (fs != null) fs.foreach { f =>
       if (f.isDirectory && prefixes.exists(f.getName.startsWith)) {
-        val info = ownerInfo(f)
-        val reclaim = info match {
-          case Some((pid, start)) =>
-            !ownerAlive(pid, start) || f.lastModified < markedCutoff
-          case None => f.lastModified < cutoff // unmarked: age gate
+        val reclaim = ownerInfo(f) match {
+          case Some((pid, start)) => ownerVerdict(pid, start) match {
+            case Some(isOwner) => !isOwner      // provable: pid verdict only
+            case None => f.lastModified < markedCutoff // unverifiable: backstop
+          }
+          case None => f.lastModified < cutoff  // unmarked: age gate
         }
         if (reclaim)
           try deleteRec(f) catch { case _: Throwable => () }

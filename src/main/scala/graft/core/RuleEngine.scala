@@ -87,9 +87,17 @@ object RuleEngine {
     // doc yields nothing), and the reference's Regex branch is
     // NotImplementedException (cs:92-93; ours is a documented
     // extension) — neither ever falls back to HTML auto-detection.
-    if (rule.matchType == "XPath" && (rule.itemExp == null || rule.itemExp.isEmpty) &&
+    val itemExpEmpty = rule.itemExp == null || rule.itemExp.isEmpty
+    if (rule.matchType == "XPath" && itemExpEmpty &&
         !rule.rootExp.exists(_.nonEmpty))
       return CatalogDetect.detect(content, pageUrl)
+    // A null/empty item expression outside the XPath fallback yields
+    // NOTHING (never a crash, never a spurious root item): a Regex rule
+    // has no pattern to run, and the reference's empty JPath select
+    // over the JSON doc matches no items (MiniJson.select would return
+    // the document ROOT for an empty path — that is a path-syntax
+    // artifact, not a catalog item).
+    if (itemExpEmpty && rule.matchType != "XPath") return Vector.empty
     val raw: Vector[(String, String, Option[String])] = rule.matchType match {
       case "XPath" => return xpathCatalog(content, pageUrl, rule)
       case "Regex" =>

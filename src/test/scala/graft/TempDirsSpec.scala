@@ -41,6 +41,25 @@ class TempDirsSpec extends AnyFunSuite {
     }
   }
 
+  test("sweepStale: verified live owner survives ANY marked-age gate") {
+    val me = ProcessHandle.current()
+    val myStart = me.info().startInstant()
+    assume(myStart.isPresent, "JVM can't report its start time here")
+    val n = System.nanoTime()
+    val d = mk(s"benchpages-tds-vlive-$n",
+      Some(s"${me.pid()} ${myStart.get.toEpochMilli}"))
+    try {
+      d.setLastModified(System.currentTimeMillis() - 60000)
+      // a start-stamp match is proof of ownership — the age backstop is
+      // only for unverifiable markers and must never reap a proven owner
+      TempDirs.sweepStale(markedMaxAgeMs = 10)
+      assert(d.isDirectory,
+        "provably-live owner's dir reclaimed by the age backstop")
+    } finally {
+      new File(d, ".owner-pid").delete(); d.delete()
+    }
+  }
+
   test("sweepStale: stampless marker falls back to the long marked-age gate") {
     val me = ProcessHandle.current()
     val n = System.nanoTime()
