@@ -388,6 +388,35 @@ object SparkEntry {
         t(s, d, "documents").select(col("doc_id"), lines.as("lines")),
         minDf = 20)
     }),
+    "q56_quality_verdicts" -> ((s, d) => // Gopher-rules quality audit:
+      // per-rule 0/1 verdicts (count/word-length/symbol/alpha/stop) as
+      // a pure integer projection — zero shuffle, PlanSpec-pinned
+      TextOps.qualityVerdicts(t(s, d, "documents"))),
+    "q57_domain_blocklist" -> ((s, d) => { // UT1-style domain scrub:
+      // host suffix-chain explode → broadcast semi-join against the
+      // blocklist TABLE → left_anti on the 8-byte key; blocks exact
+      // domains AND their subdomains. Hosts are doc_id-derived (the
+      // corpus carries no urls — q30 pattern); the blocklist entries
+      // hit all three shapes: a deep exact host, a mid-chain domain,
+      // and a registrable-domain block that catches subdomains.
+      val host = concat(lit("m"), col("doc_id") % 3, lit(".w"),
+        col("doc_id") % 7, lit(".ex"), col("doc_id") % 4, lit(".com"))
+      val rows = t(s, d, "documents").select(col("doc_id"), host.as("host"))
+      import s.implicits._
+      val block = Seq("w3.ex1.com", "ex2.com", "m0.w4.ex0.com").toDF("domain")
+      ops.UrlOps.dropBlockedHosts(rows, block, "doc_id", "host")
+        .orderBy("doc_id")
+    }),
+    "q58_sequence_packing" -> ((s, d) => // training-sequence packing:
+      // per-shard windowed running token offset → fixed-256-token bin
+      // id + in-bin offset; per-source windows, no global sort
+      TextOps.packSequences(t(s, d, "documents"), binTokens = 256)),
+    "q59_familiarity" -> ((s, d) => // CCNet-style reference-LM quality
+      // proxy: bigram hits against the doc_id%10==9 reference slice,
+      // log₂-magnitude-weighted, all-integer; grams ride as 60-bit
+      // hashes, reference counts broadcast
+      TextOps.familiarityScores(t(s, d, "documents"),
+        isRef = col("doc_id") % 10 === 9)),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -900,6 +929,111 @@ object SparkEntry {
         |  COALESCE(a.clean_md5, md5('')) AS clean_md5
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // q56: same filtered tokenization; every verdict is the same
+    // integer cross-multiplication; list_intersect/array_intersect both
+    // return the deduplicated common set, so n_stop_kinds agrees.
+    "q56_quality_verdicts" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+        |                t -> t <> '') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_tok,
+        |    CAST(COALESCE(list_sum(list_transform(w, t -> len(t))), 0) AS BIGINT)
+        |      AS sum_tok_chars,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+        |      AS n_alpha,
+        |    CAST(len(list_intersect(list_distinct(w),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |      AS n_stop_kinds,
+        |    len(text) - len(replace(text, '#', '')) AS hash_n,
+        |    (len(text) - len(replace(text, '...', ''))) // 3 AS ell_n
+        |  FROM toks),
+        |v AS (
+        |  SELECT doc_id, n_tok, sum_tok_chars, n_alpha, n_stop_kinds,
+        |    CAST(n_tok >= 20 AND n_tok <= 100000 AS INT) AS ok_count,
+        |    CAST(sum_tok_chars >= n_tok * 3 AND sum_tok_chars <= n_tok * 10 AS INT)
+        |      AS ok_wordlen,
+        |    CAST((hash_n + ell_n) * 10 <= n_tok AS INT) AS ok_symbol,
+        |    CAST(n_alpha * 5 >= n_tok * 4 AS INT) AS ok_alpha,
+        |    CAST(n_stop_kinds >= 2 AS INT) AS ok_stop
+        |  FROM m)
+        |SELECT doc_id, n_tok, sum_tok_chars, n_alpha, n_stop_kinds,
+        |  ok_count, ok_wordlen, ok_symbol, ok_alpha, ok_stop,
+        |  ok_count * ok_wordlen * ok_symbol * ok_alpha * ok_stop AS pass
+        |FROM v ORDER BY doc_id""".stripMargin,
+    // q57: same doc_id-derived host, same dot-suffix chain, same
+    // three-entry blocklist; NOT IN over the blocked-key subquery is
+    // the left_anti.
+    "q57_domain_blocklist" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    'm' || CAST(doc_id % 3 AS VARCHAR) || '.w' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.ex' || CAST(doc_id % 4 AS VARCHAR) || '.com' AS host
+        |  FROM documents),
+        |sfx AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(p)),
+        |                          i -> array_to_string(p[i:], '.'))) AS s
+        |  FROM (SELECT doc_id, string_split(host, '.') AS p FROM h)),
+        |blocked AS (
+        |  SELECT DISTINCT doc_id FROM sfx
+        |  WHERE s IN ('w3.ex1.com', 'ex2.com', 'm0.w4.ex0.com'))
+        |SELECT doc_id, host FROM h
+        |WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
+        |ORDER BY doc_id""".stripMargin,
+    // q58: same whitespace token count, same per-source running-offset
+    // window (ROWS UNBOUNDED PRECEDING..1 PRECEDING), same integer
+    // DIV/% bin math.
+    "q58_sequence_packing" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))
+        |    END AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM n)
+        |SELECT doc_id, source, n_tok, start_off // 256 AS seq_bin,
+        |  start_off % 256 AS bin_off
+        |FROM o ORDER BY doc_id""".stripMargin,
+    // q59: same bigrams, same 60-bit md5-prefix hash, same %10==9
+    // reference slice, same length(bin(n)) magnitude weight.
+    "q59_familiarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+        |                t -> t <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(unnest(CASE WHEN len(w) >= 2
+        |      THEN list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+        |      ELSE [] END)), 1, 15) AS BIGINT) AS gh
+        |  FROM toks),
+        |ref AS (
+        |  SELECT gh, COUNT(*) AS rn FROM g WHERE doc_id % 10 = 9 GROUP BY 1),
+        |corpus AS (
+        |  SELECT doc_id, gh, COUNT(*) AS cnt FROM g WHERE doc_id % 10 <> 9
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT c.doc_id,
+        |    CAST(SUM(c.cnt) AS BIGINT) AS n_gram2,
+        |    CAST(SUM(CASE WHEN r.rn IS NOT NULL THEN c.cnt ELSE 0 END) AS BIGINT)
+        |      AS n_hit,
+        |    CAST(SUM(c.cnt * CASE WHEN r.rn IS NOT NULL
+        |      THEN len(bin(CAST(r.rn AS BIGINT))) ELSE 0 END) AS BIGINT) AS logscore
+        |  FROM corpus c LEFT JOIN ref r USING (gh) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(s.n_gram2, 0) AS n_gram2,
+        |  COALESCE(s.n_hit, 0) AS n_hit, COALESCE(s.logscore, 0) AS logscore
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |WHERE d.doc_id % 10 <> 9 ORDER BY d.doc_id""".stripMargin,
     "q29_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events

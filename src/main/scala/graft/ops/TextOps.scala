@@ -182,4 +182,134 @@ object TextOps {
       (stopwordCount(text) * 50 >= toks) &&
       (punctCount(text) * 5 <= toks)
   }
+
+  /** Gopher's "stop word" vocabulary (Rae et al. 2021 §A1.1: a doc must
+    * contain at least 2 of these 8 common English words). */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** How many DISTINCT Gopher stop words a token array contains
+    * (0..8). Spark `array_intersect` and DuckDB `list_intersect` both
+    * return the deduplicated common set, so the count is
+    * engine-identical. */
+  def gopherStopwordKinds(toks: Column): Column =
+    size(array_intersect(array_distinct(toks),
+      array(GopherStops.map(lit): _*)))
+
+  /** Tokens containing at least one ASCII letter (tokens are already
+    * lowercased, so `[a-z]` covers the alphabet) — the numerator of
+    * Gopher's ≥80%-alphabetic-words rule. */
+  def alphaTokenCount(toks: Column): Column =
+    size(filter(toks, t => t.rlike("[a-z]")))
+
+  /** Gopher-style quality-rule verdicts (Rae et al. 2021 §A1.1), one
+    * row per document with every rule's 0/1 verdict plus the overall
+    * pass — the per-rule breakdown is what corpus-quality dashboards
+    * aggregate, and keeping losers with their failure reasons (instead
+    * of filtering them out) is how reject-sampling audits work.
+    *
+    * All thresholds are INTEGER cross-multiplications (a·k ≥ b·m, never
+    * a float ratio), so the DuckDB oracle replays every verdict
+    * bit-for-bit. A pure projection over the text column: no shuffle,
+    * no join, no UDF — embarrassingly parallel at any corpus size
+    * (PlanSpec pins the exchange-free plan). Rules, integer form:
+    *  - ok_count:   20 ≤ n_tok ≤ 100000        (corpus-scaled bounds)
+    *  - ok_wordlen: 3·n_tok ≤ Σ|tok| ≤ 10·n_tok (mean word length 3–10)
+    *  - ok_symbol:  10·(#'#' + #'...') ≤ n_tok  (symbol-to-word ≤ 0.1)
+    *  - ok_alpha:   5·n_alpha ≥ 4·n_tok         (≥80% alphabetic words)
+    *  - ok_stop:    ≥2 distinct Gopher stop words
+    */
+  def qualityVerdicts(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    val nTok = size(w).cast("long")
+    val sumLen = aggregate(w, lit(0L), (a, t) => a + length(t))
+    val hashN = length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))
+    val ellN = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val nAlpha = alphaTokenCount(w).cast("long")
+    val nStop = gopherStopwordKinds(w).cast("long")
+    val okCount = (nTok >= 20 && nTok <= 100000).cast("int")
+    val okWordlen = (sumLen >= nTok * 3 && sumLen <= nTok * 10).cast("int")
+    val okSymbol = ((hashN + ellN) * 10 <= nTok).cast("int")
+    val okAlpha = (nAlpha * 5 >= nTok * 4).cast("int")
+    val okStop = (nStop >= 2).cast("int")
+    docs.select(
+      col("doc_id"), nTok.as("n_tok"), sumLen.as("sum_tok_chars"),
+      nAlpha.as("n_alpha"), nStop.as("n_stop_kinds"),
+      okCount.as("ok_count"), okWordlen.as("ok_wordlen"),
+      okSymbol.as("ok_symbol"), okAlpha.as("ok_alpha"), okStop.as("ok_stop"),
+      (okCount * okWordlen * okSymbol * okAlpha * okStop).as("pass"))
+      .orderBy("doc_id")
+  }
+
+  /** Pack documents into fixed-token-budget training sequences — the
+    * step between a cleaned corpus and a token stream: documents are
+    * concatenated in a deterministic order and cut into `binTokens`-
+    * sized samples; each doc is labeled with the sequence bin its FIRST
+    * token lands in (`seq_bin`) and its offset inside that bin
+    * (`bin_off`). Long docs straddle bins, exactly like the standard
+    * pack-then-split pretraining layout.
+    *
+    * Scale shape: the running offset is a windowed sum PARTITIONED BY
+    * the shard column (`source`) — per-shard windows, never a global
+    * single-partition sort; at 100 TB each dump/shard packs
+    * independently and in parallel, which is also what keeps the
+    * layout stable when shards are added. All-integer (`DIV`/`%`), so
+    * the DuckDB oracle replays bin assignment bit-for-bit. */
+  def packSequences(docs: DataFrame, binTokens: Int): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr(s"start_off DIV $binTokens").as("seq_bin"),
+        (col("start_off") % binTokens).as("bin_off"))
+      .orderBy("doc_id")
+  }
+
+  /** Reference-corpus n-gram familiarity score — the integer analog of
+    * CCNet's reference-LM quality filter ("how much does this document
+    * look like the trusted corpus?"): documents whose word bigrams are
+    * frequent in a reference slice score high; gibberish and boilerplate
+    * score low. Per non-reference doc:
+    *  - n_gram2:  its bigram occurrence count,
+    *  - n_hit:    occurrences whose bigram exists in the reference,
+    *  - logscore: Σ occurrences · (⌊log₂ ref_count⌋ + 1) — the
+    *    binary-magnitude weight (`length(bin(n))`, engine-identical in
+    *    Spark and DuckDB) standing in for a float log-probability, so
+    *    the oracle compares exactly.
+    *
+    * Scale shape: bigrams ride as 60-bit md5-prefix hashes (8 bytes,
+    * never strings); the corpus side pre-aggregates per (doc, gram) so
+    * join fan-out is bounded by distinct grams per doc; the reference
+    * count table is a partial-aggregatable groupBy of the (small,
+    * fixed) reference slice, so the planner broadcasts it and corpus
+    * grams are a map-side hash probe — no corpus-side shuffle beyond
+    * the per-doc aggregation. `isRef` is a predicate over doc_id. */
+  def familiarityScores(docs: DataFrame, isRef: Column): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(bigrams(tokens(col("text")))).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+    val ref = grams.where(isRef)
+      .groupBy("gh").agg(count(lit(1)).as("rn"))
+    val corpus = grams.where(not(isRef))
+      .groupBy("doc_id", "gh").agg(count(lit(1)).as("cnt"))
+    val scored = corpus.join(ref, Seq("gh"), "left")
+      .groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_gram2"),
+        sum(when(col("rn").isNotNull, col("cnt")).otherwise(0L)).as("n_hit"),
+        sum(col("cnt") * when(col("rn").isNotNull,
+          length(bin(col("rn"))).cast("long")).otherwise(0L)).as("logscore"))
+    docs.where(not(isRef)).select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_gram2"), lit(0L)).as("n_gram2"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("logscore"), lit(0L)).as("logscore"))
+      .orderBy("doc_id")
+  }
 }

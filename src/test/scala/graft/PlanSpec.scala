@@ -266,6 +266,56 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(3000))
   }
 
+  test("quality verdicts are a pure projection: no exchange, no join (q56 core)") {
+    import graft.ops.TextOps
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the op itself (q56's orderBy exists only for oracle determinism)
+    // must plan as scan+project — per-doc rule verdicts cost zero
+    // shuffle at any corpus size
+    val w = TextOps.tokens(col("text"))
+    val v = docs.select(col("doc_id"),
+      size(w).cast("long").as("n_tok"),
+      TextOps.alphaTokenCount(w).as("n_alpha"),
+      TextOps.gopherStopwordKinds(w).as("n_stop_kinds"))
+    val plan = planOf(v)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      plan.take(3000))
+  }
+
+  test("domain blocklist: blocklist broadcasts into the suffix semi-join, no cartesian (q57)") {
+    val plan = planOf(SparkEntry.queries("q57_domain_blocklist")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the blocklist TABLE rides a broadcast hash join — a 10⁶-domain
+    // UT1 list must never shuffle the corpus-side suffix explode
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("sequence packing windows per shard — hashpartitioning(source), never a global window (q58 core)") {
+    import graft.ops.TextOps
+    import org.apache.spark.sql.expressions.{Window => W}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = W.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val packed = docs
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+    val plan = planOf(packed)
+    // the running offset shuffles ONCE by the shard key; an empty
+    // partition spec would serialize the corpus through one task
+    assert(plan.contains("hashpartitioning(source"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+  }
+
+  test("familiarity joins on gram hashes with partial aggs — no cartesian (q59)") {
+    val plan = planOf(SparkEntry.queries("q59_familiarity")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // per-(doc,gram) counts combine map-side before any shuffle
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join

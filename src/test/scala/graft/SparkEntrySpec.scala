@@ -564,4 +564,78 @@ class SparkEntrySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((1L, 2L), (2L, 2L)))
   }
+
+  test("q56 quality verdicts: each Gopher rule fails exactly its crafted doc") {
+    import spark.implicits._
+    val docs = Seq(
+      // 20 tokens, mean len 3.9, 4 stop kinds, all-alpha, no symbols → pass
+      (1L, "the quick brown fox jumps over the lazy dog and then runs " +
+        "back home with great speed to find food"),
+      (2L, "short doc here"), // 3 tokens → ok_count=0; no stops → ok_stop=0
+      // 20 numeric tokens → mean len < 3, zero alpha, zero stops
+      (3L, (1 to 20).mkString(" ")),
+      // 3 '#' in 20 tokens → 30 > 20 → ok_symbol=0; everything else ok
+      (4L, "# # # the fox and the dog run with speed to the home base " +
+        "again today quickly now here")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.qualityVerdicts(docs)
+      .collect().map(r => (r.getLong(0),
+        r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9),
+        r.getInt(10))).toSeq
+    assert(got == Seq(
+      (1L, 1, 1, 1, 1, 1, 1),
+      (2L, 0, 1, 1, 1, 0, 0),
+      (3L, 1, 0, 1, 0, 0, 0),
+      (4L, 1, 1, 0, 1, 1, 0)))
+  }
+
+  test("q57 blocklist drops exact hosts and subdomains, never substrings") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "ads.bad.com"),      // subdomain of a blocked domain → drop
+      (2L, "bad.com"),          // exact match → drop
+      (3L, "notbad.com"),       // SUBSTRING of a blocked domain → keep
+      (4L, "good.org"),         // unrelated → keep
+      (5L, "deep.sub.bad.com")  // deep subdomain → drop
+    ).toDF("doc_id", "host")
+    val block = Seq("bad.com").toDF("domain")
+    val kept = graft.ops.UrlOps
+      .dropBlockedHosts(rows, block, "doc_id", "host")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(3L, 4L))
+  }
+
+  test("q58 packing: per-source running offsets, straddling doc keeps its start bin") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t1 t2 t3", "a"),          // start 0 → bin 0, off 0
+      (2L, "t1 t2 t3 t4", "a"),       // start 3 → bin 0, off 3 (straddles)
+      (3L, "t1 t2", "a"),             // start 7 → bin 1, off 2
+      (4L, "t1 t2 t3 t4 t5 t6", "b"), // sources pack independently
+      (5L, "t1", "b")                 // start 6 → bin 1, off 1
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.TextOps.packSequences(docs, binTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 0L, 0L), (2L, 4L, 0L, 3L), (3L, 2L, 1L, 2L),
+      (4L, 6L, 0L, 0L), (5L, 1L, 1L, 1L)))
+  }
+
+  test("q59 familiarity: ref-count magnitude weights, misses score zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (9L, "a b c"),   // ref slice: grams "a b", "b c"
+      (19L, "a b d"),  // ref slice: "a b" (count now 2), "b d"
+      (1L, "a b c x"), // hits: "a b" (rn=2 → weight 2), "b c" (rn=1 → 1)
+      (2L, "z z"),     // one gram, no hit
+      (3L, "q")        // too short for any bigram → all-zero row
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps
+      .familiarityScores(docs, col("doc_id") % 10 === 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((1L, 3L, 2L, 3L), (2L, 1L, 0L, 0L), (3L, 0L, 0L, 0L)))
+  }
 }
