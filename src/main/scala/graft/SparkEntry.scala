@@ -417,6 +417,11 @@ object SparkEntry {
       // hashes, reference counts broadcast
       TextOps.familiarityScores(t(s, d, "documents"),
         isRef = col("doc_id") % 10 === 9)),
+    "q60_substring_removal" -> ((s, d) => // Lee et al. substring dedup,
+      // the TRANSFORM step (q50 is the detector): cut every token run
+      // covered by a cross-doc-repeated 10-token window, rebuild the
+      // doc in-row; positions ride as (doc_id, pos, hash)
+      Dedup.removeRepeatedWindows(t(s, d, "documents"), k = 10)),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -1034,6 +1039,36 @@ object SparkEntry {
         |  COALESCE(s.n_hit, 0) AS n_hit, COALESCE(s.logscore, 0) AS logscore
         |FROM documents d LEFT JOIN s USING (doc_id)
         |WHERE d.doc_id % 10 <> 9 ORDER BY d.doc_id""".stripMargin,
+    // q60: same windows/hash/df rule as q50; the cut replays as an
+    // indexed list lambda (1-based j in SQL ↔ 0-based in Spark, hence
+    // j-1), same space-joined md5 rebuild; short docs keep everything.
+    // DuckDB's array_to_string([]) is NULL where Spark's concat_ws is
+    // '' — the COALESCE makes a fully-removed doc hash md5('') in both.
+    "q60_substring_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+        |                t -> t <> '') AS w
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS i,
+        |    CAST('0x' || substring(md5(array_to_string(w[i:i+9], ' ')), 1, 15) AS BIGINT) AS wh
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-9)) AS i) g
+        |  WHERE len(w) >= 10),
+        |rep AS (
+        |  SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM wins)
+        |  GROUP BY wh HAVING COUNT(*) >= 2),
+        |starts AS (
+        |  SELECT doc_id, list(i) AS ss FROM wins JOIN rep USING (wh) GROUP BY 1),
+        |clean AS (
+        |  SELECT t.doc_id, t.w,
+        |    list_filter(t.w, (x, j) -> s.ss IS NULL OR
+        |      len(list_filter(s.ss, v -> v <= j - 1 AND j - 1 < v + 10)) = 0) AS kept
+        |  FROM toks t LEFT JOIN starts s USING (doc_id))
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+        |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
+        |FROM clean ORDER BY doc_id""".stripMargin,
     "q29_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events

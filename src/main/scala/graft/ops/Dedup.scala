@@ -286,6 +286,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Substring-level dedup REMOVAL — the transform step of Lee et al.
+    * 2022 (q50 is the detector): every token position covered by a
+    * k-token window that also occurs verbatim in another document is
+    * cut, and the document is rebuilt from the surviving tokens. This
+    * is the pass that strips syndicated boilerplate riding inside
+    * otherwise-unique pages without dropping the whole page.
+    *
+    * Output per doc: original token count, removed-token count, and
+    * the md5 of the cleaned (space-joined) text, so the oracle pins
+    * the rebuild bit-for-bit.
+    *
+    * Scale shape: window starts ride as (doc_id, pos, 60-bit hash) —
+    * never token strings; the repeated set is a partial-aggregatable
+    * df-count over hashes (distinct docs per window, so a window
+    * repeated only WITHIN one doc does not trigger removal — same rule
+    * as q50); each doc's repeated-start positions come back as ONE
+    * int-array row (bounded by doc length), and the cut itself is an
+    * in-row indexed `filter` lambda — bodies never shuffle, nothing is
+    * quadratic in document frequency. */
+  def removeRepeatedWindows(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+    // posexplode's pos IS the 0-based window start
+    val wins = toks.where(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - k),
+          i => conv(substring(md5(
+            concat_ws(" ", slice(col("w"), i + 1, lit(k)))), 1, 15), 16, 10)
+            .cast("long"))).as(Seq("i", "wh")))
+    val rep = wins.select("doc_id", "wh").distinct()
+      .groupBy("wh").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2).select("wh")
+    val starts = wins.join(rep, "wh")
+      .groupBy("doc_id").agg(collect_list(col("i")).as("ss"))
+    val covered = (j: Column) =>
+      exists(col("ss"), s => s <= j && j < s + k)
+    toks.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        filter(col("w"), (t, j) =>
+          coalesce(not(covered(j)), lit(true))).as("kept"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tok"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source near-dup overlap matrix: for every unordered pair of
     * `source` values, how many verified near-dup pairs span them — the
     * inter-dump diagnostic a multi-snapshot crawl corpus is measured by

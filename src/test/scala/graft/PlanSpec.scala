@@ -316,6 +316,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan.take(3000))
   }
 
+  test("substring removal: hash-keyed joins only, in-row rebuild — no cartesian (q60)") {
+    val plan = planOf(SparkEntry.queries("q60_substring_removal")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // window-df counting combines map-side before its shuffle
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join

@@ -622,6 +622,26 @@ class SparkEntrySpec extends AnyFunSuite {
       (4L, 6L, 0L, 0L), (5L, 1L, 1L, 1L)))
   }
 
+  test("q60 substring removal cuts cross-doc repeated runs, keeps unique text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),      // window [a b c] shared with doc 2
+      (2L, "x y a b c z"),    // covered: positions 2,3,4 → keeps x y z
+      (3L, "p q"),            // shorter than k → untouched
+      (4L, "m m m m")         // windows repeat only WITHIN the doc → kept
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.removeRepeatedWindows(docs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == Seq(
+      (1L, 5L, 3L, hex("d e")),
+      (2L, 6L, 3L, hex("x y z")),
+      (3L, 2L, 0L, hex("p q")),
+      (4L, 4L, 0L, hex("m m m m"))))
+  }
+
   test("q59 familiarity: ref-count magnitude weights, misses score zero") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
