@@ -301,16 +301,24 @@ object SparkEntry {
     "q48_repetition_stats" -> ((s, d) => { // Gopher-style within-doc
       // repetition signals (duplicate-token and duplicate-2-gram
       // counts, most-common-2-gram frequency) — pure projection,
-      // zero shuffle, pinned by PlanSpec
-      val w = TextOps.tokens(col("text"))
-      val g2 = TextOps.bigrams(w)
-      t(s, d, "documents").select(
+      // zero shuffle, pinned by PlanSpec.
+      // w and g2 are MATERIALIZED columns (not inlined expression
+      // trees): higher-order-function lambdas are interpreted, and a
+      // lambda whose body re-references an un-aliased expression
+      // re-evaluates the whole tokenize+bigram chain PER ELEMENT —
+      // measured 916 s for this query at sf0.1 inlined vs ~1 s staged
+      // (CollapseProject keeps multi-referenced non-cheap aliases in
+      // their own projection, so this stays a two-step pure scan).
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .withColumn("g2", TextOps.bigrams(col("w")))
+      toks.select(
         col("doc_id"),
-        size(w).as("n_tok"),
-        size(array_distinct(w)).as("n_utok"),
-        size(g2).as("n_gram2"),
-        size(array_distinct(g2)).as("n_ugram2"),
-        TextOps.topGramFreq(g2).as("top_gram2_n"))
+        size(col("w")).as("n_tok"),
+        size(array_distinct(col("w"))).as("n_utok"),
+        size(col("g2")).as("n_gram2"),
+        size(array_distinct(col("g2"))).as("n_ugram2"),
+        TextOps.topGramFreq(col("g2")).as("top_gram2_n"))
         .orderBy("doc_id")
     }),
     "q50_repeated_substrings" -> ((s, d) => // substring-level dedup
@@ -320,9 +328,11 @@ object SparkEntry {
       Dedup.repeatedWindowCounts(t(s, d, "documents"), k = 10)),
     "q49_bpe_merge_pairs" -> ((s, d) => // tokenizer-training step 1:
       // global adjacent-pair frequency table, top-100 (map-side
-      // partial agg + TakeOrdered — no global sort)
+      // partial agg + TakeOrdered — no global sort). Tokens
+      // materialize before the bigram lambda (see the q48 note).
       t(s, d, "documents")
-        .select(explode(TextOps.bigrams(TextOps.tokens(col("text")))).as("pair"))
+        .select(TextOps.tokens(col("text")).as("w"))
+        .select(explode(TextOps.bigrams(col("w"))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(100)),

@@ -290,8 +290,13 @@ object TextOps {
     * grams are a map-side hash probe — no corpus-side shuffle beyond
     * the per-doc aggregation. `isRef` is a predicate over doc_id. */
   def familiarityScores(docs: DataFrame, isRef: Column): DataFrame = {
+    // tokens materialize into a column before the bigram lambda: an
+    // interpreted HOF lambda re-referencing an un-aliased tokenize
+    // expression re-evaluates it per element (see the q48 note in
+    // SparkEntry)
     val grams = docs
-      .select(col("doc_id"), explode(bigrams(tokens(col("text")))).as("g"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(bigrams(col("w"))).as("g"))
       .select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
     val ref = grams.where(isRef)

@@ -195,14 +195,18 @@ class PlanSpec extends AnyFunSuite {
   test("repetition signals are a pure projection: no exchange, no join (q48 core)") {
     import graft.ops.TextOps
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val w = TextOps.tokens(col("text"))
-    val g2 = TextOps.bigrams(w)
-    // the op itself (the orderBy in q48 exists only for oracle
-    // determinism) must plan as scan+project — per-doc repetition
-    // signals cost zero shuffle at any corpus size
-    val rep = docs.select(col("doc_id"), size(w).as("n_tok"),
-      size(array_distinct(g2)).as("n_ugram2"),
-      TextOps.topGramFreq(g2).as("top_gram2_n"))
+    // the SHIPPED shape: w/g2 materialize as columns in their own
+    // projections (interpreted HOF lambdas re-evaluate un-aliased
+    // expression trees per element — the 916 s q48 regression), and
+    // the whole thing still plans as scan+projects: zero shuffle at
+    // any corpus size (the orderBy in q48 exists only for oracle
+    // determinism)
+    val rep = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .withColumn("g2", TextOps.bigrams(col("w")))
+      .select(col("doc_id"), size(col("w")).as("n_tok"),
+        size(array_distinct(col("g2"))).as("n_ugram2"),
+        TextOps.topGramFreq(col("g2")).as("top_gram2_n"))
     val plan = planOf(rep)
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       plan.take(3000))
