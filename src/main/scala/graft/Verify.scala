@@ -16,9 +16,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev-only subset filter (comma-separated name prefixes); the
-    // driver sets no env, so it always dumps the full surface
+    // driver sets no env, so it always dumps the full surface. An
+    // exported-but-empty var means "no filter" too — Some(Seq()) would
+    // otherwise drop every query and verify would vacuously pass.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty)
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .foreach { case (name, fn) =>

@@ -65,7 +65,10 @@ object CrawlJob {
   def run(spark: SparkSession,
       opts: Map[String, String]): Seq[WaveEngine.WaveResult] = {
     import spark.implicits._
-    val storeDir = opts.getOrElse("store",
+    // lazy: only the local-store and synthetic-fixture-pages paths
+    // dereference it, so `--store-kind iceberg --pages …` (the SCALE.md
+    // §10 cluster smoke test) runs without a dummy --store
+    lazy val storeDir = opts.getOrElse("store",
       sys.error("--store <dir> is required"))
     val deleteHosts = opts.get("delete-hosts")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

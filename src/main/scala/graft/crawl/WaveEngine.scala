@@ -509,6 +509,18 @@ object WaveEngine {
     //    so "both say no" ⇒ definitely unseen (no false negatives); any
     //    "yes" routes to the exact anti-join (false positives can never
     //    lose rows).
+    // a store written before the url-pure bucket key carries sketches
+    // keyed by (schedulingHost, url) — probing them with urlBucket
+    // would miss cross-host-syndicated urls and re-insert them (the
+    // "definitely new" path bypasses the exact anti-join by design).
+    // Detect-and-migrate once on resume; a current-format store is a
+    // cheap per-wave directory check, no data read. Iceberg stores
+    // postdate the key change and cannot be legacy.
+    if (wave > 0) store match {
+      case s: SnapshotStore =>
+        StoreMaintenance.upgradeLegacySeen(spark, s, cfg)
+      case _ => ()
+    }
     val carriedSeen: Dataset[SeenSketch] =
       if (wave > 0 && store.isCommitted(prevWave))
         store.read(spark, "seen", prevWave).as[SeenSketch]

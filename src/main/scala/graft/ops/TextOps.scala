@@ -220,23 +220,36 @@ object TextOps {
     *  - ok_stop:    ≥2 distinct Gopher stop words
     */
   def qualityVerdicts(docs: DataFrame): DataFrame = {
-    val w = tokens(col("text"))
-    val nTok = size(w).cast("long")
-    val sumLen = aggregate(w, lit(0L), (a, t) => a + length(t))
-    val hashN = length(col("text")) -
-      length(regexp_replace(col("text"), "#", ""))
-    val ellN = (length(col("text")) -
-      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
-    val nAlpha = alphaTokenCount(w).cast("long")
-    val nStop = gopherStopwordKinds(w).cast("long")
+    // the token array and every HOF-derived measure materialize as
+    // ALIASED columns in their own projections before any verdict
+    // references them (interpreted-HOF rule — see the q48 note in
+    // SparkEntry / SCALE.md §8): the inlined form re-instantiated the
+    // tokenize chain in every ok_* expression AND again inside `pass`,
+    // ~20 interpreted copies per row on the q56 bench path.
+    // CollapseProject preserves multi-referenced non-cheap aliases, so
+    // this still plans as a chain of pure projections — zero shuffle.
+    val staged = docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tok"),
+        aggregate(col("w"), lit(0L), (a, t) => a + length(t))
+          .as("sum_tok_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))).as("__hash_n"),
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+          .as("__ell_n"),
+        alphaTokenCount(col("w")).cast("long").as("n_alpha"),
+        gopherStopwordKinds(col("w")).cast("long").as("n_stop_kinds"))
+    val nTok = col("n_tok"); val sumLen = col("sum_tok_chars")
     val okCount = (nTok >= 20 && nTok <= 100000).cast("int")
     val okWordlen = (sumLen >= nTok * 3 && sumLen <= nTok * 10).cast("int")
-    val okSymbol = ((hashN + ellN) * 10 <= nTok).cast("int")
-    val okAlpha = (nAlpha * 5 >= nTok * 4).cast("int")
-    val okStop = (nStop >= 2).cast("int")
-    docs.select(
-      col("doc_id"), nTok.as("n_tok"), sumLen.as("sum_tok_chars"),
-      nAlpha.as("n_alpha"), nStop.as("n_stop_kinds"),
+    val okSymbol = ((col("__hash_n") + col("__ell_n")) * 10 <= nTok).cast("int")
+    val okAlpha = (col("n_alpha") * 5 >= nTok * 4).cast("int")
+    val okStop = (col("n_stop_kinds") >= 2).cast("int")
+    staged.select(
+      col("doc_id"), nTok, sumLen, col("n_alpha"), col("n_stop_kinds"),
       okCount.as("ok_count"), okWordlen.as("ok_wordlen"),
       okSymbol.as("ok_symbol"), okAlpha.as("ok_alpha"), okStop.as("ok_stop"),
       (okCount * okWordlen * okSymbol * okAlpha * okStop).as("pass"))

@@ -27,7 +27,11 @@ object TimeJoin {
     * the right side be unique per (key, ts) — pre-aggregate it (e.g.
     * max of the payload) before calling, as q53 does; a null payload
     * VALUE on a right row is indistinguishable from "no row" and is
-    * skipped by ignoreNulls.
+    * skipped by ignoreNulls. A null KEY never matches (right rows with
+    * a null key are dropped before the union) — ASOF's equality
+    * predicate semantics, where null = null is not a match; Spark's
+    * window would otherwise group the null keys together and fill
+    * them against each other.
     *
     * Scale shape: ONE exchange, hash-partitioned on the key, sized by
     * |L|+|R| — the window is partition-local and streaming (running
@@ -38,6 +42,7 @@ object TimeJoin {
                  leftTs: String, rightTs: String,
                  payload: String): DataFrame = {
     val r = right.select(col(key), col(rightTs).as(leftTs), col(payload))
+      .where(col(key).isNotNull) // null keys never match under ASOF
       .withColumn("__tag", lit(0))
     val l = left.withColumn("__tag", lit(1))
     val w = Window.partitionBy(key)

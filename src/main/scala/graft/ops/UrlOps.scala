@@ -50,9 +50,14 @@ object UrlOps {
     * costs a broadcast, not a plan blow-up. */
   def dropBlockedHosts(rows: DataFrame, blocklist: DataFrame,
                        keyCol: String, hostCol: String): DataFrame = {
+    // normalize BOTH sides before suffix matching: lowercase + strip
+    // trailing dots, so the absolute-FQDN form 'ads.example.com.' (legal,
+    // and preserved by UrlCanon.host) and mixed-case hosts from callers
+    // that bypassed UrlCanon can't evade the blocklist
+    def norm(c: Column): Column = lower(regexp_replace(c, "\\.+$", ""))
     val blockedKeys = rows
-      .select(col(keyCol), explode(hostSuffixes(col(hostCol))).as("sfx"))
-      .join(broadcast(blocklist.select(col("domain").as("sfx"))),
+      .select(col(keyCol), explode(hostSuffixes(norm(col(hostCol)))).as("sfx"))
+      .join(broadcast(blocklist.select(norm(col("domain")).as("sfx"))),
         Seq("sfx"), "left_semi")
       .select(keyCol).distinct()
     rows.join(blockedKeys, Seq(keyCol), "left_anti")

@@ -502,6 +502,26 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(got == Seq((10L, 101L), (11L, 101L), (12L, -1L), (13L, -1L)))
   }
 
+  test("asof lookup: null keys never match (ASOF equality semantics, not window-group nulls)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // Spark's window partitioning groups null keys TOGETHER, so without
+    // the right-side null-key filter the left null-key row would be
+    // filled from the right null-key row — DuckDB ASOF's equality
+    // predicate never matches null = null
+    val left = Seq((20L, Option.empty[Long], ts(100)), (21L, Some(1L), ts(100)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((Option.empty[Long], ts(50), 900L), (Some(1L), ts(50), 100L))
+      .toDF("user_id", "ts", "last_signup_id")
+    val got = graft.ops.TimeJoin
+      .asofLookup(left, right, "user_id", "ts", "ts", "last_signup_id")
+      .select("event_id", "last_signup_id").orderBy("event_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(got == Seq((20L, -1L), (21L, 100L)))
+  }
+
   test("q49 merge pairs rank the most frequent adjacent pair first") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -603,6 +623,21 @@ class SparkEntrySpec extends AnyFunSuite {
       .dropBlockedHosts(rows, block, "doc_id", "host")
       .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(3L, 4L))
+  }
+
+  test("q57 blocklist: absolute-FQDN trailing dot and mixed case cannot evade the scrub") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "ads.bad.com."),   // legal absolute-FQDN form → still drop
+      (2L, "Ads.BAD.com"),    // mixed case → still drop
+      (3L, "good.org.")       // unrelated FQDN form → keep
+    ).toDF("doc_id", "host")
+    // blocklist entries get the same normalization
+    val block = Seq("Bad.Com.").toDF("domain")
+    val kept = graft.ops.UrlOps
+      .dropBlockedHosts(rows, block, "doc_id", "host")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(3L))
   }
 
   test("q58 packing: per-source running offsets, straddling doc keeps its start bin") {

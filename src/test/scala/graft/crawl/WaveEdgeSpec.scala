@@ -344,4 +344,87 @@ class WaveEdgeSpec extends AnyFunSuite {
     assert(s.read(spark, "articles", 2).where($"host" === victim).count() > 0,
       "recovered-table delete left the victim's urls marked seen")
   }
+
+  test("legacy store (scheduling-host sketch keys, no seenurls) migrates on resume and still dedups syndication") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import java.util.Comparator
+    // pre-r4 stores keyed the seen sketches by (SCHEDULING host, url)
+    // and had no slim seenurls table. A url first committed under a
+    // foreign scheduling host (c.example.com articles listed by host A)
+    // lives in bucket(A, url); the current engine probes
+    // urlBucket = bucket(c.example.com, url) — a miss is classified
+    // "definitely new" and BYPASSES the exact anti-join, silently
+    // re-inserting a committed url. upgradeLegacySeen must detect the
+    // missing seenurls partition and rebuild the sketches url-keyed.
+    val lcc = cc.copy(hostBuckets = 64, salt = 2)
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val arts = (0 until 3).map { j =>
+      val html =
+        s"""<html><head><title>Legacy $j</title></head><body>
+           |<h1>Legacy $j</h1><div>2024-02-0${j + 1} 10:00</div>
+           |<p>${("legacy body text that is long enough to extract " * 8) + j}</p>
+           |</body></html>""".stripMargin
+      Page(s"http://c.example.com/l/$j.html", ts,
+        html.getBytes("UTF-8"), "", "en")
+    }
+    def home(hostUrl: String, withList: Boolean) = {
+      val lis =
+        if (!withList) ""
+        else (0 until 3).map(j =>
+          s"""<li><a href="http://c.example.com/l/$j.html">Legacy story $j</a>""" +
+            s"""<span>2024-02-0${j + 1} 10:00</span></li>""").mkString
+      Page(hostUrl, ts,
+        s"<html><body><ul>$lis</ul></body></html>".getBytes("UTF-8"), "", "en")
+    }
+    val hosts = spark.createDataset(Seq(
+      HostConfig(1, "a.example.com", "http://a.example.com/", 1, enabled = true, 100L, 1),
+      HostConfig(2, "b.example.com", "http://b.example.com/", 2, enabled = true, 100L, 1)))
+    val robots = spark.emptyDataset[FixtureGen.RobotsRow]
+    val s = newStore()
+    WaveEngine.runWave(spark, s, spark.createDataset(
+      arts :+ home("http://a.example.com/", withList = true)
+        :+ home("http://b.example.com/", withList = false)),
+      hosts, robots, 0, lcc)
+    assert(s.read(spark, "articles", 0).count() == 3)
+    // doctor the store into the legacy shape: (1) sketches re-keyed by
+    // the scheduling host, (2) seenurls dropped. The keys must actually
+    // differ or the test can't falsify the bug.
+    val committed = s.read(spark, "articles", 0)
+      .select($"url", $"host").as[(String, String)].collect()
+    committed.foreach { case (u, h) =>
+      assert(SeenFilter.bucket(h, u, lcc.hostBuckets, lcc.salt) !=
+        SeenFilter.urlBucket(u, lcc.hostBuckets, lcc.salt),
+        s"fixture must put $u in a different legacy bucket")
+    }
+    val legacyPairs = spark.createDataset(committed.toSeq.map { case (u, h) =>
+      (SeenFilter.bucket(h, u, lcc.hostBuckets, lcc.salt), u) })
+    val legacySeen = SeenFilter.updateSketches(legacyPairs,
+      spark.emptyDataset[SeenSketch], lcc.cuckooCapacityPerBucket,
+      lcc.expectedUrlsPerBucket, lcc.bloomFpp).collect()
+    def rmTree(p: String): Unit =
+      if (JFiles.exists(JPaths.get(p)))
+        JFiles.walk(JPaths.get(p)).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => JFiles.delete(f))
+    rmTree(s.dataPath("seen", 0))
+    spark.createDataset(legacySeen.toSeq).toDF()
+      .write.mode("overwrite").parquet(s.dataPath("seen", 0))
+    rmTree(s.dataPath("seenurls", 0))
+    assert(!s.hasTable("seenurls", 0), "legacy shape staged")
+    // wave 1: host B lists the SAME urls — resume must migrate first,
+    // then dedup every one
+    WaveEngine.runWave(spark, s, spark.createDataset(
+      arts :+ home("http://a.example.com/", withList = true)
+        :+ home("http://b.example.com/", withList = true)),
+      hosts, robots, 1, lcc)
+    assert(s.readDeltas(spark, "articles", 1).get.count() == 3,
+      "legacy-keyed sketches re-inserted committed urls on resume")
+    val m1 = s.read(spark, "metrics", 1).where($"host" === "b.example.com").head()
+    assert(m1.getAs[Int]("deduped") == 3)
+    assert(m1.getAs[Int]("inserted") == 0)
+    // migration artifacts: seenurls backfilled, second call a no-op
+    assert(s.hasTable("seenurls", 0))
+    assert(!StoreMaintenance.upgradeLegacySeen(spark, s, lcc),
+      "upgrade must be one-time (idempotent no-op once migrated)")
+  }
 }
