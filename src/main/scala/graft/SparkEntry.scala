@@ -432,6 +432,29 @@ object SparkEntry {
       // covered by a cross-doc-repeated 10-token window, rebuild the
       // doc in-row; positions ride as (doc_id, pos, hash)
       Dedup.removeRepeatedWindows(t(s, d, "documents"), k = 10)),
+    "q61_host_cap" -> ((s, d) => { // RefinedWeb-style per-host
+      // contribution cap: each host keeps its top-20 docs by quality
+      // (text length desc, doc_id tiebreak). One hash exchange on
+      // host + per-host window — PlanSpec pins no global window.
+      // Hosts are doc_id-derived (corpus carries no urls — q30/q57
+      // pattern); %17 makes the cap actually bite on the fixture.
+      val host = concat(lit("h"), col("doc_id") % 17)
+      ops.UrlOps.capHostContribution(
+        t(s, d, "documents").select(col("doc_id"), host.as("host"),
+          length(col("text")).as("q")),
+        "host", k = 20, qualityCol = col("q"))
+        .select("doc_id", "host", "host_rank").orderBy("doc_id")
+    }),
+    "q62_incremental_dedup" -> ((s, d) => { // per-dump incremental
+      // dedup: the doc_id%5==0 slice plays the NEW snapshot, the rest
+      // the committed corpus; a new doc survives only when no
+      // committed doc is a shingle-Jaccard>=0.5 near-dup. Banded-LSH
+      // candidates (new×ref equi-join), exact verify, 8-byte anti-join.
+      val docs = t(s, d, "documents")
+      Dedup.incrementalDedup(
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0))
+    }),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -1079,6 +1102,45 @@ object SparkEntry {
         |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
         |  md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
         |FROM clean ORDER BY doc_id""".stripMargin,
+    // q61: same doc_id-derived host and length quality; row_number per
+    // host is the cap (Spark's row_number is INT — cast to match).
+    "q61_host_cap" ->
+      """WITH h AS (
+        |  SELECT doc_id, 'h' || CAST(doc_id % 17 AS VARCHAR) AS host,
+        |    length(text) AS q
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, host,
+        |    CAST(row_number() OVER (PARTITION BY host ORDER BY q DESC, doc_id)
+        |      AS INT) AS host_rank
+        |  FROM h)
+        |SELECT doc_id, host, host_rank FROM r
+        |WHERE host_rank <= 20 ORDER BY doc_id""".stripMargin,
+    // q62: semantics replica of the incremental dedup — a doc_id%5==0
+    // (new) doc is dropped when ANY other doc shares shingle Jaccard
+    // >= 0.5 (common*2 >= union); same shingle CTE as q26.
+    "q62_incremental_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+        |  WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS ref_id, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |  GROUP BY 1, 2),
+        |dropped AS (
+        |  SELECT DISTINCT new_id FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = new_id
+        |  JOIN sizes sb ON sb.doc_id = ref_id
+        |  WHERE common * 2 >= sa.nsh + sb.nsh - common)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT new_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
     "q29_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events

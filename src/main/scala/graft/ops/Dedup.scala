@@ -113,6 +113,54 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental near-dup dedup of a NEW corpus snapshot against an
+    * already-committed (already-deduped) reference corpus — the step a
+    * continuously-refreshed training set runs per crawl dump: keep a
+    * new document only when it is NOT a near-dup (shingle Jaccard >=
+    * `threshold`) of ANY committed document. New-vs-new dedup within
+    * the snapshot is [[minhashLshPairs]]+[[dupClusters]]'s job (q46);
+    * this op is the asymmetric join against the committed side.
+    * Returns the surviving `doc_id`s.
+    *
+    * Scale shape: same banded-LSH candidate generation as
+    * [[minhashLshPairs]], but the band join is new×ref (an equi-join
+    * on (band_idx, band_hash)) — the committed side ships ONLY its
+    * 8-byte banded sketch rows, never bodies, and at 10^10 committed
+    * docs that side is a bucketed table appended per dump, so each
+    * incremental pass shuffles the NEW snapshot's sketches against a
+    * co-located sorted band index. Exact shingle-set verify runs only
+    * on candidates; the final drop is a left_anti on the 8-byte id. */
+  def incrementalDedup(newDocs: DataFrame, refDocs: DataFrame,
+                       n: Int = 3, numPerms: Int = 64, rowsPerBand: Int = 8,
+                       threshold: Double = 0.5): DataFrame = {
+    val shingleUdf = udf((t: String) => TextSketch.shingleHashes(t, n))
+    val bandsUdf = udf((sh: Array[Long]) =>
+      TextSketch.bandHashes(TextSketch.minhashSignature(sh, numPerms), rowsPerBand))
+    def sketch(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("bands", bandsUdf(col("sh")))
+    def banded(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val sNew = sketch(newDocs)
+    val sRef = sketch(refDocs)
+    val cand = banded(sNew).as("a").join(banded(sRef).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("ref_id"))
+      .distinct()
+    val dropped = cand
+      .join(sNew.select(col("doc_id").as("new_id"), col("sh").as("sha")), "new_id")
+      .join(sRef.select(col("doc_id").as("ref_id"), col("sh").as("shb")), "ref_id")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("union_n", size(col("sha")) + size(col("shb")) - col("common"))
+      .where(col("common") >= col("union_n") * threshold)
+      .select(col("new_id").as("doc_id")).distinct()
+    newDocs.select("doc_id")
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= maxDist,
     * candidates bucketed by 4×16-bit bands (pigeonhole-complete for
     * maxDist <= 3). */

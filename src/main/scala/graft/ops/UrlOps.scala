@@ -62,4 +62,27 @@ object UrlOps {
       .select(keyCol).distinct()
     rows.join(blockedKeys, Seq(keyCol), "left_anti")
   }
+
+  /** RefinedWeb-style per-host contribution cap — no single host may
+    * contribute more than `k` documents to the training mix; the kept
+    * docs are each host's top-`k` by quality (`qualityCol` desc, id
+    * asc tiebreak so the cut is fully deterministic). Boilerplate
+    * farms and mirror swarms otherwise dominate a crawl corpus: at
+    * 100 TB a handful of hot hosts can be 10%+ of all rows.
+    *
+    * Scale shape: ONE hash exchange on the host plus a per-host
+    * window — never a global sort; each host ranks independently, so
+    * the op parallelizes by host count. A pathologically hot host
+    * costs one big partition-local sort (the window is rank-only, no
+    * full-frame buffering); cap-then-rank salting is not needed
+    * because the output itself is bounded at k rows per host. */
+  def capHostContribution(rows: DataFrame, hostCol: String, k: Int,
+                          qualityCol: Column,
+                          idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol))
+      .orderBy(qualityCol.desc, col(idCol).asc)
+    rows.withColumn("host_rank", row_number().over(w))
+      .where(col("host_rank") <= k)
+  }
 }

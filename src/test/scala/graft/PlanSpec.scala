@@ -328,6 +328,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan.take(3000))
   }
 
+  test("host cap windows per host — hashpartitioning(host), never a global window (q61)") {
+    val plan = planOf(SparkEntry.queries("q61_host_cap")(spark, dir))
+    // the rank shuffles ONCE by host; an empty partition spec would
+    // serialize the corpus through one task
+    assert(plan.contains("hashpartitioning(host"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
+
+  test("incremental dedup: banded equi-join new×ref, no cartesian (q62)") {
+    val plan = planOf(SparkEntry.queries("q62_incremental_dedup")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the candidate join keys on the band columns, not doc bodies
+    assert(plan.contains("band_hash"), plan.take(3000))
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join

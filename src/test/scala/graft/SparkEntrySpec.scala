@@ -640,6 +640,47 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(kept == Seq(3L))
   }
 
+  test("q61 host cap keeps each host's top-k by quality with deterministic ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "a", 30L), (2L, "a", 50L), (3L, "a", 50L), (4L, "a", 10L),
+      (5L, "b", 5L)
+    ).toDF("doc_id", "host", "q")
+    val got = graft.ops.UrlOps
+      .capHostContribution(rows, "host", k = 2, qualityCol = col("q"))
+      .select("doc_id", "host_rank").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // host a: q=50 ties broken by doc_id (2 then 3); 30 and 10 cut;
+    // host b keeps its only doc
+    assert(got == Seq((2L, 1), (3L, 2), (5L, 1)))
+  }
+
+  test("q62 incremental dedup drops new docs near-dupping the committed side only") {
+    import spark.implicits._
+    // a ~30-token base so the near-dup case has high Jaccard (one
+    // changed token → J≈0.9): at 8 bands × 8 rows the banding's
+    // catch probability is a deterministic function of the seeded
+    // sketch — verified caught for THIS fixture (a J≈0.78 pair was
+    // deterministically missed, which is correct LSH behavior near
+    // the threshold, so the unit fixture stays clear of the knee)
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val ref = Seq(
+      (1L, base),
+      (2L, "completely different reference text with other words entirely")
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (5L, base),                              // exact dup of ref 1 → drop
+      (25L, base.replace("tok30", "changed")), // near-dup of ref 1 → drop
+      (10L, "novel new snapshot document sharing nothing with reference"),  // keep
+      (15L, "novel new snapshot document sharing nothing with reference"),  // dup of ANOTHER NEW doc — still keep (new-vs-new is q46's job)
+      (20L, "xy")                              // < 3 tokens: no shingles → keep
+    ).toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.incrementalDedup(neu, ref)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(10L, 15L, 20L))
+  }
+
   test("q58 packing: per-source running offsets, straddling doc keeps its start bin") {
     import spark.implicits._
     val docs = Seq(
