@@ -455,6 +455,12 @@ object SparkEntry {
         docs.where(col("doc_id") % 5 === 0),
         docs.where(col("doc_id") % 5 =!= 0))
     }),
+    "q63_semantic_dedup" -> ((s, d) => // SemDeDup: cluster embeddings
+      // under the first-8 codebook, drop within-cluster cosine>=0.4
+      // near-dups keeping the lowest id — the paraphrase-level dedup
+      // pass (lexical sketches can't see these). Equi-join on cluster;
+      // PlanSpec pins no cartesian.
+      Dedup.semanticDedup(t(s, d, "embeddings"), k = 8, threshold = 0.4)),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -1141,6 +1147,38 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT new_id FROM dropped)
         |ORDER BY doc_id""".stripMargin,
+    // q63: full replica — same first-8 codebook + argmax-cosine
+    // assignment CTEs as q41's oracle, then within-cluster pairs with
+    // cos >= 0.4 drop the larger id.
+    "q63_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS cn
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS vn
+        |  FROM embeddings),
+        |asg AS (
+        |  SELECT vec_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |  FROM (
+        |    SELECT v.vec_id, c.cid,
+        |      list_sum(list_transform(list_zip(v.embedding, c.ce),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (v.vn * c.cn) AS cos
+        |    FROM v, c)),
+        |cl AS (SELECT vec_id, cid AS cluster FROM asg WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM v a JOIN cl ca ON ca.vec_id = a.vec_id
+        |       JOIN cl cb ON cb.cluster = ca.cluster
+        |       JOIN v b ON b.vec_id = cb.vec_id
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.vn * b.vn) >= 0.4)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
     "q29_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events

@@ -161,6 +161,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster document embeddings under a small centroid codebook, then
+    * within each cluster drop every vector that has a cosine-similarity
+    * >= `threshold` neighbor with a LOWER id — the deterministic
+    * "keep the first of each semantic duplicate group" greedy. Returns
+    * the surviving `vec_id`s. Complements the sketch dedups: MinHash
+    * catches lexical near-dups, this catches paraphrases/translations
+    * that share no shingles but embed nearby.
+    *
+    * The codebook is the table's first `k` vectors (the same
+    * deterministic no-refinement choice as [[Similarity.ivfTopK]], and
+    * for the same reason: iterative k-means float sums are
+    * aggregation-order-dependent, which would make the op impossible to
+    * value-check externally). Assignment is a pure projection
+    * ([[Similarity.ivfClusterCol]] — no join, no extra shuffle).
+    *
+    * Scale shape: clustering bounds the pair stage to within-cluster
+    * all-pairs — an EQUI-join on `cluster`, never a cartesian; at
+    * 10^10 vectors, `k` scales so lists stay bounded (SemDeDup uses
+    * ~100k clusters for 5B embeddings) and the assigned table is
+    * written bucketed by `cluster` so each list's pair scan is
+    * co-located. Norms are precomputed once per vector; only
+    * (id, cluster, vec, norm) rides the shuffle. */
+  def semanticDedup(emb: DataFrame, k: Int = 8,
+                    threshold: Double = 0.4): DataFrame = {
+    val codebook = emb.where(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+      .toSeq
+    val slim = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"),
+      Similarity.ivfClusterCol(codebook))
+    val a = slim.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"), col("cluster"))
+    val b = slim.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"), col("cluster"))
+    val dropped = a.join(b, "cluster")
+      .where(col("id_a") < col("id_b"))
+      .where(Similarity.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    emb.select("vec_id")
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= maxDist,
     * candidates bucketed by 4×16-bit bands (pigeonhole-complete for
     * maxDist <= 3). */

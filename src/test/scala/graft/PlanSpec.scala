@@ -345,6 +345,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("band_hash"), plan.take(3000))
   }
 
+  test("semantic dedup pairs equi-join on cluster — never a cartesian (q63)") {
+    val plan = planOf(SparkEntry.queries("q63_semantic_dedup")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the pair stage keys on the cluster assignment column
+    assert(plan.contains("cluster"), plan.take(3000))
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join

@@ -681,6 +681,24 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(kept == Seq(10L, 15L, 20L))
   }
 
+  test("q63 semantic dedup drops within-cluster cosine near-dups, keeps the lowest id") {
+    import spark.implicits._
+    // 4-dim vectors, k=2 codebook = vec_id 0 (x-axis) and 1 (y-axis).
+    // 10 ~ 0 (cos 1.0, same cluster) → dropped; 11 ~ 1 (cos ≈ .995,
+    // same cluster) → dropped; 12 is x-cluster but near-orthogonal to
+    // its cluster-mates → kept; 0/1 keep (lowest ids of their groups).
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (10L, Seq(2f, 0f, 0f, 0f)),
+      (11L, Seq(0.1f, 1f, 0f, 0f)),
+      (12L, Seq(0.6f, 0f, 0.8f, 0f))
+    ).toDF("vec_id", "embedding")
+    val kept = graft.ops.Dedup.semanticDedup(emb, k = 2, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(0L, 1L, 12L))
+  }
+
   test("q58 packing: per-source running offsets, straddling doc keeps its start bin") {
     import spark.implicits._
     val docs = Seq(
