@@ -1124,7 +1124,13 @@ object SparkEntry {
         |WHERE host_rank <= 20 ORDER BY doc_id""".stripMargin,
     // q62: semantics replica of the incremental dedup — a doc_id%5==0
     // (new) doc is dropped when ANY other doc shares shingle Jaccard
-    // >= 0.5 (common*2 >= union); same shingle CTE as q26.
+    // >= 0.5 (common*2 >= union); same shingle CTE as q26, and the
+    // same q26 contract: the Spark side's exact-Jaccard verify makes
+    // precision 1, so this true-Jaccard oracle additionally ASSERTS
+    // full LSH recall on the fixture — a banding recall shortfall
+    // (possible by construction for mid-range Jaccard, see the
+    // deliberately-missed ~0.78 pair in SparkEntrySpec) would surface
+    // as a driver rowcount mismatch rather than pass silently.
     "q62_incremental_dedup" ->
       """WITH words AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w

@@ -82,20 +82,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** `(doc_id, sh, bands)` sketch rows — the ONE definition of the
+    * shingle→minhash→band pipeline, shared by the symmetric
+    * ([[minhashLshPairs]]) and asymmetric ([[incrementalDedup]]) LSH
+    * dedups so a change to shingling, permutation count, or banding
+    * can never make q26/q46 and q62 disagree on what a near-dup is. */
+  private def lshSketch(docs: DataFrame, n: Int, numPerms: Int,
+                        rowsPerBand: Int): DataFrame = {
+    val shingleUdf = udf((t: String) => TextSketch.shingleHashes(t, n))
+    val bandsUdf = udf((sh: Array[Long]) =>
+      TextSketch.bandHashes(TextSketch.minhashSignature(sh, numPerms), rowsPerBand))
+    docs
+      .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("bands", bandsUdf(col("sh")))
+  }
+
+  /** One `(doc_id, band_idx, band_hash)` row per band of a sketch —
+    * the LSH candidate join key. */
+  private def lshBanded(sk: DataFrame): DataFrame =
+    sk.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+
+  /** Exact shingle-set overlap columns (`common`, `union_n`) from
+    * `sha`/`shb` arrays — the shared verification predicate input. */
+  private def exactOverlapCols(df: DataFrame): DataFrame = df
+    .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+    .withColumn("union_n", size(col("sha")) + size(col("shb")) - col("common"))
+
   /** MinHash + LSH banding near-dup pairs: sketch per doc (UDF),
     * equi-join on band hashes, exact-Jaccard verification on the
     * shingle-hash arrays (array_intersect on longs — precise). */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numPerms: Int = 64,
                       rowsPerBand: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val shingleUdf = udf((t: String) => TextSketch.shingleHashes(t, n))
-    val bandsUdf = udf((sh: Array[Long]) =>
-      TextSketch.bandHashes(TextSketch.minhashSignature(sh, numPerms), rowsPerBand))
-    val sketched = docs
-      .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("bands", bandsUdf(col("sh")))
-    val banded = sketched.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val sketched = lshSketch(docs, n, numPerms, rowsPerBand)
+    val banded = lshBanded(sketched)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -103,11 +124,9 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sk = sketched.select(col("doc_id"), col("sh"))
-    cand
+    exactOverlapCols(cand
       .join(sk.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
-      .join(sk.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("union_n", size(col("sha")) + size(col("shb")) - col("common"))
+      .join(sk.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b"))
       .where(col("common") >= col("union_n") * threshold)
       .select(col("doc_a"), col("doc_b"), col("common"), col("union_n"))
       .orderBy("doc_a", "doc_b")
@@ -133,27 +152,16 @@ object Dedup {
   def incrementalDedup(newDocs: DataFrame, refDocs: DataFrame,
                        n: Int = 3, numPerms: Int = 64, rowsPerBand: Int = 8,
                        threshold: Double = 0.5): DataFrame = {
-    val shingleUdf = udf((t: String) => TextSketch.shingleHashes(t, n))
-    val bandsUdf = udf((sh: Array[Long]) =>
-      TextSketch.bandHashes(TextSketch.minhashSignature(sh, numPerms), rowsPerBand))
-    def sketch(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), shingleUdf(col("text")).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("bands", bandsUdf(col("sh")))
-    def banded(df: DataFrame): DataFrame = df.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val sNew = sketch(newDocs)
-    val sRef = sketch(refDocs)
-    val cand = banded(sNew).as("a").join(banded(sRef).as("b"),
+    val sNew = lshSketch(newDocs, n, numPerms, rowsPerBand)
+    val sRef = lshSketch(refDocs, n, numPerms, rowsPerBand)
+    val cand = lshBanded(sNew).as("a").join(lshBanded(sRef).as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("ref_id"))
       .distinct()
-    val dropped = cand
+    val dropped = exactOverlapCols(cand
       .join(sNew.select(col("doc_id").as("new_id"), col("sh").as("sha")), "new_id")
-      .join(sRef.select(col("doc_id").as("ref_id"), col("sh").as("shb")), "ref_id")
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("union_n", size(col("sha")) + size(col("shb")) - col("common"))
+      .join(sRef.select(col("doc_id").as("ref_id"), col("sh").as("shb")), "ref_id"))
       .where(col("common") >= col("union_n") * threshold)
       .select(col("new_id").as("doc_id")).distinct()
     newDocs.select("doc_id")
@@ -186,12 +194,7 @@ object Dedup {
     * (id, cluster, vec, norm) rides the shuffle. */
   def semanticDedup(emb: DataFrame, k: Int = 8,
                     threshold: Double = 0.4): DataFrame = {
-    val codebook = emb.where(col("vec_id") < k)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1)
-      .toSeq
+    val codebook = Similarity.collectCodebook(emb, k)
     val slim = emb.select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"),
       Similarity.ivfClusterCol(codebook))

@@ -143,6 +143,22 @@ object Similarity {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** The deterministic IVF codebook: the table's FIRST `k` vectors by
+    * id, fetched driver-side (k rows — the only collect on the path).
+    * One definition shared by [[ivfTopK]] and
+    * [[graft.ops.Dedup.semanticDedup]] so the "codebook = first k
+    * vectors, sorted by id" contract both external oracles replicate
+    * lives in exactly one place. No k-means refinement on purpose:
+    * iterative float centroid sums are aggregation-order-dependent,
+    * which would make the assignment impossible to value-check. */
+  private[graft] def collectCodebook(emb: DataFrame, k: Int): Seq[(Long, Seq[Float])] =
+    emb.where(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+      .toSeq
+
   /** Nearest-centroid id of `embedding` as a pure COLUMN over a small
     * codebook: argmax cosine, ties to the lowest centroid id — a
     * `greatest` over (cos, -cid) structs, no join and no shuffle, so
@@ -167,12 +183,7 @@ object Similarity {
     * bucketed by `cluster`, making the probe a partition-pruned read. */
   def ivfTopK(emb: DataFrame, k: Int, nProbe: Int,
               queryVecId: Long, topK: Int): DataFrame = {
-    val codebook = emb.where(col("vec_id") < k)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1)
-      .toSeq
+    val codebook = collectCodebook(emb, k)
     val q = emb.where(col("vec_id") === queryVecId)
       .select(col("embedding")).head().getSeq[Float](0)
     val probes = codebook
