@@ -461,6 +461,13 @@ object SparkEntry {
       // pass (lexical sketches can't see these). Equi-join on cluster;
       // PlanSpec pins no cartesian.
       Dedup.semanticDedup(t(s, d, "embeddings"), k = 8, threshold = 0.4)),
+    "q64_importance_select" -> ((s, d) => // DSIR-style data selection:
+      // hashed-bigram importance log-ratio of each raw doc against the
+      // doc_id%10==7 target slice (integer log₂-magnitude weights, the
+      // q59 trick), top-100 selected via TakeOrdered — bucket tables
+      // bounded at 4096 rows and broadcast
+      TextOps.importanceScores(t(s, d, "documents"),
+        isTarget = col("doc_id") % 10 === 7)),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -1185,6 +1192,42 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         |ORDER BY vec_id""".stripMargin,
+    // q64: full replica of the DSIR-style importance selection — same
+    // bigrams, same 60-bit md5-prefix hash % 4096 bucket, target slice
+    // doc_id%10==7, add-one-smoothed len(bin(n+1)) magnitude weights,
+    // top-100 tie-broken (logratio DESC, doc_id). Like q59 this is
+    // integer math end-to-end, so Spark and DuckDB agree bit-for-bit.
+    "q64_importance_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+        |                t -> t <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(unnest(CASE WHEN len(w) >= 2
+        |      THEN list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+        |      ELSE [] END)), 1, 15) AS BIGINT) % 4096 AS b
+        |  FROM toks),
+        |tgt AS (SELECT b, COUNT(*) AS tn FROM g WHERE doc_id % 10 = 7 GROUP BY 1),
+        |qn AS (SELECT b, COUNT(*) AS qn FROM g WHERE doc_id % 10 <> 7 GROUP BY 1),
+        |pd AS (SELECT doc_id, b, COUNT(*) AS cnt FROM g WHERE doc_id % 10 <> 7
+        |       GROUP BY 1, 2),
+        |s AS (
+        |  SELECT pd.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_gram2,
+        |    CAST(SUM(cnt * (len(bin(COALESCE(t.tn, 0) + 1))
+        |                    - len(bin(q.qn + 1)))) AS BIGINT) AS logratio
+        |  FROM pd LEFT JOIN tgt t USING (b) JOIN qn q USING (b) GROUP BY 1),
+        |sc AS (
+        |  SELECT d.doc_id, COALESCE(s.n_gram2, 0) AS n_gram2,
+        |    COALESCE(s.logratio, 0) AS logratio
+        |  FROM documents d LEFT JOIN s USING (doc_id)
+        |  WHERE d.doc_id % 10 <> 7),
+        |top AS (SELECT doc_id FROM sc ORDER BY logratio DESC, doc_id LIMIT 100)
+        |SELECT sc.doc_id, sc.n_gram2, sc.logratio,
+        |  CAST(CASE WHEN top.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS selected
+        |FROM sc LEFT JOIN top USING (doc_id)
+        |ORDER BY sc.doc_id""".stripMargin,
     "q29_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events

@@ -330,4 +330,59 @@ object TextOps {
         coalesce(col("logscore"), lit(0L)).as("logscore"))
       .orderBy("doc_id")
   }
+
+  /** DSIR-style importance scoring + selection (Xie et al. 2023,
+    * arXiv:2302.03169, "Data Selection for Language Models via
+    * Importance Resampling") in integer-exact form: score every RAW
+    * document by how much its hashed-bigram distribution looks like
+    * the TARGET slice rather than the raw corpus itself, then select
+    * the top-`topK` by that log-ratio. Where DSIR uses float log
+    * p̂(g)−log q̂(g) over hashed n-gram bucket frequencies, this uses
+    * the binary-magnitude weight ⌊log₂(count+1)⌋ (`length(bin(n+1))`,
+    * engine-identical in Spark and DuckDB — the q59 trick) with
+    * add-one smoothing, so the oracle compares bit-for-bit:
+    *   logratio = Σ_g cnt_g · (len(bin(tn_b+1)) − len(bin(qn_b+1)))
+    * over the doc's bigram occurrences, b = 60-bit md5 hash % nBuckets.
+    *
+    * Scale shape: grams ride as 8-byte hashed bucket ids; BOTH
+    * frequency tables are bounded at `nBuckets` rows by construction,
+    * hence explicitly broadcast — the raw side's only shuffles are the
+    * two per-doc partial-aggregations. Selection is a TakeOrdered over
+    * slim (doc_id, logratio) pairs (never a global single-partition
+    * window) joined back as a flag, so the full scored table streams
+    * through untouched. */
+  def importanceScores(docs: DataFrame, isTarget: Column,
+                       nBuckets: Int = 4096, topK: Int = 100): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(bigrams(col("w"))).as("g"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+          % nBuckets).as("b"))
+    val tgtN = grams.where(isTarget).groupBy("b").agg(count(lit(1)).as("tn"))
+    val raw = grams.where(not(isTarget))
+    val rawN = raw.groupBy("b").agg(count(lit(1)).as("qn"))
+    val perDoc = raw.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+    val weighted = perDoc
+      .join(broadcast(tgtN), Seq("b"), "left")
+      .join(broadcast(rawN), Seq("b")) // inner: b came from raw itself
+      .groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_gram2"),
+        sum(col("cnt") *
+          (length(bin(coalesce(col("tn"), lit(0L)) + 1)).cast("long")
+            - length(bin(col("qn") + 1)).cast("long"))).as("logratio"))
+    val scored = docs.where(not(isTarget)).select("doc_id")
+      .join(weighted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_gram2"), lit(0L)).as("n_gram2"),
+        coalesce(col("logratio"), lit(0L)).as("logratio"))
+    val topIds = scored
+      .orderBy(col("logratio").desc, col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id"), lit(1).as("sel"))
+    scored.join(broadcast(topIds), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_gram2"), col("logratio"),
+        coalesce(col("sel"), lit(0)).as("selected"))
+      .orderBy("doc_id")
+  }
 }

@@ -353,6 +353,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("cluster"), plan.take(3000))
   }
 
+  test("importance selection broadcasts bucket tables, no global window (q64)") {
+    val plan = planOf(SparkEntry.queries("q64_importance_select")(spark, dir))
+    // the two nBuckets-bounded frequency tables and the topK id set are
+    // the ONLY build sides — all broadcast, never a cartesian
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // selection is a TakeOrdered over slim pairs, not a 1-partition window
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join

@@ -752,4 +752,24 @@ class SparkEntrySpec extends AnyFunSuite {
         r.getLong(3))).toSeq
     assert(got == Seq((1L, 3L, 2L, 3L), (2L, 1L, 0L, 0L), (3L, 0L, 0L, 0L)))
   }
+
+  test("q64 importance: add-one log-ratio weights, TakeOrdered selection") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // bucket ids (md5 % 4096, no collisions): "a b"=1299, "b c"=3426,
+    // "b d"=2029, "c x"=2203, "z z"=1508
+    val docs = Seq(
+      (7L, "a b c"),   // target: tn("a b")=1 so far, tn("b c")=1
+      (17L, "a b d"),  // target: tn("a b")=2, tn("b d")=1
+      (1L, "a b c x"), // raw: w("a b")=2-2=0, w("b c")=2-2=0, w("c x")=1-2=-1
+      (2L, "z z"),     // raw: w("z z")=1-2=-1
+      (3L, "q")        // no bigram → zero row
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps
+      .importanceScores(docs, col("doc_id") % 10 === 7, topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    // top-1 by (logratio desc, doc_id): doc 3 (0) beats docs 1/2 (-1)
+    assert(got == Seq((1L, 3L, -1L, 0), (2L, 1L, -1L, 0), (3L, 0L, 0L, 1)))
+  }
 }
