@@ -468,6 +468,14 @@ object SparkEntry {
       // bounded at 4096 rows and broadcast
       TextOps.importanceScores(t(s, d, "documents"),
         isTarget = col("doc_id") % 10 === 7)),
+    "q65_epoch_mix" -> ((s, d) => // multi-epoch source mixing: src0
+      // repeats ~2.5x, src1 ~1.25x, the rest thin to 0.5 — one row per
+      // (doc, epoch), copy counts integer-exact via the 16-bit hash
+      // bucket; pure projection+generator, no shuffle
+      TextOps.epochMix(t(s, d, "documents").select("doc_id", "source"),
+          col("doc_id"), col("source"),
+          Map("src0" -> 2.5, "src1" -> 1.25), defaultWeight = 0.5)
+        .orderBy("doc_id", "epoch")),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -1228,6 +1236,23 @@ object SparkEntry {
         |  CAST(CASE WHEN top.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS selected
         |FROM sc LEFT JOIN top USING (doc_id)
         |ORDER BY sc.doc_id""".stripMargin,
+    // q65: copy count = ⌊w⌋ + (bucket < frac(w)·65536) with the q45
+    // 16-bit md5 bucket; src0 w=2.5 (base 2, cut 32768), src1 w=1.25
+    // (base 1, cut 16384), default w=0.5 (base 0, cut 32768); one row
+    // per epoch 0..n-1.
+    "q65_epoch_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 0 END
+        |    + CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+        |        < CASE source WHEN 'src0' THEN 32768 WHEN 'src1' THEN 16384
+        |          ELSE 32768 END
+        |      THEN 1 ELSE 0 END AS n
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(e AS INT) AS epoch
+        |FROM w, LATERAL (SELECT unnest(generate_series(0, n-1)) AS e) g
+        |WHERE n > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
     "q29_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events

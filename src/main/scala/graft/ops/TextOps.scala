@@ -116,6 +116,35 @@ object TextOps {
     df.where(hashBucket16(key) < cut)
   }
 
+  /** Deterministic multi-epoch source mixing — the up/down-sampling
+    * step that turns per-source mix WEIGHTS into a materialized
+    * training view (public LM data recipes repeat high-quality sources
+    * w > 1 times and thin low-quality ones w < 1): each row is emitted
+    * ⌊w⌋ times plus one more iff its 16-bit hash bucket falls under
+    * frac(w)·65536, one output row per (doc, epoch). Pure projection +
+    * generator — no shuffle, no RNG, embarrassingly parallel — and
+    * integer-exact, so an external engine replays copy counts
+    * bit-for-bit. Subset-stable like [[stratifiedHashSample]]: raising
+    * a weight only ADDS epochs, never reshuffles existing ones. */
+  def epochMix(df: DataFrame, key: Column, stratum: Column,
+               weights: Map[String, Double],
+               defaultWeight: Double): DataFrame = {
+    def whole(w: Double): Int = w.toInt
+    def cutoff(w: Double): Int = ((w - w.toInt) * 65536).toInt
+    val base = weights.foldLeft(lit(whole(defaultWeight))) {
+      case (acc, (k, w)) => when(stratum === k, lit(whole(w))).otherwise(acc)
+    }
+    val cut = weights.foldLeft(lit(cutoff(defaultWeight))) {
+      case (acc, (k, w)) => when(stratum === k, lit(cutoff(w))).otherwise(acc)
+    }
+    val n = base + when(hashBucket16(key) < cut, 1).otherwise(0)
+    df.select(col("*"), n.as("n_epochs"))
+      .where(col("n_epochs") > 0)
+      .select(col("*"),
+        explode(sequence(lit(0), col("n_epochs") - 1)).as("epoch"))
+      .drop("n_epochs")
+  }
+
   /** Non-empty lowercase whitespace tokens as an array column (pure
     * projection — the building block the repetition / merge-pair ops
     * below compose). */

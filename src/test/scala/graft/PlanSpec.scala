@@ -192,6 +192,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Filter"), plan.take(3000))
   }
 
+  test("epoch mix plans as scan+filter+generate: no exchange, no join (q65)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val mixed = graft.ops.TextOps.epochMix(docs, col("doc_id"),
+      col("source"), Map("src0" -> 2.5, "src1" -> 1.25), 0.5)
+    val plan = planOf(mixed)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      plan.take(3000))
+    // the per-epoch fan-out is a Generate (explode), not a self-join
+    assert(plan.contains("Generate"), plan.take(3000))
+  }
+
   test("repetition signals are a pure projection: no exchange, no join (q48 core)") {
     import graft.ops.TextOps
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -772,4 +772,26 @@ class SparkEntrySpec extends AnyFunSuite {
     // top-1 by (logratio desc, doc_id): doc 3 (0) beats docs 1/2 (-1)
     assert(got == Seq((1L, 3L, -1L, 0), (2L, 1L, -1L, 0), (3L, 0L, 0L, 1)))
   }
+
+  test("q65 epoch mix: floor(w) copies plus one under the fractional cutoff") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 16-bit md5 buckets: 1→50378, 2→51230, 3→60619, 6→5753, 9→17860,
+    // 11→25874, 12→49674. Weights: a=2.5 (base 2, cut 32768),
+    // b=1.25 (base 1, cut 16384), default 0.5 (base 0, cut 32768).
+    val docs = Seq((1L, "a"), (11L, "a"), (2L, "b"), (6L, "b"),
+      (3L, "c"), (9L, "c"), (12L, "c")).toDF("doc_id", "source")
+    val got = graft.ops.TextOps
+      .epochMix(docs, col("doc_id"), col("source"),
+        Map("a" -> 2.5, "b" -> 1.25), defaultWeight = 0.5)
+      .orderBy("doc_id", "epoch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq(
+      (1L, "a", 0), (1L, "a", 1),                 // 50378 ≥ 32768 → 2 copies
+      (2L, "b", 0),                               // 51230 ≥ 16384 → 1 copy
+      (6L, "b", 0), (6L, "b", 1),                 // 5753 < 16384 → 2 copies
+      (9L, "c", 0),                               // 17860 < 32768 → 1 copy
+      (11L, "a", 0), (11L, "a", 1), (11L, "a", 2) // 25874 < 32768 → 3
+    ))                                            // docs 3, 12 → 0 copies
+  }
 }
