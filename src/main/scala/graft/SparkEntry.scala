@@ -476,6 +476,36 @@ object SparkEntry {
           col("doc_id"), col("source"),
           Map("src0" -> 2.5, "src1" -> 1.25), defaultWeight = 0.5)
         .orderBy("doc_id", "epoch")),
+    "q66_corpus_prep" -> ((s, d) => { // the END-TO-END corpus PREP a
+      // training run executes over a raw dump: domain-blocklist scrub
+      // (q57) → quality gate (q56's four LANGUAGE-INDEPENDENT rules —
+      // the stopword rule is per-language and the synthetic corpus has
+      // no English function words, so a real pipeline would gate it on
+      // q24's lang first) → exact dedup keeping each group's canonical
+      // (q20) → multi-epoch source mix (q65). Every stage reuses the
+      // operator verbatim; the stage joins ride 8-byte doc_id keys
+      // only — bodies are scanned once for verdicts and once for
+      // fingerprints, never shuffled.
+      val docs = t(s, d, "documents")
+      import s.implicits._
+      val host = concat(lit("m"), col("doc_id") % 3, lit(".w"),
+        col("doc_id") % 7, lit(".ex"), col("doc_id") % 4, lit(".com"))
+      val block = Seq("w3.ex1.com", "ex2.com", "m0.w4.ex0.com").toDF("domain")
+      val unblocked = ops.UrlOps.dropBlockedHosts(
+          docs.select(col("doc_id"), host.as("host")), block, "doc_id", "host")
+        .select("doc_id")
+      val passing = TextOps.qualityVerdicts(docs)
+        .where(col("ok_count") * col("ok_wordlen") *
+          col("ok_symbol") * col("ok_alpha") === 1)
+        .select("doc_id")
+      val kept = docs.join(unblocked, "doc_id").join(passing, "doc_id")
+      val canon = Dedup.exact(kept).select(col("keep_id").as("doc_id"))
+      TextOps.epochMix(
+          kept.join(canon, "doc_id").select("doc_id", "source"),
+          col("doc_id"), col("source"),
+          Map("src0" -> 2.5, "src1" -> 1.25), defaultWeight = 0.5)
+        .orderBy("doc_id", "epoch")
+    }),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -1251,6 +1281,66 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, CAST(e AS INT) AS epoch
         |FROM w, LATERAL (SELECT unnest(generate_series(0, n-1)) AS e) g
+        |WHERE n > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
+    // q66: the composed pipeline — q57's suffix-chain blocklist CTEs,
+    // q56's verdict measures collapsed to the four language-independent
+    // rules (no stopword rule — see the query comment), q20's
+    // normalized-text dedup restricted to the SURVIVING set (canonical
+    // = min doc_id within each fingerprint group of kept docs), then
+    // q65's copy-count mix on what remains.
+    "q66_corpus_prep" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    'm' || CAST(doc_id % 3 AS VARCHAR) || '.w' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.ex' || CAST(doc_id % 4 AS VARCHAR) || '.com' AS host
+        |  FROM documents),
+        |sfx AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(p)),
+        |                          i -> array_to_string(p[i:], '.'))) AS s
+        |  FROM (SELECT doc_id, string_split(host, '.') AS p FROM h)),
+        |blocked AS (
+        |  SELECT DISTINCT doc_id FROM sfx
+        |  WHERE s IN ('w3.ex1.com', 'ex2.com', 'm0.w4.ex0.com')),
+        |toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+        |                t -> t <> '') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_tok,
+        |    CAST(COALESCE(list_sum(list_transform(w, t -> len(t))), 0) AS BIGINT)
+        |      AS sum_tok_chars,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+        |      AS n_alpha,
+        |    len(text) - len(replace(text, '#', '')) AS hash_n,
+        |    (len(text) - len(replace(text, '...', ''))) // 3 AS ell_n
+        |  FROM toks),
+        |passq AS (
+        |  SELECT doc_id FROM m
+        |  WHERE n_tok >= 20 AND n_tok <= 100000
+        |    AND sum_tok_chars >= n_tok * 3 AND sum_tok_chars <= n_tok * 10
+        |    AND (hash_n + ell_n) * 10 <= n_tok
+        |    AND n_alpha * 5 >= n_tok * 4),
+        |kept AS (
+        |  SELECT d.doc_id, d.source, d.text FROM documents d
+        |  WHERE d.doc_id IN (SELECT doc_id FROM passq)
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM blocked)),
+        |canon AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM kept
+        |  GROUP BY md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))))),
+        |mix AS (
+        |  SELECT k.doc_id, k.source,
+        |    CASE k.source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 0 END
+        |    + CASE WHEN CAST('0x' || substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 4) AS INT)
+        |        < CASE k.source WHEN 'src0' THEN 32768 WHEN 'src1' THEN 16384
+        |          ELSE 32768 END
+        |      THEN 1 ELSE 0 END AS n
+        |  FROM kept k WHERE k.doc_id IN (SELECT doc_id FROM canon))
+        |SELECT doc_id, source, CAST(e AS INT) AS epoch
+        |FROM mix, LATERAL (SELECT unnest(generate_series(0, n-1)) AS e) g
         |WHERE n > 0
         |ORDER BY doc_id, epoch""".stripMargin,
     "q29_json_extract" ->

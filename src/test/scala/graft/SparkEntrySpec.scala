@@ -794,4 +794,28 @@ class SparkEntrySpec extends AnyFunSuite {
       (11L, "a", 0), (11L, "a", 1), (11L, "a", 2) // 25874 < 32768 → 3
     ))                                            // docs 3, 12 → 0 copies
   }
+
+  test("q66 corpus prep composes: q65's mix restricted to the survivor set") {
+    // same weights + same hash ⇒ per-doc copy counts agree, so the
+    // composed pipeline's (doc_id, epoch) rows must be EXACTLY q65's
+    // rows for the doc_ids that survive scrub+quality+dedup — and the
+    // survivor set must exclude every blocked host and quality fail.
+    val prep = SparkEntry.queries("q66_corpus_prep")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(prep.nonEmpty)
+    val survivors = prep.map(_._1)
+    val mix = SparkEntry.queries("q65_epoch_mix")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .filter(t => survivors.contains(t._1)).toSet
+    assert(prep == mix)
+    // the composed gate is q56's four language-independent rules
+    val fails = SparkEntry.queries("q56_quality_verdicts")(spark, dir)
+      .where(org.apache.spark.sql.functions.expr(
+        "ok_count * ok_wordlen * ok_symbol * ok_alpha") === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(fails).isEmpty)
+    val unblocked = SparkEntry.queries("q57_domain_blocklist")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(unblocked))
+  }
 }
