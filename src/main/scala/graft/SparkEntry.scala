@@ -67,6 +67,18 @@ object SparkEntry {
       new crawl.SnapshotStore(crawlDir.get)
     }
 
+  /** Shared constants for the q57/q65 operators and the q66 pipeline
+    * that composes them — ONE Scala-side definition so the composed
+    * query can never desynchronize from its constituents. (The oracle
+    * SQL strings inline the same values; each query's own DuckDB gate
+    * fails loudly if either side drifts.) */
+  private val blockDomains = Seq("w3.ex1.com", "ex2.com", "m0.w4.ex0.com")
+  private val mixWeights = Map("src0" -> 2.5, "src1" -> 1.25)
+  private val mixDefaultWeight = 0.5
+  private def mixHostOf(docId: org.apache.spark.sql.Column) =
+    concat(lit("m"), docId % 3, lit(".w"), docId % 7,
+      lit(".ex"), docId % 4, lit(".com"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY §2.1–2.7) --------------------------
     "q01_pricing_agg" -> ((s, d) => { // A1/A4: map-side-combinable agg
@@ -409,12 +421,11 @@ object SparkEntry {
       // corpus carries no urls — q30 pattern); the blocklist entries
       // hit all three shapes: a deep exact host, a mid-chain domain,
       // and a registrable-domain block that catches subdomains.
-      val host = concat(lit("m"), col("doc_id") % 3, lit(".w"),
-        col("doc_id") % 7, lit(".ex"), col("doc_id") % 4, lit(".com"))
-      val rows = t(s, d, "documents").select(col("doc_id"), host.as("host"))
+      val rows = t(s, d, "documents")
+        .select(col("doc_id"), mixHostOf(col("doc_id")).as("host"))
       import s.implicits._
-      val block = Seq("w3.ex1.com", "ex2.com", "m0.w4.ex0.com").toDF("domain")
-      ops.UrlOps.dropBlockedHosts(rows, block, "doc_id", "host")
+      ops.UrlOps.dropBlockedHosts(rows, blockDomains.toDF("domain"),
+          "doc_id", "host")
         .orderBy("doc_id")
     }),
     "q58_sequence_packing" -> ((s, d) => // training-sequence packing:
@@ -473,37 +484,38 @@ object SparkEntry {
       // (doc, epoch), copy counts integer-exact via the 16-bit hash
       // bucket; pure projection+generator, no shuffle
       TextOps.epochMix(t(s, d, "documents").select("doc_id", "source"),
-          col("doc_id"), col("source"),
-          Map("src0" -> 2.5, "src1" -> 1.25), defaultWeight = 0.5)
+          col("doc_id"), col("source"), mixWeights, mixDefaultWeight)
         .orderBy("doc_id", "epoch")),
     "q66_corpus_prep" -> ((s, d) => { // the END-TO-END corpus PREP a
       // training run executes over a raw dump: domain-blocklist scrub
-      // (q57) → quality gate (q56's four LANGUAGE-INDEPENDENT rules —
-      // the stopword rule is per-language and the synthetic corpus has
-      // no English function words, so a real pipeline would gate it on
-      // q24's lang first) → exact dedup keeping each group's canonical
-      // (q20) → multi-epoch source mix (q65). Every stage reuses the
-      // operator verbatim; the stage joins ride 8-byte doc_id keys
-      // only — bodies are scanned once for verdicts and once for
-      // fingerprints, never shuffled.
+      // (q57's operator) → quality gate (q56's four LANGUAGE-
+      // INDEPENDENT rules — the stopword rule is per-language and the
+      // synthetic corpus has no English function words, so a real
+      // pipeline would gate it on q24's lang first) → exact dedup
+      // keeping each group's canonical (q20's min-per-fingerprint
+      // rule over the SAME TextOps.fingerprint, computed in-scan) →
+      // multi-epoch source mix (q65's operator + weights). Bodies are
+      // read in two map-side scans (fingerprint projection, verdict
+      // projection) and NEVER shuffle: every stage join carries only
+      // (doc_id, source, fp) or a bare id set.
       val docs = t(s, d, "documents")
       import s.implicits._
-      val host = concat(lit("m"), col("doc_id") % 3, lit(".w"),
-        col("doc_id") % 7, lit(".ex"), col("doc_id") % 4, lit(".com"))
-      val block = Seq("w3.ex1.com", "ex2.com", "m0.w4.ex0.com").toDF("domain")
+      val block = blockDomains.toDF("domain")
+      val base = docs.select(col("doc_id"), col("source"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        mixHostOf(col("doc_id")).as("host"))
       val unblocked = ops.UrlOps.dropBlockedHosts(
-          docs.select(col("doc_id"), host.as("host")), block, "doc_id", "host")
-        .select("doc_id")
+        base, block, "doc_id", "host")
       val passing = TextOps.qualityVerdicts(docs)
         .where(col("ok_count") * col("ok_wordlen") *
           col("ok_symbol") * col("ok_alpha") === 1)
         .select("doc_id")
-      val kept = docs.join(unblocked, "doc_id").join(passing, "doc_id")
-      val canon = Dedup.exact(kept).select(col("keep_id").as("doc_id"))
+      val kept = unblocked.join(passing, "doc_id")
+      val canon = kept.groupBy("fp").agg(min("doc_id").as("doc_id"))
       TextOps.epochMix(
-          kept.join(canon, "doc_id").select("doc_id", "source"),
-          col("doc_id"), col("source"),
-          Map("src0" -> 2.5, "src1" -> 1.25), defaultWeight = 0.5)
+          kept.join(canon.select("doc_id"), "doc_id")
+            .select("doc_id", "source"),
+          col("doc_id"), col("source"), mixWeights, mixDefaultWeight)
         .orderBy("doc_id", "epoch")
     }),
 

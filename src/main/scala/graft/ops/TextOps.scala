@@ -137,12 +137,15 @@ object TextOps {
     val cut = weights.foldLeft(lit(cutoff(defaultWeight))) {
       case (acc, (k, w)) => when(stratum === k, lit(cutoff(w))).otherwise(acc)
     }
+    require(!df.columns.contains("epoch"),
+      "epochMix: input already has an 'epoch' column")
+    val nEp = "__epoch_mix_n" // collision-proof scratch name
     val n = base + when(hashBucket16(key) < cut, 1).otherwise(0)
-    df.select(col("*"), n.as("n_epochs"))
-      .where(col("n_epochs") > 0)
+    df.select(col("*"), n.as(nEp))
+      .where(col(nEp) > 0)
       .select(col("*"),
-        explode(sequence(lit(0), col("n_epochs") - 1)).as("epoch"))
-      .drop("n_epochs")
+        explode(sequence(lit(0), col(nEp) - 1)).as("epoch"))
+      .drop(nEp)
   }
 
   /** Non-empty lowercase whitespace tokens as an array column (pure
@@ -367,9 +370,10 @@ object TextOps {
     * the TARGET slice rather than the raw corpus itself, then select
     * the top-`topK` by that log-ratio. Where DSIR uses float log
     * p̂(g)−log q̂(g) over hashed n-gram bucket frequencies, this uses
-    * the binary-magnitude weight ⌊log₂(count+1)⌋ (`length(bin(n+1))`,
-    * engine-identical in Spark and DuckDB — the q59 trick) with
-    * add-one smoothing, so the oracle compares bit-for-bit:
+    * the binary-magnitude weight ⌊log₂(n+1)⌋+1 (`length(bin(n+1))`,
+    * engine-identical in Spark and DuckDB — the q59 trick; the +1
+    * cancels in the tn−qn difference) with add-one smoothing, so the
+    * oracle compares bit-for-bit:
     *   logratio = Σ_g cnt_g · (len(bin(tn_b+1)) − len(bin(qn_b+1)))
     * over the doc's bigram occurrences, b = 60-bit md5 hash % nBuckets.
     *

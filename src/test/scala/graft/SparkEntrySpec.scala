@@ -796,26 +796,39 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("q66 corpus prep composes: q65's mix restricted to the survivor set") {
-    // same weights + same hash ⇒ per-doc copy counts agree, so the
-    // composed pipeline's (doc_id, epoch) rows must be EXACTLY q65's
-    // rows for the doc_ids that survive scrub+quality+dedup — and the
-    // survivor set must exclude every blocked host and quality fail.
+    // Compute the EXPECTED survivor set independently of q66's own
+    // output — constituent-op outputs for the two filter stages, and a
+    // pure-Scala dedup replica for the canonical stage — so a q66 bug
+    // that wrongly EXCLUDES documents fails this test too (a circular
+    // survivors-from-prep derivation would not catch it).
+    val unblocked = SparkEntry.queries("q57_domain_blocklist")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val pass4 = SparkEntry.queries("q56_quality_verdicts")(spark, dir)
+      .where(org.apache.spark.sql.functions.expr(
+        "ok_count * ok_wordlen * ok_symbol * ok_alpha") === 1)
+      .collect().map(_.getLong(0)).toSet
+    val keptDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(t => unblocked.contains(t._1) && pass4.contains(t._1))
+    // q20's rule in plain Scala: min doc_id per normalized-text group
+    val expectedSurvivors = keptDocs
+      .groupBy { case (_, text) =>
+        text.replaceAll("[ \t\n\f\r]+", " ").trim
+          .toLowerCase(java.util.Locale.ROOT)
+      }
+      .values.map(_.map(_._1).min).toSet
     val prep = SparkEntry.queries("q66_corpus_prep")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(prep.nonEmpty)
-    val survivors = prep.map(_._1)
+    assert(prep.map(_._1).subsetOf(expectedSurvivors))
+    // same weights + same hash ⇒ per-doc copy counts agree, so q66's
+    // (doc_id, epoch) rows are EXACTLY q65's for the independently
+    // recomputed survivor set (survivors with 0 mix copies appear in
+    // neither side, so the equality checks inclusion AND exclusion)
     val mix = SparkEntry.queries("q65_epoch_mix")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
-      .filter(t => survivors.contains(t._1)).toSet
+      .filter(t => expectedSurvivors.contains(t._1)).toSet
     assert(prep == mix)
-    // the composed gate is q56's four language-independent rules
-    val fails = SparkEntry.queries("q56_quality_verdicts")(spark, dir)
-      .where(org.apache.spark.sql.functions.expr(
-        "ok_count * ok_wordlen * ok_symbol * ok_alpha") === 0)
-      .collect().map(_.getLong(0)).toSet
-    assert(survivors.intersect(fails).isEmpty)
-    val unblocked = SparkEntry.queries("q57_domain_blocklist")(spark, dir)
-      .collect().map(_.getLong(0)).toSet
-    assert(survivors.subsetOf(unblocked))
   }
 }
