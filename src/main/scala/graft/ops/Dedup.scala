@@ -151,9 +151,33 @@ object Dedup {
     * on candidates; the final drop is a left_anti on the 8-byte id. */
   def incrementalDedup(newDocs: DataFrame, refDocs: DataFrame,
                        n: Int = 3, numPerms: Int = 64, rowsPerBand: Int = 8,
-                       threshold: Double = 0.5): DataFrame = {
+                       threshold: Double = 0.5): DataFrame =
+    incrementalDedupPrecomputed(newDocs,
+      refSketches(refDocs, n, numPerms, rowsPerBand),
+      n, numPerms, rowsPerBand, threshold)
+
+  /** The committed-corpus sketch table `(doc_id, sh, bands)` a per-dump
+    * incremental pipeline PERSISTS at commit and appends per dump — the
+    * at-scale shape [[incrementalDedup]]'s scaladoc describes: the
+    * committed side is sketched ONCE when it lands, never re-read as
+    * text. Plain arrays of longs, so it round-trips parquet; write it
+    * bucketed by `band_hash` so each dump's candidate join is
+    * co-located. Feed to [[incrementalDedupPrecomputed]]. */
+  def refSketches(refDocs: DataFrame, n: Int = 3, numPerms: Int = 64,
+                  rowsPerBand: Int = 8): DataFrame =
+    lshSketch(refDocs, n, numPerms, rowsPerBand)
+
+  /** [[incrementalDedup]] against an already-materialized committed-side
+    * sketch table (from [[refSketches]], typically read back from
+    * storage) — the production path where only the NEW snapshot is
+    * sketched per dump. The sketch parameters must match those the
+    * index was built with. */
+  def incrementalDedupPrecomputed(newDocs: DataFrame, refSketch: DataFrame,
+                                  n: Int = 3, numPerms: Int = 64,
+                                  rowsPerBand: Int = 8,
+                                  threshold: Double = 0.5): DataFrame = {
     val sNew = lshSketch(newDocs, n, numPerms, rowsPerBand)
-    val sRef = lshSketch(refDocs, n, numPerms, rowsPerBand)
+    val sRef = refSketch
     val cand = lshBanded(sNew).as("a").join(lshBanded(sRef).as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash"))

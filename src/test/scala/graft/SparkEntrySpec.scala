@@ -679,6 +679,17 @@ class SparkEntrySpec extends AnyFunSuite {
     val kept = graft.ops.Dedup.incrementalDedup(neu, ref)
       .collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(10L, 15L, 20L))
+
+    // the production path: the committed side's sketch table persists
+    // at commit and round-trips parquet — a dump deduped against the
+    // READ-BACK index must agree exactly with the inline path
+    val idxDir = TempDirs.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("refsketch").toString)
+    graft.ops.Dedup.refSketches(ref).write.mode("overwrite").parquet(idxDir)
+    val keptPre = graft.ops.Dedup.incrementalDedupPrecomputed(
+        neu, spark.read.parquet(idxDir))
+      .collect().map(_.getLong(0)).toSeq
+    assert(keptPre == kept)
   }
 
   test("q63 semantic dedup drops within-cluster cosine near-dups, keeps the lowest id") {
