@@ -518,6 +518,32 @@ object SparkEntry {
           col("doc_id"), col("source"), mixWeights, mixDefaultWeight)
         .orderBy("doc_id", "epoch")
     }),
+    "q67_host_rank" -> ((s, d) => { // link-graph frontier priority:
+      // integer-fixed-point PageRank (5 iterations, damping 85%) over
+      // the host graph, the Cho/Garcia-Molina crawl-ordering signal.
+      // Edges are doc_id-derived (the corpus carries no real links —
+      // q30/q57 pattern): each doc links its host to 3 md5-derived
+      // pseudo-hosts. The operator under test is the iterative slim
+      // (host, long) pipeline — edges partitioned+cached once, two
+      // 8-byte-row shuffles per iteration, lineage checkpointed.
+      val docs = t(s, d, "documents")
+      val cand = docs.select(col("doc_id"),
+        explode(array(lit(0), lit(1), lit(2))).as("j"))
+      val k = conv(substring(
+        md5(concat(col("doc_id"), lit(":"), col("j"))), 1, 15), 16, 10)
+        .cast("long") % 1000
+      val sightings = cand.select(mixHostOf(col("doc_id")).as("src"),
+        mixHostOf(k).as("dst"))
+      ops.LinkGraph.hostRank(sightings, iterations = 5)
+        .orderBy(col("rank_score").desc, col("host"))
+    }),
+    "q68_recrawl_schedule" -> ((s, d) => // freshness-driven recrawl
+      // scheduling (Cho & Garcia-Molina): per-host change-rate estimate
+      // from the events log → next-due timestamp, all epoch-microsecond
+      // integer math; one partial-aggregated exchange, no window/join.
+      // Hosts are user_id-derived (events carry no hosts — q57 pattern).
+      crawl.Freshness.recrawlSchedule(t(s, d, "events"),
+        col("user_id") % 50, col("ts"))),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -659,6 +685,44 @@ object SparkEntry {
       case (p, i) =>
         s"(CASE WHEN ${sqlDot(vecExpr, p)} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** q67 oracle: the same integer PageRank unrolled as 5 chained CTEs
+    * (standard SQL forbids aggregation in a recursive member, so the
+    * fixed iteration count is spelled out). Same md5-derived edges,
+    * same DISTINCT/self-loop rule, same teleport 1.5e11 = 1e12*15//100,
+    * same per-edge `rank div deg` then `85*sum // 100` rounding. */
+  private def hostRankOracleSql: String = {
+    // single line: a wrapped continuation starting with '||' would lose
+    // its first '|' to the outer stripMargin
+    def host(e: String) =
+      s"'m' || CAST($e % 3 AS VARCHAR) || '.w' || CAST($e % 7 AS VARCHAR) || '.ex' || CAST($e % 4 AS VARCHAR) || '.com'"
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST(150000000000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(r.r // g.d) AS BIGINT) AS c
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN deg g ON g.src = e.src
+         |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cand AS (
+       |  SELECT doc_id, j FROM documents, (VALUES (0), (1), (2)) t(j)),
+       |e0 AS (
+       |  SELECT ${host("doc_id")} AS src,
+       |    ${host("k")} AS dst
+       |  FROM (SELECT doc_id,
+       |          CAST('0x' || substring(md5(doc_id || ':' || j), 1, 15) AS BIGINT)
+       |            % 1000 AS k
+       |        FROM cand)),
+       |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+       |$iters
+       |SELECT node AS host, r AS rank_score FROM r5
+       |ORDER BY rank_score DESC, host""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -1355,6 +1419,22 @@ object SparkEntry {
         |FROM mix, LATERAL (SELECT unnest(generate_series(0, n-1)) AS e) g
         |WHERE n > 0
         |ORDER BY doc_id, epoch""".stripMargin,
+    "q67_host_rank" -> hostRankOracleSql,
+    // q68: same %50 host key, same epoch-microsecond min/max/count
+    // partial aggregate, same integer-div interval and next-due; the
+    // CASE mirrors Spark's when() null on single-observation hosts.
+    "q68_recrawl_schedule" ->
+      """WITH a AS (
+        |  SELECT user_id % 50 AS host_id, COUNT(*) AS n_changes,
+        |    MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY 1)
+        |SELECT host_id, n_changes, first_us, last_us,
+        |  CASE WHEN n_changes > 1
+        |    THEN (last_us - first_us) // (n_changes - 1) END AS interval_us,
+        |  CASE WHEN n_changes > 1
+        |    THEN last_us + (last_us - first_us) // (n_changes - 1)
+        |  END AS next_due_us
+        |FROM a ORDER BY host_id""".stripMargin,
     "q29_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events

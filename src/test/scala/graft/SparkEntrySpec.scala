@@ -842,4 +842,55 @@ class SparkEntrySpec extends AnyFunSuite {
       .filter(t => expectedSurvivors.contains(t._1)).toSet
     assert(prep == mix)
   }
+
+  test("q67 host rank replays the integer fixpoint exactly (dangling, no-in, dups)") {
+    import spark.implicits._
+    // a→b, a→c, a→e, b→c, c→a, d→c; e is DANGLING (no outlinks: damped
+    // mass leaks to teleport), d has no in-edges (teleport floor only);
+    // the input carries a self-loop and duplicate sightings the
+    // operator must collapse before degree counting
+    val sightings = Seq(
+      ("a", "b"), ("a", "b"), ("a", "a"), ("a", "c"), ("a", "e"),
+      ("b", "c"), ("c", "a"), ("d", "c")).toDF("src", "dst")
+    val got = graft.ops.LinkGraph.hostRank(sightings, iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // plain-Scala replay of the contract: base 1e12, teleport 1.5e11,
+    // per-edge rank/deg then 85*sum/100, all truncating long division
+    val es = Set("a" -> "b", "a" -> "c", "a" -> "e", "b" -> "c",
+      "c" -> "a", "d" -> "c")
+    val nodes = es.flatMap(e => Set(e._1, e._2))
+    val deg = es.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> 1000000000000L).toMap
+    for (_ <- 1 to 5) {
+      val c = nodes.map(n => n ->
+        es.toSeq.filter(_._2 == n).map(e => r(e._1) / deg(e._1)).sum).toMap
+      r = nodes.map(n => n -> (150000000000L + 85L * c(n) / 100L)).toMap
+    }
+    assert(got == r)
+    // the no-in-edge host sits at the teleport floor; ranks conserve
+    // below total injected mass (dangling leak is one-directional)
+    assert(got("d") == 150000000000L)
+    assert(got.values.sum <= nodes.size * 1000000000000L)
+  }
+
+  test("q68 recrawl schedule: interval is span/(n-1), single observation is null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, 1000000L), (1L, 5000000L), (1L, 12000000L), // span 11s over 2 gaps
+      (2L, 7000000L)) // single sighting: no rate evidence
+      .toDF("host", "us")
+      .select(col("host"), timestamp_micros(col("us")).as("ts"))
+    val rows = graft.crawl.Freshness.recrawlSchedule(ev, col("host"), col("ts"))
+      .collect()
+    assert(rows.length == 2)
+    val h1 = rows(0)
+    assert(h1.getLong(0) == 1L && h1.getLong(1) == 3L)
+    assert(h1.getLong(2) == 1000000L && h1.getLong(3) == 12000000L)
+    assert(h1.getLong(4) == 5500000L) // (12e6-1e6) div 2
+    assert(h1.getLong(5) == 17500000L)
+    val h2 = rows(1)
+    assert(h2.getLong(0) == 2L && h2.getLong(1) == 1L)
+    assert(h2.isNullAt(4) && h2.isNullAt(5))
+  }
 }
