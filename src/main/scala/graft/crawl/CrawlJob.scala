@@ -12,6 +12,8 @@ import org.apache.spark.sql.SparkSession
   *   [--robots-table /path/robots.parquet] (RobotsRow rows)
   *   [--hosts N --base N --growth N --hot N]    (synthetic fixture)
   *   [--delete-hosts h1.com,h2.com]  (S9 cascade, then crawl/exit)
+ *   [--rerank-links /path/sightings.parquet --max-tasks N]  (priority
+ *     frontier: link-graph rerank + global per-wave budget)
   *   [--store-kind local|iceberg --catalog ice --namespace graft]
   * }}}
   *
@@ -53,8 +55,13 @@ object CrawlJob {
       // scheduling round-trip per wave stage; --aqe true to override
       .config("spark.sql.adaptive.enabled", opts.getOrElse("aqe", "false"))
     // spark-submit provides the master in production; `--master` is the
-    // local smoke-run escape hatch (e.g. --master local[8])
+    // local smoke-run escape hatch (e.g. --master local[8]), and
+    // `--shuffle-partitions` its companion (a local[4] smoke at the
+    // 200-partition default spends the wave on empty-partition
+    // scheduling) — production keeps whatever the submit conf set
     opts.get("master").foreach(builder.master)
+    opts.get("shuffle-partitions")
+      .foreach(builder.config("spark.sql.shuffle.partitions", _))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(opts.getOrElse("loglevel", "WARN"))
     try run(spark, opts) finally spark.stop()
@@ -86,6 +93,7 @@ object CrawlJob {
       hotHostFactor = opts.getOrElse("hot", "10").toInt)
     val cc = CrawlConfig(
       maxPerHostPerWave = opts.getOrElse("max-per-host", "100").toInt,
+      maxTasksPerWave = opts.getOrElse("max-tasks", "0").toInt,
       hostBuckets = opts.getOrElse("buckets", "64").toInt,
       salt = opts.getOrElse("salt", "8").toInt)
 
@@ -106,6 +114,15 @@ object CrawlJob {
     val robotsDs = opts.get("robots-table")
       .map(p => spark.read.parquet(p).as[RobotsRow])
       .getOrElse(FixtureGen.robots(spark, fx))
+    // --rerank-links: fold an observed link graph into the seed list's
+    // priority before crawling — (src, dst) host sightings (e.g. from
+    // LinkGraph.hostSightings over a previous run's frontier) rerank
+    // `HostConfig.rank`, which keys the maxTasksPerWave budget
+    val hostsRanked = opts.get("rerank-links") match {
+      case Some(p) => graft.ops.LinkGraph
+        .rerankHosts(hostsDs.toDF(), spark.read.parquet(p)).as[HostConfig]
+      case None => hostsDs
+    }
 
     val store: FrontierStore = opts.getOrElse("store-kind", "local") match {
       case "local" => new SnapshotStore(storeDir)
@@ -125,7 +142,7 @@ object CrawlJob {
     (0 until waves).map { w =>
       val t0 = System.nanoTime()
       val r = WaveEngine.runWave(spark, store, pagesAt(w),
-        hostsDs, robotsDs, w, cc)
+        hostsRanked, robotsDs, w, cc)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"wave":${r.wave},"scheduled":${r.scheduled},""" +
         f""""fetched":${r.fetched},"inserted":${r.inserted},""" +

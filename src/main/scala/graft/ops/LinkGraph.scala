@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph rank over the crawl's host graph — the classic frontier
@@ -78,5 +78,52 @@ object LinkGraph {
     }
     e.unpersist(); nodes.unpersist()
     r
+  }
+
+  /** Host-level link sightings from a store of fetched rows: one
+    * (src, dst) pair per row, `src` the host the row was fetched from
+    * and `dst` the registered host of the URL it points to.
+    * Self-links (intra-host navigation, the bulk of a two-level crawl)
+    * are kept here and stripped inside [[hostRank]] — callers can
+    * union sightings from several waves/stores before ranking.
+    * Pure projection: no shuffle, bodies never ride. */
+  def hostSightings(rows: DataFrame, srcHost: Column, url: Column): DataFrame =
+    rows.select(srcHost.cast("string").as("src"), UrlOps.host(url).as("dst"))
+
+  /** Feed the link-graph rank back into the crawl's host dimension —
+    * the bridge from the offline [[hostRank]] job to the engine's
+    * priority frontier: `HostConfig.rank` keys the cross-host budget
+    * (`CrawlConfig.maxTasksPerWave` orders the wave's batch by rank
+    * DESC), so re-ranking the config table re-prioritizes the crawl.
+    *
+    * Hosts the graph has evidence on get `rank = rank_score div
+    * (base div 1000)` — integer per-mille of the fixed-point base
+    * (teleport floor ⇒ 150 at the default damping), clamped to Int
+    * range; hosts absent from the graph keep their configured rank
+    * (no evidence ⇒ no change). All integer math, deterministic.
+    *
+    * Scale shape: the rank side is slim (host, int) — one hash join
+    * against the host dimension, broadcastable whenever the seed list
+    * is; column order and types are preserved so the result stays
+    * encodable as the engine's host-config row.
+    *
+    * @param hosts     host-config table; must carry `host` and an
+    *                  integer `rank` column
+    * @param sightings (src, dst) pairs for [[hostRank]]
+    */
+  def rerankHosts(hosts: DataFrame, sightings: DataFrame,
+                  iterations: Int = 5, base: Long = 1000000000000L,
+                  dampPct: Int = 85): DataFrame = {
+    require(base >= 1000L, "base must be >= 1000 (rank unit is base/1000)")
+    val scores = hostRank(sightings, iterations, base, dampPct)
+      .select(col("host").as("lg_host"),
+        least(expr(s"rank_score div ${base / 1000L}"),
+          lit(Int.MaxValue.toLong)).cast("int").as("lg_rank"))
+    val cols = hosts.columns.map {
+      case "rank" => coalesce(col("lg_rank"), col("rank")).as("rank")
+      case c      => hosts(c)
+    }
+    hosts.join(scores, hosts("host") === scores("lg_host"), "left")
+      .select(cols.toIndexedSeq: _*)
   }
 }

@@ -55,6 +55,23 @@ class CrawlJobSpec extends AnyFunSuite {
       "other hosts' rows must survive the cascade")
   }
 
+  test("--rerank-links + --max-tasks: the link-graph authority wins the budget") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jobrank").toString
+    val fav = FixtureGen.hostName(5)
+    val sightings = (0 until 12).map(FixtureGen.hostName)
+      .filter(_ != fav).map(h => (h, fav)).toDF("src", "dst")
+    val sightingsPath = s"$dir/_sightings"
+    sightings.write.parquet(sightingsPath)
+    val r = CrawlJob.run(spark, base + ("store" -> dir) + ("waves" -> "1")
+      + ("rerank-links" -> sightingsPath) + ("max-tasks" -> "3"))
+    assert(r.head.scheduled == 3, "global budget must cap the wave")
+    val admitted = new SnapshotStore(dir).read(spark, "frontier", 0)
+      .select("host").distinct().collect().map(_.getString(0)).toSet
+    assert(admitted == Set(fav),
+      s"the linked-to host must win the budgeted frontier, got $admitted")
+  }
+
   test("flag validation: missing --store, unknown store-kind, iceberg delete") {
     assertThrows[RuntimeException](CrawlJob.run(spark, base))
     assertThrows[RuntimeException](CrawlJob.run(spark,

@@ -427,4 +427,36 @@ class WaveEdgeSpec extends AnyFunSuite {
     assert(!StoreMaintenance.upgradeLegacySeen(spark, s, lcc),
       "upgrade must be one-time (idempotent no-op once migrated)")
   }
+
+  test("link-graph rerank drives the priority frontier: budget admits the authority host") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // flatten configured priority so the graph signal is the ONLY signal
+    val flat = FixtureGen.hosts(spark, fx).map(_.copy(rank = 0))
+    val all = (0 until fx.nHosts).map(FixtureGen.hostName)
+    val fav = FixtureGen.hostName(7)    // every other host links to it
+    val absent = FixtureGen.hostName(3) // no graph evidence either way
+    val sightings = all.filterNot(h => h == fav || h == absent)
+      .map(h => (h, fav)).toDF("src", "dst")
+    val reranked = graft.ops.LinkGraph.rerankHosts(flat.toDF(), sightings)
+    val ranks = reranked.select("host", "rank").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // authority ≫ teleport floor (150‰ at damping 85) ≫ untouched config
+    assert(ranks(fav) > 150, s"authority rank ${ranks(fav)} not boosted")
+    assert(all.filterNot(h => h == fav || h == absent)
+      .forall(h => ranks(h) == 150), "pure sources must sit at the floor")
+    assert(ranks(absent) == 0, "a host absent from the graph must keep its configured rank")
+    // the engine consumes the reranked dimension unchanged: with a
+    // budget smaller than the authority's own task count, the admitted
+    // frontier is the authority's alone
+    val s = newStore()
+    WaveEngine.run(spark, s,
+      w => FixtureGen.pagesParquet(spark, fx, w, pagesDir),
+      reranked.as[HostConfig], FixtureGen.robots(spark, fx), 1,
+      cc.copy(maxTasksPerWave = 3))
+    val admitted = s.read(spark, "frontier", 0)
+      .select(col("host")).distinct().collect().map(_.getString(0)).toSet
+    assert(admitted == Set(fav),
+      s"budget must admit the link-graph authority first, got $admitted")
+  }
 }
