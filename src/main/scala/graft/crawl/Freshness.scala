@@ -51,4 +51,40 @@ object Freshness {
           expr("(last_us - first_us) div (n_changes - 1)")))
       .withColumn("next_due_us", col("last_us") + col("interval_us"))
       .orderBy("host_id")
+
+  /** Gate a wave's host dimension on the recrawl schedule — the bridge
+    * from the offline [[recrawlSchedule]] job to the engine: a host
+    * whose `next_due_us` lies in the future is flipped `enabled=false`
+    * for this wave (the engine's disabled-host semantics carry its
+    * state forward untouched — pinned by WaveEdgeSpec); hosts that are
+    * due, have no rate evidence (NULL next-due), or are absent from the
+    * schedule crawl normally (the TTL fallback the scaladoc above
+    * promises). A host already disabled in the config stays disabled —
+    * the schedule only ever removes work, never re-enables.
+    *
+    * Scale shape: the schedule side is slim (host, long) — one hash
+    * join against the host dimension, broadcastable whenever the seed
+    * list is; column order and types are preserved so the result stays
+    * encodable as the engine's host-config row.
+    *
+    * @param hosts    host-config table; must carry `host` and a boolean
+    *                 `enabled` column
+    * @param schedule [[recrawlSchedule]] output whose `host_id` values
+    *                 match `hosts.host`
+    * @param nowUs    the wave's logical clock, epoch microseconds
+    */
+  def applySchedule(hosts: DataFrame, schedule: DataFrame,
+                    nowUs: Long): DataFrame = {
+    val due = schedule.select(col("host_id").cast("string").as("fr_host"),
+      col("next_due_us").as("fr_due"))
+    val cols = hosts.columns.map {
+      case "enabled" =>
+        (col("enabled") &&
+          (col("fr_due").isNull || col("fr_due") <= lit(nowUs)))
+          .as("enabled")
+      case c => hosts(c)
+    }
+    hosts.join(due, hosts("host") === due("fr_host"), "left")
+      .select(cols.toIndexedSeq: _*)
+  }
 }

@@ -64,20 +64,27 @@ object LinkGraph {
     val teleport = base / 100L * (100L - dampPct) +
       base % 100L * (100L - dampPct) / 100L // == base*(100-d)/100 w/o overflow
     var r = nodes.select(col("host"), lit(base).as("rank_score"))
-    for (_ <- 1 to iterations) {
-      val sums = e.join(r, e("src") === r("host"))
-        .select(col("dst"),
-          expr("rank_score div deg").cast("long").as("c"))
-        .groupBy("dst").agg(sum("c").as("c"))
-      r = nodes.join(sums, nodes("host") === sums("dst"), "left")
-        .select(col("host"),
-          (lit(teleport) +
-            expr(s"$dampPct * coalesce(c, 0L) div 100").cast("long"))
-            .as("rank_score"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to iterations)
+      r = rankStep(e, nodes, r, teleport, dampPct).localCheckpoint()
     e.unpersist(); nodes.unpersist()
     r
+  }
+
+  /** One damped-rank iteration (the loop body of [[hostRank]], exposed
+    * un-checkpointed so the plan shape is assertable): contributions
+    * equi-join `edges×ranks` on src, hash-aggregate onto dst, then a
+    * left join back onto the node set for the teleport floor. */
+  private[graft] def rankStep(e: DataFrame, nodes: DataFrame, r: DataFrame,
+                              teleport: Long, dampPct: Int): DataFrame = {
+    val sums = e.join(r, e("src") === r("host"))
+      .select(col("dst"),
+        expr("rank_score div deg").cast("long").as("c"))
+      .groupBy("dst").agg(sum("c").as("c"))
+    nodes.join(sums, nodes("host") === sums("dst"), "left")
+      .select(col("host"),
+        (lit(teleport) +
+          expr(s"$dampPct * coalesce(c, 0L) div 100").cast("long"))
+          .as("rank_score"))
   }
 
   /** Host-level link sightings from a store of fetched rows: one

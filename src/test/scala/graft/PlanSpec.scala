@@ -377,6 +377,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(3000))
   }
 
+  test("rank iteration: equi-joins + partial aggregate, edge cache reused, no cartesian (q67 core)") {
+    val edges = spark.range(100).selectExpr(
+      "concat('h', id % 10) AS src", "concat('h', (id * 7) % 10) AS dst")
+      .where(col("src") =!= col("dst")).distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src").repartition(col("src")).persist()
+    val nodes = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct()
+    val r0 = nodes.select(col("host"), lit(1000000000000L).as("rank_score"))
+    val plan = planOf(graft.ops.LinkGraph.rankStep(e, nodes, r0, 150000000000L, 85))
+    // slim equi-joins only — an accidental cartesian here is the
+    // difference between O(E) and O(V·E) per iteration
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // contributions hash-aggregate onto dst with a map-side partial
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+    // the persisted, pre-partitioned edge table is scanned from cache —
+    // iterations must never recompute or reshuffle the heavy side
+    assert(plan.contains("InMemoryTableScan"), plan.take(3000))
+    e.unpersist()
+  }
+
+  test("recrawl schedule: one hash exchange, no join, no window (q68)") {
+    val plan = planOf(SparkEntry.queries("q68_recrawl_schedule")(spark, dir))
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(3000))
+    // count/min/max partial-aggregate map-side; ONE hash exchange total
+    // (the trailing rangepartitioning exchange is the output orderBy)
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n${plan.take(3000)}")
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join
