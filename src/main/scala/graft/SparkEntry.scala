@@ -544,6 +544,42 @@ object SparkEntry {
       // Hosts are user_id-derived (events carry no hosts — q57 pattern).
       crawl.Freshness.recrawlSchedule(t(s, d, "events"),
         col("user_id") % 50, col("ts"))),
+    "q69_anchor_text" -> ((s, d) => { // per-target anchor-text roll-up
+      // (Craswell et al. CIKM'01): links are doc_id-derived exactly as
+      // q67's sightings; the anchor is the doc's first whitespace token
+      // (its "title word"). The operator under test is the slim
+      // pre-aggregated majority pick — counts first, rank-only window
+      // over (dst, anchor, cnt), never raw sightings.
+      val docs = t(s, d, "documents")
+        .where(length(trim(col("text"))) > 0)
+      val cand = docs.select(col("doc_id"),
+        element_at(split(lower(trim(col("text"))), ops.TextOps.Ws), 1)
+          .as("anchor"),
+        explode(array(lit(0), lit(1), lit(2))).as("j"))
+      val k = conv(substring(
+        md5(concat(col("doc_id"), lit(":"), col("j"))), 1, 15), 16, 10)
+        .cast("long") % 1000
+      val links = cand.select(mixHostOf(col("doc_id")).as("src"),
+        mixHostOf(k).as("dst"), col("anchor"))
+      ops.LinkGraph.anchorSummary(links)
+    }),
+    "q70_trap_detect" -> ((s, d) => { // crawl-trap detection (Mercator
+      // §3): per-host distinct-url vs distinct-pattern explosion.
+      // Synthetic urls: hosts with doc_id%3==0 embed the raw doc_id
+      // counter (machine-enumerated — one pattern, many urls); other
+      // hosts embed a digit-free md5 slug (one pattern per url).
+      val docs = t(s, d, "documents")
+      val slug = translate(
+        substring(md5(concat(col("doc_id"), lit("#u"))), 1, 6),
+        "0123456789", "ghijklmnop")
+      val urls = docs.select(
+        mixHostOf(col("doc_id")).as("host"),
+        concat(lit("http://"), mixHostOf(col("doc_id")), lit("/"),
+          when(col("doc_id") % 3 === 0, col("doc_id").cast("string"))
+            .otherwise(slug),
+          lit(".html")).as("url"))
+      ops.UrlOps.trapStats(urls, col("host"), col("url"))
+    }),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -722,6 +758,62 @@ object SparkEntry {
        |$iters
        |SELECT node AS host, r AS rank_score FROM r5
        |ORDER BY rank_score DESC, host""".stripMargin
+  }
+
+  // q69: same doc_id-derived link sightings as q67; the anchor is the
+  // doc's first whitespace token (engine-identical [ \t\n\x0B\f\r]+
+  // split, the q42/q43 contract); majority pick = cnt DESC, anchor ASC.
+  private def anchorOracleSql: String = {
+    def host(e: String) =
+      s"'m' || CAST($e % 3 AS VARCHAR) || '.w' || CAST($e % 7 AS VARCHAR) || '.ex' || CAST($e % 4 AS VARCHAR) || '.com'"
+    s"""WITH docs0 AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')[1] AS anchor
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |cand AS (SELECT doc_id, anchor, j FROM docs0, (VALUES (0), (1), (2)) t(j)),
+       |links AS (
+       |  SELECT ${host("doc_id")} AS src,
+       |    ${host("k")} AS dst, anchor
+       |  FROM (SELECT doc_id, anchor,
+       |          CAST('0x' || substring(md5(doc_id || ':' || j), 1, 15) AS BIGINT)
+       |            % 1000 AS k
+       |        FROM cand)),
+       |pairs AS (SELECT dst, anchor, COUNT(*) AS cnt FROM links GROUP BY 1, 2),
+       |top AS (SELECT dst, anchor, cnt,
+       |          ROW_NUMBER() OVER (PARTITION BY dst
+       |            ORDER BY cnt DESC, anchor) AS rn
+       |        FROM pairs),
+       |stats AS (SELECT dst, COUNT(*) AS n_inlinks, COUNT(DISTINCT src) AS n_srcs,
+       |            COUNT(DISTINCT anchor) AS n_anchors
+       |          FROM links GROUP BY 1)
+       |SELECT s.dst, s.n_inlinks, s.n_srcs, s.n_anchors,
+       |  t.anchor AS top_anchor, t.cnt AS top_cnt
+       |FROM stats s JOIN top t ON s.dst = t.dst AND t.rn = 1
+       |ORDER BY s.dst""".stripMargin
+  }
+
+  // q70: same synthetic urls (counter vs digit-free slug per doc_id%3),
+  // pattern = digit runs → 'N' (RE2 'g' flag = Spark's replace-all),
+  // integer per-mille ratio and the 5-url/2000-pm trap verdict.
+  private def trapOracleSql: String = {
+    def host(e: String) =
+      s"'m' || CAST($e % 3 AS VARCHAR) || '.w' || CAST($e % 7 AS VARCHAR) || '.ex' || CAST($e % 4 AS VARCHAR) || '.com'"
+    s"""WITH urls0 AS (
+       |  SELECT ${host("doc_id")} AS host,
+       |    'http://' || ${host("doc_id")} || '/' ||
+       |    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+       |         ELSE translate(substring(md5(doc_id || '#u'), 1, 6),
+       |                        '0123456789', 'ghijklmnop') END
+       |    || '.html' AS url
+       |  FROM documents),
+       |d AS (SELECT DISTINCT host, url FROM urls0),
+       |p AS (SELECT host, regexp_replace(url, '[0-9]+', 'N', 'g') AS pattern FROM d),
+       |a AS (SELECT host, COUNT(*) AS n_urls, COUNT(DISTINCT pattern) AS n_patterns
+       |      FROM p GROUP BY 1)
+       |SELECT host, n_urls, n_patterns,
+       |  n_urls * 1000 // n_patterns AS ratio_pm,
+       |  (n_urls >= 5 AND n_urls * 1000 // n_patterns >= 2000) AS trap
+       |FROM a ORDER BY host""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1420,6 +1512,8 @@ object SparkEntry {
         |WHERE n > 0
         |ORDER BY doc_id, epoch""".stripMargin,
     "q67_host_rank" -> hostRankOracleSql,
+    "q69_anchor_text" -> anchorOracleSql,
+    "q70_trap_detect" -> trapOracleSql,
     // q68: same %50 host key, same epoch-microsecond min/max/count
     // partial aggregate, same integer-div interval and next-due; the
     // CASE mirrors Spark's when() null on single-observation hosts.

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph rank over the crawl's host graph — the classic frontier
@@ -132,5 +133,50 @@ object LinkGraph {
     }
     hosts.join(scores, hosts("host") === scores("lg_host"), "left")
       .select(cols.toIndexedSeq: _*)
+  }
+
+  /** Anchor-text aggregation per link target — the inlink-text signal
+    * (Craswell/Hawking/Robertson CIKM'01 showed anchor text beats page
+    * content for naming a target; crawl corpora ship it as a per-URL
+    * sidecar, e.g. MS MARCO / ORCAS-style anchor sets). Per `dst`:
+    * total inlinks, distinct linking sources, distinct anchor strings,
+    * and the majority anchor (highest count; ties to the lexically
+    * smallest anchor, so the pick is fully deterministic and a SQL
+    * oracle replays it).
+    *
+    * Scale shape: the (dst, anchor) counts hash-aggregate FIRST (map-
+    * side partial sums shrink 10^12 sightings to one row per distinct
+    * pair) and the majority pick is a rank-only window over those
+    * already-aggregated slim rows — never over raw sightings; the
+    * source/anchor cardinalities are one exact hash aggregate on the
+    * same slim projection. Page bodies never appear; no cartesian, no
+    * driver collection. A mega-inlink dst (every host links the same
+    * portal) costs one big rank-only partition, not a full-frame
+    * buffer.
+    *
+    * @param links (src, dst, anchor) string triples — one row per
+    *              observed link sighting; callers union waves/stores
+    * @return (dst, n_inlinks, n_srcs, n_anchors, top_anchor, top_cnt)
+    *         ordered by dst
+    */
+  def anchorSummary(links: DataFrame): DataFrame = {
+    val l = links.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"),
+      col("anchor").cast("string").as("anchor"))
+    val pairs = l.groupBy("dst", "anchor").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("dst")
+      .orderBy(col("cnt").desc, col("anchor").asc)
+    val top = pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("dst"), col("anchor").as("top_anchor"),
+        col("cnt").as("top_cnt"))
+    val stats = l.groupBy("dst").agg(
+      count(lit(1)).as("n_inlinks"),
+      countDistinct("src").as("n_srcs"),
+      countDistinct("anchor").as("n_anchors"))
+    stats.join(top, "dst")
+      .select("dst", "n_inlinks", "n_srcs", "n_anchors",
+        "top_anchor", "top_cnt")
+      .orderBy("dst")
   }
 }

@@ -85,4 +85,64 @@ object UrlOps {
     rows.withColumn("host_rank", row_number().over(w))
       .where(col("host_rank") <= k)
   }
+
+  /** Crawl-trap detection — the URL-pattern-explosion heuristic
+    * (Heydon & Najork, Mercator 1999 §3; calendar pages, session ids,
+    * and infinite pagination mint unbounded DISTINCT urls that all
+    * collapse to one template). The reference never meets this (its
+    * frontier is rule-scoped catalog pages); an open 10^10-URL frontier
+    * must detect and choke such hosts or they eat the politeness
+    * budget.
+    *
+    * A url's *pattern* is the url with every digit run collapsed to
+    * `N`; a host whose distinct-url count explodes relative to its
+    * distinct-pattern count is generating machine-enumerated links.
+    * `ratio_pm = n_urls * 1000 div n_patterns` (integer per-mille, so
+    * a SQL oracle replays the verdict bit-for-bit); `trap` fires when
+    * the host has at least `minUrls` urls AND the ratio reaches
+    * `ratioPmMin` (default 2000 = over two urls per template).
+    *
+    * Scale shape: ONE exact distinct over slim (host, url) string
+    * pairs (needed regardless for exact counting), the pattern a pure
+    * projection on its output, then one hash aggregate per host whose
+    * two distinct-counts expand on already-distinct slim rows — bodies
+    * never ride, no window, no join, no driver collection. Hot hosts
+    * skew the distinct's hash partitioning, not a sort.
+    */
+  def trapStats(pages: DataFrame, hostCol: Column, urlCol: Column,
+                minUrls: Long = 5L, ratioPmMin: Long = 2000L): DataFrame =
+    pages.select(hostCol.cast("string").as("host"),
+        urlCol.cast("string").as("url"))
+      .distinct()
+      .withColumn("pattern", regexp_replace(col("url"), "[0-9]+", "N"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct("pattern").as("n_patterns"))
+      .withColumn("ratio_pm", expr("n_urls * 1000 div n_patterns"))
+      .withColumn("trap",
+        col("n_urls") >= minUrls && col("ratio_pm") >= ratioPmMin)
+      .orderBy("host")
+
+  /** Gate a wave's host dimension on [[trapStats]] — the bridge from
+    * the offline trap scan to the engine, mirroring
+    * `Freshness.applySchedule`: a host flagged `trap` is flipped
+    * `enabled=false` for the wave (the engine's pinned disabled-host
+    * state-carry semantics apply); unflagged or absent hosts crawl
+    * normally, and an already-disabled host stays disabled — the gate
+    * only ever removes work. The stats side is slim (host, bool) —
+    * one hash join against the host dimension, broadcastable whenever
+    * the seed list is; column order and types are preserved so the
+    * result stays encodable as the engine's host-config row. */
+  def applyTrapGate(hosts: DataFrame, stats: DataFrame): DataFrame = {
+    val flagged = stats.select(col("host").cast("string").as("tp_host"),
+      col("trap").as("tp_trap"))
+    val cols = hosts.columns.map {
+      case "enabled" =>
+        (col("enabled") && !coalesce(col("tp_trap"), lit(false)))
+          .as("enabled")
+      case c => hosts(c)
+    }
+    hosts.join(flagged, hosts("host") === flagged("tp_host"), "left")
+      .select(cols.toIndexedSeq: _*)
+  }
 }

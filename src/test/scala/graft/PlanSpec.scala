@@ -410,6 +410,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("anchor summary: majority pick ranks AGGREGATED pairs, no cartesian (q69)") {
+    val plan = planOf(SparkEntry.queries("q69_anchor_text")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the window must rank (dst, anchor, cnt) AGGREGATE output — its
+    // child subtree contains the count aggregate, never raw sightings
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+    // distinct-src/anchor cardinalities expand on the slim projection
+    assert(plan.contains("Expand"), plan.take(3000))
+  }
+
+  test("trap stats: pure aggregate pipeline — no join, no window (q70)") {
+    val plan = planOf(SparkEntry.queries("q70_trap_detect")(spark, dir))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join

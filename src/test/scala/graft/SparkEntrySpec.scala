@@ -893,4 +893,47 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(h2.getLong(0) == 2L && h2.getLong(1) == 1L)
     assert(h2.isNullAt(4) && h2.isNullAt(5))
   }
+
+  test("q69 anchor summary: counts, cardinalities, and the deterministic majority pick") {
+    import spark.implicits._
+    // dst 'x': "news" wins 2-1-1; dst 'y': a 1-1 TIE between "alpha"
+    // and "beta" must pick the lexically smaller "alpha"; srcs repeat
+    // so n_inlinks > n_srcs on 'x'
+    val links = Seq(
+      ("s1", "x", "news"), ("s2", "x", "news"), ("s1", "x", "blog"),
+      ("s3", "x", "shop"),
+      ("s1", "y", "beta"), ("s2", "y", "alpha")).toDF("src", "dst", "anchor")
+    val rows = graft.ops.LinkGraph.anchorSummary(links).collect()
+    assert(rows.length == 2)
+    val x = rows(0)
+    assert(x.getString(0) == "x" && x.getLong(1) == 4L &&
+      x.getLong(2) == 3L && x.getLong(3) == 3L &&
+      x.getString(4) == "news" && x.getLong(5) == 2L)
+    val y = rows(1)
+    assert(y.getString(0) == "y" && y.getLong(1) == 2L &&
+      y.getString(4) == "alpha" && y.getLong(5) == 1L,
+      "a count tie must break to the lexically smallest anchor")
+  }
+
+  test("q70 trap stats: pattern collapse flags the enumerated host, not the template-diverse one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // trap.com mints 6 distinct urls that all collapse to ONE digit
+    // pattern; ok.com has 6 urls over 6 letter-distinct patterns;
+    // few.com collapses but sits under the 5-url floor; duplicate
+    // sightings of the same url must count once
+    val pages = (
+      (1 to 6).map(i => ("trap.com", s"http://trap.com/p$i.html")) ++
+      (1 to 6).map(i => ("trap.com", s"http://trap.com/p$i.html")) ++
+      Seq("a", "b", "c", "d", "e", "f").map(c => ("ok.com", s"http://ok.com/$c.html")) ++
+      (1 to 3).map(i => ("few.com", s"http://few.com/$i.html"))
+    ).toDF("h", "u")
+    val rows = graft.ops.UrlOps.trapStats(pages, col("h"), col("u")).collect()
+    val byHost = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(byHost("trap.com") == ((6L, 1L, 6000L, true)))
+    assert(byHost("ok.com") == ((6L, 6L, 1000L, false)))
+    assert(byHost("few.com") == ((3L, 1L, 3000L, false)),
+      "below the url floor no verdict fires, however collapsed")
+  }
 }

@@ -490,4 +490,25 @@ class WaveEdgeSpec extends AnyFunSuite {
     // host's carried state" above (at wave 0 there is no prior state
     // to carry, so no state row is expected here)
   }
+
+  test("trap gate: a flagged host skips the wave; clean/absent hosts crawl") {
+    import spark.implicits._
+    val trapped = FixtureGen.hostName(5) // flagged → gated
+    val clean = FixtureGen.hostName(1)   // scanned, not flagged → crawls
+    val stats = Seq((trapped, true), (clean, false)).toDF("host", "trap")
+    val gated = graft.ops.UrlOps.applyTrapGate(
+      FixtureGen.hosts(spark, fx).toDF(), stats).as[HostConfig]
+    val flags = gated.collect().map(h => h.host -> h.enabled).toMap
+    assert(!flags(trapped) && flags(clean))
+    val s = newStore()
+    WaveEngine.run(spark, s,
+      w => FixtureGen.pagesParquet(spark, fx, w, pagesDir),
+      gated, FixtureGen.robots(spark, fx), 1, cc)
+    val crawled = s.read(spark, "frontier", 0)
+      .select("host").distinct().collect().map(_.getString(0)).toSet
+    assert(!crawled.contains(trapped), "a trap-flagged host must sit the wave out")
+    assert(crawled.contains(clean), "an unflagged scanned host must crawl")
+    assert(crawled.contains(FixtureGen.hostName(0)),
+      "a host absent from the trap scan must crawl normally")
+  }
 }
