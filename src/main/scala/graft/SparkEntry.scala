@@ -79,6 +79,22 @@ object SparkEntry {
     concat(lit("m"), docId % 3, lit(".w"), docId % 7,
       lit(".ex"), docId % 4, lit(".com"))
 
+  // md5-derived pseudo-link sightings shared by q67 and q69 (the corpus
+  // carries no real links — q30/q57 pattern): each doc links its host
+  // to 3 md5-derived pseudo-hosts; `carry` columns (e.g. q69's anchor)
+  // ride along unchanged. ONE definition so the two queries' edge sets
+  // can never desynchronize from each other or their oracles.
+  private def linkSightings(docs: DataFrame,
+      carry: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val cand = docs.select(
+      col("doc_id") +: carry :+ explode(array(lit(0), lit(1), lit(2))).as("j"): _*)
+    val k = conv(substring(
+      md5(concat(col("doc_id"), lit(":"), col("j"))), 1, 15), 16, 10)
+      .cast("long") % 1000
+    cand.select(
+      mixHostOf(col("doc_id")).as("src") +: mixHostOf(k).as("dst") +: carry: _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY §2.1–2.7) --------------------------
     "q01_pricing_agg" -> ((s, d) => { // A1/A4: map-side-combinable agg
@@ -520,21 +536,13 @@ object SparkEntry {
     }),
     "q67_host_rank" -> ((s, d) => { // link-graph frontier priority:
       // integer-fixed-point PageRank (5 iterations, damping 85%) over
-      // the host graph, the Cho/Garcia-Molina crawl-ordering signal.
-      // Edges are doc_id-derived (the corpus carries no real links —
-      // q30/q57 pattern): each doc links its host to 3 md5-derived
-      // pseudo-hosts. The operator under test is the iterative slim
-      // (host, long) pipeline — edges partitioned+cached once, two
-      // 8-byte-row shuffles per iteration, lineage checkpointed.
-      val docs = t(s, d, "documents")
-      val cand = docs.select(col("doc_id"),
-        explode(array(lit(0), lit(1), lit(2))).as("j"))
-      val k = conv(substring(
-        md5(concat(col("doc_id"), lit(":"), col("j"))), 1, 15), 16, 10)
-        .cast("long") % 1000
-      val sightings = cand.select(mixHostOf(col("doc_id")).as("src"),
-        mixHostOf(k).as("dst"))
-      ops.LinkGraph.hostRank(sightings, iterations = 5)
+      // the host graph, the Cho/Garcia-Molina crawl-ordering signal,
+      // on linkSightings' shared md5-derived edges. The operator under
+      // test is the iterative slim (host, long) pipeline — edges
+      // partitioned+cached once, two 8-byte-row shuffles per
+      // iteration, lineage checkpointed.
+      ops.LinkGraph.hostRank(linkSightings(t(s, d, "documents")),
+          iterations = 5)
         .orderBy(col("rank_score").desc, col("host"))
     }),
     "q68_recrawl_schedule" -> ((s, d) => // freshness-driven recrawl
@@ -545,23 +553,20 @@ object SparkEntry {
       crawl.Freshness.recrawlSchedule(t(s, d, "events"),
         col("user_id") % 50, col("ts"))),
     "q69_anchor_text" -> ((s, d) => { // per-target anchor-text roll-up
-      // (Craswell et al. CIKM'01): links are doc_id-derived exactly as
-      // q67's sightings; the anchor is the doc's first whitespace token
-      // (its "title word"). The operator under test is the slim
-      // pre-aggregated majority pick — counts first, rank-only window
-      // over (dst, anchor, cnt), never raw sightings.
+      // (Craswell et al. CIKM'01) over linkSightings' shared edges;
+      // the anchor is the doc's first NON-EMPTY token (TextOps.tokens'
+      // filter — a bare split would mint '' anchors for tab/newline-
+      // leading texts, and '' wins every lexical tie); token-less docs
+      // carry no anchor evidence and drop out. The operator under test
+      // is the slim pre-aggregated majority pick — counts first,
+      // rank-only window over (dst, anchor, cnt), never raw sightings.
       val docs = t(s, d, "documents")
-        .where(length(trim(col("text"))) > 0)
-      val cand = docs.select(col("doc_id"),
-        element_at(split(lower(trim(col("text"))), ops.TextOps.Ws), 1)
-          .as("anchor"),
-        explode(array(lit(0), lit(1), lit(2))).as("j"))
-      val k = conv(substring(
-        md5(concat(col("doc_id"), lit(":"), col("j"))), 1, 15), 16, 10)
-        .cast("long") % 1000
-      val links = cand.select(mixHostOf(col("doc_id")).as("src"),
-        mixHostOf(k).as("dst"), col("anchor"))
-      ops.LinkGraph.anchorSummary(links)
+        .select(col("doc_id"),
+          try_element_at(ops.TextOps.tokens(col("text")), lit(1))
+            .as("anchor"))
+        .where(col("anchor").isNotNull)
+      ops.LinkGraph.anchorSummary(
+        linkSightings(docs, carry = Seq(col("anchor"))))
     }),
     "q70_trap_detect" -> ((s, d) => { // crawl-trap detection (Mercator
       // §3): per-host distinct-url vs distinct-pattern explosion.
@@ -728,10 +733,8 @@ object SparkEntry {
     * same DISTINCT/self-loop rule, same teleport 1.5e11 = 1e12*15//100,
     * same per-edge `rank div deg` then `85*sum // 100` rounding. */
   private def hostRankOracleSql: String = {
-    // single line: a wrapped continuation starting with '||' would lose
-    // its first '|' to the outer stripMargin
-    def host(e: String) =
-      s"'m' || CAST($e % 3 AS VARCHAR) || '.w' || CAST($e % 7 AS VARCHAR) || '.ex' || CAST($e % 4 AS VARCHAR) || '.com'"
+    // mixHostSql is a single line: a wrapped continuation starting with
+    // '||' would lose its first '|' to the outer stripMargin
     val iters = (1 to 5).map { i =>
       s"""r$i AS (
          |  SELECT n.node,
@@ -745,8 +748,8 @@ object SparkEntry {
     s"""WITH cand AS (
        |  SELECT doc_id, j FROM documents, (VALUES (0), (1), (2)) t(j)),
        |e0 AS (
-       |  SELECT ${host("doc_id")} AS src,
-       |    ${host("k")} AS dst
+       |  SELECT ${mixHostSql("doc_id")} AS src,
+       |    ${mixHostSql("k")} AS dst
        |  FROM (SELECT doc_id,
        |          CAST('0x' || substring(md5(doc_id || ':' || j), 1, 15) AS BIGINT)
        |            % 1000 AS k
@@ -760,20 +763,29 @@ object SparkEntry {
        |ORDER BY rank_score DESC, host""".stripMargin
   }
 
-  // q69: same doc_id-derived link sightings as q67; the anchor is the
-  // doc's first whitespace token (engine-identical [ \t\n\x0B\f\r]+
-  // split, the q42/q43 contract); majority pick = cnt DESC, anchor ASC.
+  // ONE SQL twin of mixHostOf for the interpolated oracle builders
+  // (q67/q69/q70) — the q57/q66 oracles carry the same formula inline
+  // in their plain (non-interpolated) strings; any edit must touch all
+  // three places or the composed queries desynchronize.
+  private def mixHostSql(e: String) =
+    s"'m' || CAST($e % 3 AS VARCHAR) || '.w' || CAST($e % 7 AS VARCHAR) || '.ex' || CAST($e % 4 AS VARCHAR) || '.com'"
+
+  // q69: same doc_id-derived link sightings as q67 (ONE builder,
+  // linkSightings); the anchor is the doc's first NON-EMPTY token
+  // (engine-identical token filter, the q42/q43 contract — a bare
+  // split would mint '' anchors for tab/newline-leading texts and ''
+  // wins every lexical tie); majority pick = cnt DESC, anchor ASC.
   private def anchorOracleSql: String = {
-    def host(e: String) =
-      s"'m' || CAST($e % 3 AS VARCHAR) || '.w' || CAST($e % 7 AS VARCHAR) || '.ex' || CAST($e % 4 AS VARCHAR) || '.com'"
     s"""WITH docs0 AS (
        |  SELECT doc_id,
-       |    regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')[1] AS anchor
-       |  FROM documents WHERE length(trim(text)) > 0),
-       |cand AS (SELECT doc_id, anchor, j FROM docs0, (VALUES (0), (1), (2)) t(j)),
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+       |                t -> t <> '')[1] AS anchor
+       |  FROM documents),
+       |d1 AS (SELECT doc_id, anchor FROM docs0 WHERE anchor IS NOT NULL),
+       |cand AS (SELECT doc_id, anchor, j FROM d1, (VALUES (0), (1), (2)) t(j)),
        |links AS (
-       |  SELECT ${host("doc_id")} AS src,
-       |    ${host("k")} AS dst, anchor
+       |  SELECT ${mixHostSql("doc_id")} AS src,
+       |    ${mixHostSql("k")} AS dst, anchor
        |  FROM (SELECT doc_id, anchor,
        |          CAST('0x' || substring(md5(doc_id || ':' || j), 1, 15) AS BIGINT)
        |            % 1000 AS k
@@ -796,11 +808,9 @@ object SparkEntry {
   // pattern = digit runs → 'N' (RE2 'g' flag = Spark's replace-all),
   // integer per-mille ratio and the 5-url/2000-pm trap verdict.
   private def trapOracleSql: String = {
-    def host(e: String) =
-      s"'m' || CAST($e % 3 AS VARCHAR) || '.w' || CAST($e % 7 AS VARCHAR) || '.ex' || CAST($e % 4 AS VARCHAR) || '.com'"
     s"""WITH urls0 AS (
-       |  SELECT ${host("doc_id")} AS host,
-       |    'http://' || ${host("doc_id")} || '/' ||
+       |  SELECT ${mixHostSql("doc_id")} AS host,
+       |    'http://' || ${mixHostSql("doc_id")} || '/' ||
        |    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
        |         ELSE translate(substring(md5(doc_id || '#u'), 1, 6),
        |                        '0123456789', 'ghijklmnop') END

@@ -14,6 +14,8 @@ import org.apache.spark.sql.SparkSession
   *   [--delete-hosts h1.com,h2.com]  (S9 cascade, then crawl/exit)
  *   [--rerank-links /path/sightings.parquet --max-tasks N]  (priority
  *     frontier: link-graph rerank + global per-wave budget)
+ *   [--rank-base N]  (rank fixed-point scale; LOWER it for big graphs —
+ *     hostRank requires hosts × base × 100 < 2^63 and fails loudly)
   *   [--store-kind local|iceberg --catalog ice --namespace graft]
   * }}}
   *
@@ -120,7 +122,10 @@ object CrawlJob {
     // `HostConfig.rank`, which keys the maxTasksPerWave budget
     val hostsRanked = opts.get("rerank-links") match {
       case Some(p) => graft.ops.LinkGraph
-        .rerankHosts(hostsDs.toDF(), spark.read.parquet(p)).as[HostConfig]
+        .rerankHosts(hostsDs.toDF(), spark.read.parquet(p),
+          base = opts.get("rank-base").map(_.toLong)
+            .getOrElse(1000000000000L))
+        .as[HostConfig]
       case None => hostsDs
     }
 

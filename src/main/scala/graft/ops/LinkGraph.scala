@@ -32,8 +32,9 @@ import org.apache.spark.sql.functions._
   *  - per-iteration `localCheckpoint` truncates the lineage, the
   *    `dupClusters` precedent — an iterative plan otherwise doubles
   *    per round;
-  *  - no driver collection anywhere; node count never materializes on
-  *    the driver.
+  *  - the only driver fetch is ONE node-count scalar per rank job (the
+  *    64-bit overflow guard on `base`, which doubles as the warm-up of
+  *    the nodes cache); rows never collect.
   */
 object LinkGraph {
 
@@ -62,6 +63,19 @@ object LinkGraph {
     val e = e0.join(deg, "src").repartition(col("src")).persist()
     val nodes = e0.select(col("src").as("host"))
       .union(e0.select(col("dst").as("host"))).distinct().persist()
+    // overflow guard: mass is conserved (total ≤ n·base with truncating
+    // division), so a hub's contribution sum is bounded by n·base and
+    // the damp step needs 100× headroom — n·base·100 must fit a long or
+    // Spark wraps SILENTLY to negative ranks (the oracle, summing in
+    // HUGEINT, would error instead: the bit-identical contract breaks).
+    // One scalar count per rank job (a documented driver fetch, and it
+    // warms the nodes cache the iterations reuse); failing loudly with
+    // the largest safe base beats a silently inverted frontier.
+    val n = nodes.count()
+    require(n == 0 || base <= Long.MaxValue / 100L / n,
+      s"base $base overflows 64-bit rank math at $n hosts — " +
+        s"use base <= ${Long.MaxValue / 100L / math.max(n, 1L)} " +
+        "(CrawlJob: --rank-base)")
     val teleport = base / 100L * (100L - dampPct) +
       base % 100L * (100L - dampPct) / 100L // == base*(100-d)/100 w/o overflow
     var r = nodes.select(col("host"), lit(base).as("rank_score"))

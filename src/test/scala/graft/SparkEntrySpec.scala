@@ -915,6 +915,32 @@ class SparkEntrySpec extends AnyFunSuite {
       "a count tie must break to the lexically smallest anchor")
   }
 
+  test("q69 anchor derivation: tab/newline-leading text yields its first real token, never ''") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, try_element_at}
+    // the q69 builder's exact expression: a bare split would return ''
+    // for "\t beta ..." (trim strips spaces only) and '' wins every
+    // lexical tie in the majority pick; token-less docs must yield NULL
+    val got = Seq("\t beta alpha", "  plain text", " \t \n ", "")
+      .toDF("text")
+      .select(try_element_at(graft.ops.TextOps.tokens(col("text")), lit(1))
+        .as("anchor"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(Some("beta"), Some("plain"), None, None))
+  }
+
+  test("hostRank refuses a base that overflows 64-bit mass, naming the safe bound") {
+    import spark.implicits._
+    val sightings = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.LinkGraph.hostRank(sightings, iterations = 1,
+        base = Long.MaxValue / 200L) // 3 hosts × base × 100 > 2^63
+    }
+    assert(err.getMessage.contains("overflows"))
+    assert(err.getMessage.contains((Long.MaxValue / 100L / 3L).toString))
+  }
+
   test("q70 trap stats: pattern collapse flags the enumerated host, not the template-diverse one") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
