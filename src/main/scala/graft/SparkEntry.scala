@@ -585,6 +585,21 @@ object SparkEntry {
           lit(".html")).as("url"))
       ops.UrlOps.trapStats(urls, col("host"), col("url"))
     }),
+    "q71_redirect_resolve" -> ((s, d) => { // redirect-chain resolution:
+      // the reference's actualurl (MySQLSchema.sql:6) recovered offline
+      // — every url resolves to its chain's terminal via pointer
+      // doubling (log₂ rounds). Synthetic hops: doc d (d%3≠0, d>0)
+      // redirects r<d> → r<d div 2>, so chains shrink toward the
+      // nearest d%3==0 (or 0) ancestor and terminals vary per chain.
+      val docs = t(s, d, "documents")
+      def urlOf(c: org.apache.spark.sql.Column) =
+        concat(lit("http://"), mixHostOf(c), lit("/r"), c, lit(".html"))
+      val hops = docs
+        .where(col("doc_id") % 3 =!= 0 && col("doc_id") > 0)
+        .select(urlOf(col("doc_id")).as("url"),
+          urlOf(expr("doc_id div 2")).as("redirect_to"))
+      ops.UrlOps.resolveRedirects(hops)
+    }),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -824,6 +839,26 @@ object SparkEntry {
        |  n_urls * 1000 // n_patterns AS ratio_pm,
        |  (n_urls >= 5 AND n_urls * 1000 // n_patterns >= 2000) AS trap
        |FROM a ORDER BY host""".stripMargin
+  }
+
+  // q71: the same d → d div 2 hop graph walked by a recursive CTE to
+  // each chain's terminal (a node with no outgoing hop) — the linear
+  // replay of what the engine resolves in log₂ doubling rounds.
+  private def redirectOracleSql: String = {
+    def urlOf(e: String) =
+      s"'http://' || ${mixHostSql(e)} || '/r' || CAST($e AS VARCHAR) || '.html'"
+    s"""WITH RECURSIVE hops AS (
+       |  SELECT doc_id AS d, doc_id // 2 AS nd FROM documents
+       |  WHERE doc_id % 3 <> 0 AND doc_id > 0),
+       |walk(d, cur) AS (
+       |  SELECT d, nd FROM hops
+       |  UNION ALL
+       |  SELECT w.d, h.nd FROM walk w JOIN hops h ON w.cur = h.d),
+       |fin AS (
+       |  SELECT d, cur FROM walk
+       |  WHERE cur NOT IN (SELECT d FROM hops))
+       |SELECT ${urlOf("d")} AS url, ${urlOf("cur")} AS final_url
+       |FROM fin ORDER BY url""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1524,6 +1559,7 @@ object SparkEntry {
     "q67_host_rank" -> hostRankOracleSql,
     "q69_anchor_text" -> anchorOracleSql,
     "q70_trap_detect" -> trapOracleSql,
+    "q71_redirect_resolve" -> redirectOracleSql,
     // q68: same %50 host key, same epoch-microsecond min/max/count
     // partial aggregate, same integer-div interval and next-due; the
     // CASE mirrors Spark's when() null on single-observation hosts.

@@ -126,7 +126,9 @@ final case class FetchTask(
   *  - `actualurl` (MySQLSchema.sql:6; the post-redirect URL recorded by
   *    the reference's live HTTP fetch) is deliberately ABSENT: in the
   *    snapshot-table model the fetch is a lookup by canonical `url` —
-  *    there is no redirect hop, so actualurl ≡ url by construction. */
+  *    there is no redirect hop, so actualurl ≡ url by construction.
+  *    When a redirect log DOES exist, `ops.UrlOps.resolveRedirects`
+  *    recovers the same url → landing-url map offline (q71). */
 final case class ArticleRow(
     url: String,
     host: String,

@@ -123,6 +123,79 @@ object UrlOps {
         col("n_urls") >= minUrls && col("ratio_pm") >= ratioPmMin)
       .orderBy("host")
 
+  /** Redirect-chain resolution — the `url → final landing url` map.
+    * The reference's live HTTP fetch records the post-redirect URL per
+    * article (`actualurl`, MySQLSchema.sql:6); the snapshot-table model
+    * has no redirect hop at fetch time (Schemas.ArticleRow's documented
+    * absence), so this operator recovers the same map OFFLINE from
+    * observed `(url, redirect_to)` hops — e.g. a redirect log unioned
+    * across waves — resolving every url to its chain's terminal (a url
+    * with no outgoing hop).
+    *
+    * Contract: hops form a redirect FUNCTION on an ACYCLIC graph.
+    * Several recorded hops for one url (re-crawls disagreeing) collapse
+    * deterministically to the lexically smallest target; self-redirects
+    * are dropped. A cycle can never reach a terminal, so resolution
+    * would never converge — the round cap fails LOUDLY instead of
+    * looping (and a cycle that pointer-doubling happens to fixpoint on
+    * is still detected: convergence requires every pointer to sit on a
+    * hop-less url).
+    *
+    * Scale shape: pointer DOUBLING (the q44 lesson) — round k leaves
+    * every pointer 2^k hops deep, so a maximum chain of L resolves in
+    * ⌈log₂ L⌉ self-joins of the slim (url, fin) pair table; each round
+    * is ONE equi-join + ONE action (the changed-count that also
+    * materializes the round's `localCheckpoint`, folding convergence
+    * detection into the round itself); bodies never appear and nothing
+    * collects to the driver.
+    *
+    * @param hops (url, redirect_to) string pairs
+    * @return (url, final_url), one row per distinct redirecting url
+    */
+  def resolveRedirects(hops: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val e0 = hops.select(col("url").cast("string").as("url"),
+        col("redirect_to").cast("string").as("nxt"))
+      .where(col("url") =!= col("nxt"))
+      .groupBy("url").agg(min("nxt").as("nxt"))
+      .localCheckpoint()
+    var ptr = e0.select(col("url"), col("nxt").as("fin")).localCheckpoint()
+    var round = 0
+    var converged = ptr.isEmpty
+    while (!converged && round < maxRounds) {
+      val next = redirectStep(ptr)
+        .localCheckpoint(false) // lazy: materialized by the count below
+      val nChanged = next.where(col("fin") =!= col("old")).count()
+      ptr = next.select("url", "fin")
+      converged = nChanged == 0L
+      round += 1
+    }
+    require(converged,
+      s"redirect graph did not settle in $maxRounds doubling rounds " +
+        s"(max chain ${BigInt(2).pow(maxRounds)}) — redirect cycle suspected")
+    // a settled pointer must sit on a TERMINAL url; a cycle that
+    // doubling fixpoints on (even-length loops square to identity)
+    // still has outgoing hops and is caught here
+    val onCycle = ptr.join(e0.select(col("url").as("fin")), Seq("fin"),
+      "left_semi")
+    require(onCycle.isEmpty,
+      "redirect cycle detected: some urls resolve into a loop, not a " +
+        "terminal — fix the hop log (a cycle has no landing url)")
+    ptr.select(col("url"), col("fin").as("final_url")).orderBy("url")
+  }
+
+  /** One pointer-doubling round (the loop body of [[resolveRedirects]],
+    * exposed un-checkpointed so the plan shape is assertable): follow
+    * my target's own pointer — fin ← ptr(fin) where defined; a pointer
+    * already on a terminal url finds no row and keeps fin. The
+    * pre-round fin rides along as `old` so the caller's changed-count
+    * action decides convergence in the same job. */
+  private[graft] def redirectStep(ptr: DataFrame): DataFrame =
+    ptr
+      .join(ptr.select(col("url").as("fin"), col("fin").as("ffin")),
+        Seq("fin"), "left")
+      .select(col("url"), coalesce(col("ffin"), col("fin")).as("fin"),
+        col("fin").as("old"))
+
   /** Gate a wave's host dimension on [[trapStats]] — the bridge from
     * the offline trap scan to the engine, mirroring
     * `Freshness.applySchedule`: a host flagged `trap` is flipped

@@ -429,6 +429,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("redirect doubling round: one slim equi-join, no cartesian (q71 core)") {
+    val ptr = spark.range(64).selectExpr(
+      "concat('u', id) AS url", "concat('u', id div 2) AS fin")
+    val plan = planOf(graft.ops.UrlOps.redirectStep(ptr))
+    // the whole point of doubling is O(log L) SLIM self-joins — an
+    // accidental cartesian or nested-loop here is quadratic per round
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("Join"), plan.take(3000))
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join

@@ -941,6 +941,30 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(err.getMessage.contains((Long.MaxValue / 100L / 3L).toString))
   }
 
+  test("q71 redirect resolution: chains land on terminals; disagreeing hops collapse; cycles fail loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a→b→c→T1 (3 hops), d→T2, plus a disagreeing re-crawl hop for 'a'
+    // (a→z sorts above a→b, so min-collapse keeps a→b) and a self-hop
+    // that must be dropped
+    val hops = Seq(
+      ("a", "b"), ("a", "z"), ("b", "c"), ("c", "T1"),
+      ("d", "T2"), ("T1", "T1")).toDF("url", "redirect_to")
+    val got = graft.ops.UrlOps.resolveRedirects(hops)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "T1", "b" -> "T1", "c" -> "T1", "d" -> "T2"),
+      s"unexpected resolution: $got")
+    // an even-length cycle is the adversarial case: pointer doubling
+    // FIXPOINTS on it (f² = id), so the convergence loop alone would
+    // accept it — the terminal check must reject it instead
+    val cyc = Seq(("p", "q"), ("q", "p"), ("d", "T2"))
+      .toDF("url", "redirect_to")
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.UrlOps.resolveRedirects(cyc).collect()
+    }
+    assert(err.getMessage.contains("cycle"))
+  }
+
   test("q70 trap stats: pattern collapse flags the enumerated host, not the template-diverse one") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
