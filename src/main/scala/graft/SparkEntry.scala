@@ -67,6 +67,20 @@ object SparkEntry {
       new crawl.SnapshotStore(crawlDir.get)
     }
 
+  /** Memoized WARC fixture for q72/q73 — four archive segments
+    * synthesized deterministically from the sf dir's `documents` table
+    * (see [[sources.Warc.synthesizeFromDocs]]); built once per sf dir,
+    * so Verify/Bench re-runs read identical bytes. */
+  private val warcDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warcFixture(s: SparkSession, sfDir: String): String =
+    warcDirs.computeIfAbsent(sfDir, _ => {
+      val dir = TempDirs.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("entrywarc").toString)
+      sources.Warc.synthesizeFromDocs(t(s, sfDir, "documents"), dir)
+      dir
+    })
+
   /** Shared constants for the q57/q65 operators and the q66 pipeline
     * that composes them — ONE Scala-side definition so the composed
     * query can never desynchronize from its constituents. (The oracle
@@ -600,6 +614,30 @@ object SparkEntry {
           urlOf(expr("doc_id div 2")).as("redirect_to"))
       ops.UrlOps.resolveRedirects(hops)
     }),
+    "q72_warc_read" -> ((s, d) => { // WARC ingestion: archive segments →
+      // the input_hint page table. Round-trip gate: records synthesized
+      // from `documents` (3 plain .warc + 1 record-per-member .warc.gz),
+      // stream-parsed back; the oracle reconstructs url/date/body/md5
+      // from the table — a framing slip of even one byte breaks the
+      // digest match.
+      sources.Warc.read(s, warcFixture(s, d) + "/*")
+        .where(col("rec_type") === "response")
+        .select(col("url"), col("warc_ts"), col("http_status"),
+          col("content_type"), length(col("html")).as("n_bytes"),
+          md5(col("html")).as("digest"))
+        .orderBy("url")
+    }),
+    "q73_warc_cdx" -> ((s, d) => { // CDX-style index: per-record byte
+      // offset/length in the (decompressed) archive stream — the lookup
+      // table random-access page fetches need at 10^5-segment scale.
+      // The oracle re-derives every offset ARITHMETICALLY (window-summed
+      // reconstructed record lengths), so the parser's byte accounting
+      // is value-checked, not just shape-checked.
+      sources.Warc.read(s, warcFixture(s, d) + "/*")
+        .select(col("warc_file"), col("rec_offset"), col("rec_len"),
+          col("url"), md5(col("html")).as("digest"))
+        .orderBy("warc_file", "rec_offset")
+    }),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -860,6 +898,64 @@ object SparkEntry {
        |SELECT ${urlOf("d")} AS url, ${urlOf("cur")} AS final_url
        |FROM fin ORDER BY url""".stripMargin
   }
+
+  // q72/q73: the WARC fixture's row→record functions (Warc.docUrl /
+  // docTsIso / docBody, mirrored verbatim) re-expressed in SQL, so
+  // DuckDB reconstructs what the archive files must contain WITHOUT
+  // reading them: q72 value-checks every parsed field plus the body
+  // digest; q73 re-derives every byte offset arithmetically from
+  // window-summed reconstructed record lengths — a one-byte framing
+  // slip in the parser breaks both.
+  private def warcDocsCte: String =
+    """WITH c AS (SELECT chr(13)||chr(10) AS nl),
+      |d AS (
+      |  SELECT doc_id, doc_id % 4 AS f,
+      |    'http://' || source || '.example.org/doc/' ||
+      |      CAST(doc_id AS VARCHAR) AS url,
+      |    TIMESTAMP '2024-01-01 00:00:00'
+      |      + INTERVAL (doc_id % 1440) MINUTE AS warc_ts,
+      |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title></head><body><p>' || text ||
+      |    '</p></body></html>' AS body
+      |  FROM documents)""".stripMargin
+
+  private def warcReadOracleSql: String =
+    s"""$warcDocsCte
+       |SELECT url, warc_ts, 200 AS http_status,
+       |  'text/html; charset=utf-8' AS content_type,
+       |  octet_length(encode(body)) AS n_bytes,
+       |  md5(body) AS digest
+       |FROM d ORDER BY url""".stripMargin
+
+  private def warcCdxOracleSql: String =
+    s"""$warcDocsCte,
+       |r AS (
+       |  SELECT d.*, c.nl,
+       |    'HTTP/1.1 200 OK' || c.nl ||
+       |    'Content-Type: text/html; charset=utf-8' || c.nl || c.nl AS httph
+       |  FROM d, c),
+       |s AS (
+       |  SELECT doc_id, f,
+       |    'part-' || CAST(f AS VARCHAR) || '.warc' ||
+       |      (CASE WHEN f = 3 THEN '.gz' ELSE '' END) AS warc_file,
+       |    url, md5(body) AS digest,
+       |    CAST(octet_length(encode(
+       |      'WARC/1.0' || nl ||
+       |      'WARC-Type: response' || nl ||
+       |      'WARC-Record-ID: <urn:md5:' || md5(body) || '>' || nl ||
+       |      'WARC-Date: ' || strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') || nl ||
+       |      'WARC-Target-URI: ' || url || nl ||
+       |      'Content-Type: application/http; msgtype=response' || nl ||
+       |      'Content-Length: ' ||
+       |        CAST(octet_length(encode(httph || body)) AS VARCHAR) || nl ||
+       |      nl || httph || body || nl || nl)) AS BIGINT) AS rec_len
+       |  FROM r)
+       |SELECT warc_file,
+       |  CAST(COALESCE(SUM(rec_len) OVER (PARTITION BY f ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS rec_offset,
+       |  rec_len, url, digest
+       |FROM s ORDER BY warc_file, rec_offset""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -1560,6 +1656,8 @@ object SparkEntry {
     "q69_anchor_text" -> anchorOracleSql,
     "q70_trap_detect" -> trapOracleSql,
     "q71_redirect_resolve" -> redirectOracleSql,
+    "q72_warc_read" -> warcReadOracleSql,
+    "q73_warc_cdx" -> warcCdxOracleSql,
     // q68: same %50 host key, same epoch-microsecond min/max/count
     // partial aggregate, same integer-div interval and next-due; the
     // CASE mirrors Spark's when() null on single-observation hosts.

@@ -1,0 +1,300 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException,
+  InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One parsed WARC record, as the reader emits it.
+  *
+  * `rec_offset`/`rec_len` are byte coordinates in the (decompressed)
+  * record stream — for a plain `.warc` file these are file offsets
+  * usable for direct `seek` random access (the CDX-index pattern); for
+  * a `.warc.gz` they are logical-stream coordinates (member-level
+  * compressed offsets would need gzip framing awareness, noted on
+  * [[Warc.read]]).
+  *
+  * For `response` records carrying an HTTP payload, `html` is the HTTP
+  * BODY (the fetched page bytes), `http_status`/`content_type` come
+  * from the embedded HTTP response head; for every other record type
+  * `html` is the raw payload and the HTTP fields are null. */
+final case class WarcRow(
+    warc_file: String,
+    rec_offset: Long,
+    rec_len: Long,
+    rec_type: String,
+    url: String,
+    warc_ts: Timestamp,
+    http_status: Option[Int],
+    content_type: String,
+    html: Array[Byte])
+
+/** WARC (ISO 28500) ingestion — the file format a web-scale text corpus
+  * actually arrives in (Common Crawl ships ~90 000 × ~1 GB `.warc.gz`
+  * segments per monthly crawl). The reference crawls live HTTP and
+  * never touches WARC; the north rule's input_hint table
+  * `(url, warc_ts, html, …)` is exactly one WARC `response` record per
+  * row, so this reader is the missing first stage: raw archive bytes →
+  * the engine's page table.
+  *
+  * Format essentials (public spec, ISO 28500 / WARC/1.0): a file is a
+  * sequence of records; each record is CRLF-terminated header lines
+  * (`WARC/1.0`, then `Name: value` fields) — a blank line — exactly
+  * `Content-Length` payload bytes — `\r\n\r\n`. Framing is LENGTH-BASED:
+  * the parser never scans payload bytes for a magic string, so a body
+  * containing the literal text `WARC/1.0` cannot desynchronize it
+  * (spec-pinned in WarcSpec). A `response` record's payload is a full
+  * HTTP response (status line + headers + blank + body).
+  *
+  * Scale shape: the unit of parallelism is the FILE (one stream-parse
+  * task per archive segment), matching how the corpus is sharded —
+  * ~1 GB segments × tens of thousands, far more than any executor
+  * count, so file-level parallelism saturates a 1000-executor cluster
+  * with zero skew coordination. Parsing is single-pass streaming over
+  * `PortableDataStream` (constant memory: one record buffered at a
+  * time, never the file), and `.gz` segments decompress through the
+  * same path — JDK `GZIPInputStream` reads concatenated members, which
+  * is precisely Common Crawl's record-per-member layout. Uncompressed
+  * WARCs could additionally be SPLIT within a file by resynchronizing
+  * on record boundaries, but at 10⁵ input files that adds complexity
+  * for no parallelism the file count doesn't already provide. */
+object Warc {
+
+  private val dateFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+
+  /** Read a glob of `.warc` / `.warc.gz` files into a DataFrame of
+    * [[WarcRow]]. Malformed framing (missing `Content-Length`,
+    * truncated payload, absent record trailer) fails LOUDLY with file
+    * and offset — an archive that desynchronizes must never yield
+    * silently wrong pages. */
+  def read(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(pathGlob)
+      .flatMap { case (path, pds) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val raw = pds.open()
+        val in: InputStream =
+          if (name.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16)
+          else raw
+        val it = new RecordIterator(in, name)
+        // a task that stops mid-file (limit, failure) must still close
+        // the stream; normal exhaustion closes it in hasNext
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => it.close()))
+        it
+      }
+      .toDS().toDF()
+  }
+
+  /** Streaming record parser: one record in memory at a time. */
+  private[graft] final class RecordIterator(in: InputStream, file: String)
+      extends Iterator[WarcRow] with AutoCloseable {
+    private val buf = new BufferedInputStream(in, 1 << 16)
+    private var pos = 0L
+    private var nextRow: WarcRow = _
+    private var done = false
+    private var closed = false
+
+    override def close(): Unit =
+      if (!closed) { closed = true; buf.close() }
+
+    override def hasNext: Boolean = {
+      if (nextRow == null && !done) advance()
+      if (done) close()
+      nextRow != null
+    }
+
+    override def next(): WarcRow = {
+      if (!hasNext) throw new NoSuchElementException(file)
+      val r = nextRow; nextRow = null; r
+    }
+
+    private def read1(): Int = {
+      val b = buf.read(); if (b >= 0) pos += 1; b
+    }
+
+    /** One CRLF-terminated header line as UTF-8 (spec: header lines may
+      * carry UTF-8); null at EOF before any byte. */
+    private def readLine(): String = {
+      var b = read1()
+      if (b < 0) return null
+      val out = new ByteArrayOutputStream(80)
+      while (b >= 0 && b != '\n') { out.write(b); b = read1() }
+      val bytes = out.toByteArray
+      val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+        bytes.length - 1 else bytes.length
+      new String(bytes, 0, n, UTF_8)
+    }
+
+    private def readFully(n: Long): Array[Byte] = {
+      require(n <= Int.MaxValue, s"$file: record payload over 2 GiB")
+      val out = new Array[Byte](n.toInt)
+      var off = 0
+      while (off < n) {
+        val k = buf.read(out, off, n.toInt - off)
+        if (k < 0) throw new EOFException(
+          s"$file: truncated payload at offset $pos (wanted $n bytes)")
+        off += k; pos += k
+      }
+      out
+    }
+
+    private def advance(): Unit = {
+      // skip stray blank lines between records, find the version line
+      var line = readLine()
+      while (line != null && line.isEmpty) line = readLine()
+      if (line == null) { done = true; return }
+      val offset0 = pos - (line.getBytes(UTF_8).length + 2)
+      require(line.startsWith("WARC/"),
+        s"$file: expected WARC version line at offset $offset0, got '$line'")
+      // header fields until the blank line
+      val h = scala.collection.mutable.HashMap.empty[String, String]
+      var l = readLine()
+      while (l != null && l.nonEmpty) {
+        val i = l.indexOf(':')
+        require(i > 0, s"$file: malformed header line '$l' near offset $pos")
+        h(l.substring(0, i).trim.toLowerCase) = l.substring(i + 1).trim
+        l = readLine()
+      }
+      require(l != null, s"$file: EOF inside record header (offset $pos)")
+      val len = h.getOrElse("content-length", throw new IllegalArgumentException(
+        s"$file: record at offset $offset0 has no Content-Length")).toLong
+      val payload = readFully(len)
+      // record trailer: exactly two CRLFs
+      val t = new Array[Byte](4)
+      var off = 0
+      while (off < 4) {
+        val k = buf.read(t, off, 4 - off)
+        if (k < 0) throw new EOFException(
+          s"$file: missing record trailer at offset $pos")
+        off += k; pos += k
+      }
+      require(t.sameElements(Array[Byte]('\r', '\n', '\r', '\n')),
+        s"$file: bad record trailer at offset ${pos - 4} " +
+          s"(Content-Length and payload disagree)")
+      val recType = h.getOrElse("warc-type", "unknown")
+      val ts = h.get("warc-date").map(d =>
+        Timestamp.from(Instant.parse(d))).orNull
+      val isHttp = recType == "response" &&
+        h.get("content-type").exists(_.startsWith("application/http"))
+      val (status, ctype, body) =
+        if (isHttp) splitHttp(payload) else (None, null, payload)
+      nextRow = WarcRow(file, offset0, pos - offset0, recType,
+        h.getOrElse("warc-target-uri", null), ts, status, ctype, body)
+    }
+
+    /** Split an HTTP response payload into (status, Content-Type, body)
+      * at the first CRLFCRLF; a payload with no header/body break is
+      * all head, empty body (matches curl/wget semantics). */
+    private def splitHttp(p: Array[Byte]): (Option[Int], String, Array[Byte]) = {
+      var i = 0
+      var break = -1
+      while (break < 0 && i + 3 < p.length) {
+        if (p(i) == '\r' && p(i + 1) == '\n' && p(i + 2) == '\r' && p(i + 3) == '\n')
+          break = i
+        i += 1
+      }
+      val headEnd = if (break < 0) p.length else break
+      val head = new String(p, 0, headEnd, UTF_8)
+      val lines = head.split("\r\n")
+      val status = lines.headOption
+        .filter(_.startsWith("HTTP/")).flatMap(_.split(" ").lift(1))
+        .flatMap(_.toIntOption)
+      val ctype = lines.iterator.drop(1)
+        .map(l => (l, l.indexOf(':')))
+        .collectFirst { case (l, i) if i > 0 &&
+          l.substring(0, i).trim.equalsIgnoreCase("content-type") =>
+          l.substring(i + 1).trim }
+        .orNull
+      val body = if (break < 0) Array.emptyByteArray
+        else java.util.Arrays.copyOfRange(p, break + 4, p.length)
+      (status, ctype, body)
+    }
+  }
+
+  // ---- writer (fixtures, tests, and the inverse sink) ----------------
+
+  /** One `response` record to serialize: the page url, its fetch time
+    * (ISO `yyyy-MM-ddTHH:mm:ssZ`), and the page bytes. */
+  final case class Doc(url: String, tsIso: String, html: Array[Byte])
+
+  private val CRLF = "\r\n".getBytes(UTF_8)
+
+  private[graft] def md5Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map(x => f"$x%02x").mkString
+
+  /** Serialize `response` records in spec layout. With
+    * `gzipPerRecord=true` each record is its own gzip member
+    * (Common Crawl's `.warc.gz` layout — members concatenate into one
+    * stream a plain `GZIPInputStream` reads end-to-end). */
+  def writeRecords(out: OutputStream, docs: Iterator[Doc],
+                   gzipPerRecord: Boolean = false): Unit =
+    docs.foreach { d =>
+      val sink = if (gzipPerRecord) new GZIPOutputStream(out, 1 << 16) else out
+      val httpHead =
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+          .getBytes(UTF_8)
+      val payloadLen = httpHead.length + d.html.length
+      val header =
+        ("WARC/1.0\r\n" +
+          "WARC-Type: response\r\n" +
+          s"WARC-Record-ID: <urn:md5:${md5Hex(d.html)}>\r\n" +
+          s"WARC-Date: ${d.tsIso}\r\n" +
+          s"WARC-Target-URI: ${d.url}\r\n" +
+          "Content-Type: application/http; msgtype=response\r\n" +
+          s"Content-Length: $payloadLen\r\n" +
+          "\r\n").getBytes(UTF_8)
+      sink.write(header)
+      sink.write(httpHead)
+      sink.write(d.html)
+      sink.write(CRLF); sink.write(CRLF)
+      sink match { case g: GZIPOutputStream => g.finish() case _ => }
+    }
+
+  /** Deterministic WARC fixture derived from a `documents` table:
+    * doc d → one response record in file `part-(d%4)` (parts 0–2 plain
+    * `.warc`, part 3 record-per-member `.warc.gz`), records in doc_id
+    * order, url/date/body pure functions of the row — so an ANSI-SQL
+    * oracle can reconstruct every byte offset without reading the
+    * files. Collects to the driver (test fixture only; the READ path
+    * under test is fully distributed). */
+  def synthesizeFromDocs(docs: DataFrame, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rows = docs.select(col("doc_id").cast("long"), col("source"),
+        col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    (0 until 4).foreach { f =>
+      val name = s"part-$f.warc" + (if (f == 3) ".gz" else "")
+      val out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(s"$dir/$name"), 1 << 16)
+      try writeRecords(out,
+        rows.iterator.filter(_._1 % 4 == f).map { case (id, src, text) =>
+          Doc(docUrl(id, src), docTsIso(id), docBody(id, text))
+        }, gzipPerRecord = f == 3)
+      finally out.close()
+    }
+  }
+
+  // the fixture's pure row→record functions, mirrored verbatim by the
+  // q72/q73 oracle SQL (SparkEntry) — change BOTH or the gate fails
+  private[graft] def docUrl(id: Long, source: String): String =
+    s"http://$source.example.org/doc/$id"
+  private[graft] def docTsIso(id: Long): String =
+    dateFmt.format(Instant.parse("2024-01-01T00:00:00Z")
+      .plusSeconds((id % 1440) * 60))
+  private[graft] def docBody(id: Long, text: String): Array[Byte] =
+    (s"<html><head><title>doc $id</title></head><body><p>" +
+      text + "</p></body></html>").getBytes(UTF_8)
+}

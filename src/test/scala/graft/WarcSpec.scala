@@ -1,0 +1,143 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.sources.Warc
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def parse(bytes: Array[Byte]): List[graft.sources.WarcRow] =
+    new Warc.RecordIterator(new ByteArrayInputStream(bytes), "t.warc").toList
+
+  private def record(url: String, body: String,
+                     ts: String = "2024-01-01T00:00:00Z"): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    Warc.writeRecords(out,
+      Iterator(Warc.Doc(url, ts, body.getBytes(UTF_8))))
+    out.toByteArray
+  }
+
+  test("round-trip: writer bytes parse back to the same record") {
+    val rows = parse(record("http://a.example/x", "<html>hi</html>"))
+    assert(rows.size == 1)
+    val r = rows.head
+    assert(r.rec_type == "response")
+    assert(r.url == "http://a.example/x")
+    assert(r.warc_ts.toInstant.toString == "2024-01-01T00:00:00Z")
+    assert(r.http_status.contains(200))
+    assert(r.content_type == "text/html; charset=utf-8")
+    assert(new String(r.html, UTF_8) == "<html>hi</html>")
+    assert(r.rec_offset == 0L)
+  }
+
+  test("framing is length-based: a body containing 'WARC/1.0' lines " +
+      "cannot desynchronize the parser") {
+    val trap = "pre\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 9999\r\n\r\npost"
+    val bytes = record("http://a/1", trap) ++ record("http://a/2", "ok")
+    val rows = parse(bytes)
+    assert(rows.map(_.url) == List("http://a/1", "http://a/2"))
+    assert(new String(rows.head.html, UTF_8) == trap)
+  }
+
+  test("offsets and lengths tile the stream exactly") {
+    val r1 = record("http://a/1", "x" * 100)
+    val r2 = record("http://b/22", "y" * 5)
+    val r3 = record("http://c/333", "")
+    val rows = parse(r1 ++ r2 ++ r3)
+    assert(rows.map(_.rec_offset) ==
+      List(0L, r1.length.toLong, (r1.length + r2.length).toLong))
+    assert(rows.map(_.rec_len) ==
+      List(r1.length.toLong, r2.length.toLong, r3.length.toLong))
+  }
+
+  test("non-response records pass through typed, without HTTP fields") {
+    val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 6\r\n\r\n" +
+      "a: b\r\n" + "\r\n\r\n").getBytes(UTF_8)
+    val rows = parse(info ++ record("http://a/1", "ok"))
+    assert(rows.map(_.rec_type) == List("warcinfo", "response"))
+    val i = rows.head
+    assert(i.url == null && i.http_status.isEmpty && i.content_type == null)
+    assert(new String(i.html, UTF_8) == "a: b\r\n")
+    assert(rows(1).rec_offset == info.length.toLong)
+  }
+
+  test("multi-member gzip (Common Crawl layout) reads end-to-end") {
+    val out = new ByteArrayOutputStream()
+    Warc.writeRecords(out, Iterator(
+      Warc.Doc("http://a/1", "2024-01-01T00:00:00Z", "one".getBytes(UTF_8)),
+      Warc.Doc("http://a/2", "2024-01-01T00:01:00Z", "two".getBytes(UTF_8))),
+      gzipPerRecord = true)
+    val in = new java.util.zip.GZIPInputStream(
+      new ByteArrayInputStream(out.toByteArray))
+    val rows = new Warc.RecordIterator(in, "t.warc.gz").toList
+    assert(rows.map(r => new String(r.html, UTF_8)) == List("one", "two"))
+    // decompressed-stream coordinates: second record starts where the
+    // first one's plain serialization ends
+    assert(rows(1).rec_offset == rows.head.rec_len)
+  }
+
+  test("truncated payload fails loudly, not silently short") {
+    val whole = record("http://a/1", "full body text")
+    val cut = whole.take(whole.length - 10)
+    val e = intercept[Exception](parse(cut))
+    assert(e.getMessage.contains("t.warc"))
+  }
+
+  test("payload/Content-Length disagreement fails the trailer check") {
+    val s = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://a/1\r\nContent-Length: 3\r\n\r\n" +
+      "abcdef\r\n\r\n" // 3 declared, 6 present
+    val e = intercept[IllegalArgumentException](parse(s.getBytes(UTF_8)))
+    assert(e.getMessage.contains("trailer"))
+  }
+
+  test("missing Content-Length fails loudly") {
+    val s = "WARC/1.0\r\nWARC-Type: response\r\n\r\nxx\r\n\r\n"
+    val e = intercept[IllegalArgumentException](parse(s.getBytes(UTF_8)))
+    assert(e.getMessage.contains("Content-Length"))
+  }
+
+  test("HTTP payload without a head/body break yields empty body") {
+    val payload = "HTTP/1.1 304 Not Modified\r\nServer: x"
+    val s = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://a/1\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+    val rows = parse(s.getBytes(UTF_8))
+    assert(rows.head.http_status.contains(304))
+    assert(rows.head.html.isEmpty)
+  }
+
+  test("Spark read: mixed .warc and .warc.gz directory, distributed") {
+    val dir = TempDirs.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("warcspec").toString)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Warc.synthesizeFromDocs(docs, dir)
+    val got = Warc.read(spark, dir + "/*")
+    val n = docs.count()
+    assert(got.count() == n)
+    // every doc's body bytes survive the round trip bit-for-bit
+    import org.apache.spark.sql.functions._
+    val back = got.select(col("url"), md5(col("html")).as("h"))
+    import spark.implicits._
+    val want = docs.select(col("doc_id").cast("long"), col("source"),
+        col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, src, text) =>
+        (Warc.docUrl(id, src), Warc.md5Hex(Warc.docBody(id, text))) }
+      .toDF("url", "h")
+    assert(back.except(want).isEmpty && want.except(back).isEmpty)
+  }
+}
