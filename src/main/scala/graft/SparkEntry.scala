@@ -81,6 +81,28 @@ object SparkEntry {
       dir
     })
 
+  /** Memoized q74 sink output: the documents-derived page table (same
+    * row→record functions as [[warcFixture]], but built as COLUMNS and
+    * archived by the distributed `Warc.write`) — 4 hash-partitioned
+    * `.warc.gz` segments per sf dir. */
+  private val warcSinkDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warcSinkFixture(s: SparkSession, sfDir: String): String =
+    warcSinkDirs.computeIfAbsent(sfDir, _ => {
+      val dir = TempDirs.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("entrywarcsink").toString)
+      val pages = t(s, sfDir, "documents").select(
+        concat(lit("http://"), col("source"), lit(".example.org/doc/"),
+          col("doc_id")).as("url"),
+        expr("timestampadd(MINUTE, doc_id % 1440, " +
+          "timestamp'2024-01-01 00:00:00')").as("warc_ts"),
+        encode(concat(lit("<html><head><title>doc "), col("doc_id"),
+          lit("</title></head><body><p>"), col("text"),
+          lit("</p></body></html>")), "UTF-8").as("html"))
+      sources.Warc.write(pages.repartition(4, col("url")), dir)
+      dir
+    })
+
   /** Shared constants for the q57/q65 operators and the q66 pipeline
     * that composes them — ONE Scala-side definition so the composed
     * query can never desynchronize from its constituents. (The oracle
@@ -637,6 +659,19 @@ object SparkEntry {
         .select(col("warc_file"), col("rec_offset"), col("rec_len"),
           col("url"), md5(col("html")).as("digest"))
         .orderBy("warc_file", "rec_offset")
+    }),
+    "q74_warc_sink" -> ((s, d) => { // WARC sink round trip: the page
+      // table archived as record-per-member .warc.gz segments by the
+      // DISTRIBUTED writer (one per partition), then stream-parsed
+      // back; same oracle as q72 — the reader is already value-proven
+      // against hand-written fixtures, so a green gate here proves the
+      // SINK wrote byte-correct records.
+      sources.Warc.read(s, warcSinkFixture(s, d) + "/*")
+        .where(col("rec_type") === "response")
+        .select(col("url"), col("warc_ts"), col("http_status"),
+          col("content_type"), length(col("html")).as("n_bytes"),
+          md5(col("html")).as("digest"))
+        .orderBy("url")
     }),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
@@ -1658,6 +1693,9 @@ object SparkEntry {
     "q71_redirect_resolve" -> redirectOracleSql,
     "q72_warc_read" -> warcReadOracleSql,
     "q73_warc_cdx" -> warcCdxOracleSql,
+    // identical reconstruction oracle: the sink must produce records
+    // the (fixture-proven) reader maps back to exactly these rows
+    "q74_warc_sink" -> warcReadOracleSql,
     // q68: same %50 host key, same epoch-microsecond min/max/count
     // partial aggregate, same integer-div interval and next-due; the
     // CASE mirrors Spark's when() null on single-observation hosts.

@@ -260,6 +260,48 @@ object Warc {
       sink match { case g: GZIPOutputStream => g.finish() case _ => }
     }
 
+  /** Distributed WARC sink — the inverse of [[read]]: archive a page
+    * table `(url string, warc_ts timestamp, html binary)` as WARC
+    * segments, one `.warc.gz` (record-per-member, the layout [[read]]
+    * and every public WARC tool consume) per non-empty partition.
+    * This is the "archive the crawl" path: the engine's article/page
+    * output becomes a corpus snapshot that round-trips through [[read]]
+    * bit-for-bit (q74's oracle gate).
+    *
+    * Scale shape: pure per-partition streaming writes through the
+    * Hadoop FileSystem API (works for file:// here, hdfs:///object
+    * stores on a cluster) — no driver collection, no shuffle beyond
+    * what the caller's partitioning already did; callers control
+    * segment count/size with `repartition(n)` upstream. Record order
+    * inside a segment follows partition iteration order; the format
+    * carries no ordering contract (readers key on url/date), so the
+    * round-trip compares as a SET. */
+  def write(df: DataFrame, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(
+        col("url").cast("string"),
+        date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        col("html").cast("binary"))
+      .as[(String, String, Array[Byte])]
+    rows.foreachPartition { (it: Iterator[(String, String, Array[Byte])]) =>
+      if (it.hasNext) {
+        val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        val path = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.warc.gz")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // no .crc sidecars on ChecksumFileSystems (local): gzip already
+        // detects corruption per member, and a corpus dir shouldn't
+        // double its file count
+        fs.setWriteChecksum(false)
+        val out = fs.create(path, true)
+        try writeRecords(out,
+          it.map { case (u, ts, b) => Doc(u, ts, b) }, gzipPerRecord = true)
+        finally out.close()
+      }
+    }
+  }
+
   /** Deterministic WARC fixture derived from a `documents` table:
     * doc d → one response record in file `part-(d%4)` (parts 0–2 plain
     * `.warc`, part 3 record-per-member `.warc.gz`), records in doc_id

@@ -120,6 +120,27 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.head.html.isEmpty)
   }
 
+  test("distributed sink: per-partition .warc.gz segments round-trip") {
+    import org.apache.spark.sql.functions._
+    val dir = TempDirs.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("warcsink").toString)
+    val pages = spark.range(0, 37).select(
+      concat(lit("http://h"), col("id") % 5, lit(".example/p"), col("id"))
+        .as("url"),
+      expr("timestamp'2024-02-02 10:00:00'").as("warc_ts"),
+      encode(concat(lit("body-"), col("id")), "UTF-8").as("html"))
+    Warc.write(pages.repartition(3, col("url")), dir)
+    val files = new java.io.File(dir).list().sorted.toList
+      .filterNot(_.startsWith(".")) // TempDirs owner marker
+    assert(files.size == 3 && files.forall(_.endsWith(".warc.gz")), files)
+    val back = Warc.read(spark, dir + "/*")
+      .select(col("url"), decode(col("html"), "UTF-8").as("b"))
+    val want = pages.select(col("url"),
+      decode(col("html"), "UTF-8").as("b"))
+    assert(back.count() == 37)
+    assert(back.except(want).isEmpty && want.except(back).isEmpty)
+  }
+
   test("Spark read: mixed .warc and .warc.gz directory, distributed") {
     val dir = TempDirs.cleanupOnExit(
       java.nio.file.Files.createTempDirectory("warcspec").toString)
