@@ -280,6 +280,12 @@ object Warc {
     import org.apache.spark.sql.functions.{col, date_format}
     val spark = df.sparkSession
     import spark.implicits._
+    // Ship the SESSION's Hadoop conf to the tasks — a bare
+    // `new Configuration()` executor-side would drop every
+    // `spark.hadoop.*` setting (object-store credentials, endpoints),
+    // silently breaking s3a/abfs targets on a real cluster.
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val rows = df.select(
         col("url").cast("string"),
         date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
@@ -289,7 +295,7 @@ object Warc {
       if (it.hasNext) {
         val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
         val path = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.warc.gz")
-        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = path.getFileSystem(hadoopConf.value)
         // no .crc sidecars on ChecksumFileSystems (local): gzip already
         // detects corruption per member, and a corpus dir shouldn't
         // double its file count
