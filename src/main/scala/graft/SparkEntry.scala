@@ -103,6 +103,19 @@ object SparkEntry {
       dir
     })
 
+  /** Memoized sitemap fixture for q75 — three urlset segments plus one
+    * sitemapindex, synthesized deterministically from the sf dir's
+    * `documents` table (see [[sources.Sitemap.synthesizeFromDocs]]). */
+  private val sitemapDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sitemapFixture(s: SparkSession, sfDir: String): String =
+    sitemapDirs.computeIfAbsent(sfDir, _ => {
+      val dir = TempDirs.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("entrysitemap").toString)
+      sources.Sitemap.synthesizeFromDocs(t(s, sfDir, "documents"), dir)
+      dir
+    })
+
   /** Shared constants for the q57/q65 operators and the q66 pipeline
     * that composes them — ONE Scala-side definition so the composed
     * query can never desynchronize from its constituents. (The oracle
@@ -673,6 +686,23 @@ object SparkEntry {
           md5(col("html")).as("digest"))
         .orderBy("url")
     }),
+    "q75_sitemap_read" -> ((s, d) => { // sitemap ingestion: robots.txt
+      // names sitemap files, a <sitemapindex> fans out to <urlset>
+      // segments carrying the frontier's freshness hints. Fixture: 3
+      // urlsets (one gzipped) + 1 index synthesized from `documents`;
+      // the oracle reconstructs every row — loc, W3C lastmod,
+      // changefreq, priority — arithmetically from the table.
+      sources.Sitemap.read(s, sitemapFixture(s, d) + "/*")
+        .select(col("kind"), col("sitemap_file"), col("loc"),
+          col("lastmod"), col("changefreq"), col("priority"))
+        .orderBy("kind", "loc")
+    }),
+    "q76_inverted_index" -> ((s, d) => // inverted-index shard build:
+      // term → (df, capped ascending docid:tf postings string) — one
+      // (term,doc) shuffle, then window + final agg reusing the same
+      // hash partitioning; stopword skew bounded by the posting cap
+      // BEFORE collect_list. minDf=2 drops the hapax tail.
+      ops.TextOps.invertedIndex(t(s, d, "documents"))),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -1696,6 +1726,57 @@ object SparkEntry {
     // identical reconstruction oracle: the sink must produce records
     // the (fixture-proven) reader maps back to exactly these rows
     "q74_warc_sink" -> warcReadOracleSql,
+    // q75: every fixture field is a pure function of the documents row
+    // (same url/date functions as the WARC fixture), so the oracle
+    // rebuilds the full reader output — urlset entries AND the index's
+    // child-sitemap rows — without touching the XML.
+    "q75_sitemap_read" ->
+      """WITH u AS (
+        |  SELECT 'url' AS kind,
+        |    'part-' || CAST(doc_id % 3 AS VARCHAR) || '.xml' ||
+        |      (CASE WHEN doc_id % 3 = 2 THEN '.gz' ELSE '' END)
+        |      AS sitemap_file,
+        |    'http://' || source || '.example.org/doc/' ||
+        |      CAST(doc_id AS VARCHAR) AS loc,
+        |    TIMESTAMP '2024-01-01 00:00:00'
+        |      + INTERVAL (doc_id % 1440) MINUTE AS lastmod,
+        |    list_extract(['always','hourly','daily','weekly','monthly',
+        |                  'yearly','never'],
+        |      CAST(doc_id % 7 AS INTEGER) + 1) AS changefreq,
+        |    ((doc_id % 9) + 1) / 10.0 AS priority
+        |  FROM documents),
+        |i AS (
+        |  SELECT 'sitemap' AS kind, 'sitemapindex.xml' AS sitemap_file,
+        |    'http://index.example.org/sitemaps/part-' ||
+        |      CAST(f AS VARCHAR) || '.xml' ||
+        |      (CASE WHEN f = 2 THEN '.gz' ELSE '' END) AS loc,
+        |    TIMESTAMP '2024-02-01 00:00:00' + to_days(f) AS lastmod,
+        |    CAST(NULL AS VARCHAR) AS changefreq,
+        |    CAST(NULL AS DOUBLE) AS priority
+        |  FROM (SELECT unnest([0, 1, 2]) AS f))
+        |SELECT * FROM u UNION ALL SELECT * FROM i
+        |ORDER BY kind, loc""".stripMargin,
+    // q76: same whitespace class, same docid:tf serialization, same
+    // row_number-before-aggregate posting cap (df counts the FULL
+    // list), same minDf floor.
+    "q76_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(
+        |      regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+        |      t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT term, doc_id, tf,
+        |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |  FROM tf)
+        |SELECT term, COUNT(*) AS df,
+        |  string_agg(CASE WHEN rn <= 32
+        |      THEN CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR) END,
+        |    ',' ORDER BY doc_id) AS postings
+        |FROM ranked GROUP BY term HAVING COUNT(*) >= 2
+        |ORDER BY term""".stripMargin,
     // q68: same %50 host key, same epoch-microsecond min/max/count
     // partial aggregate, same integer-div interval and next-due; the
     // CASE mirrors Spark's when() null on single-observation hosts.

@@ -34,6 +34,26 @@ object RobotsPolicy {
   */
 object RobotsTxt {
 
+  /** `Sitemap:` lines, in file order (de-duplicated, first win). Per
+    * RFC 9309 §2.3 / sitemaps.org these are GLOBAL — independent of any
+    * user-agent group — so they are extracted separately from the
+    * policy [[parse]] (whose per-UA result the engine caches); values
+    * are absolute sitemap URLs to feed [[graft.sources.Sitemap.read]]. */
+  def sitemaps(text: String): Seq[String] = {
+    if (text == null || text.isEmpty) return Nil
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    text.linesIterator.foreach { raw =>
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      val ci = line.indexOf(':')
+      if (ci > 0 &&
+          line.substring(0, ci).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(ci + 1).trim
+        if (v.nonEmpty) seen += v
+      }
+    }
+    seen.toVector
+  }
+
   def parse(text: String, userAgent: String): RobotsPolicy = {
     if (text == null || text.isEmpty) return RobotsPolicy.empty
     val ua = userAgent.toLowerCase(Locale.ROOT)

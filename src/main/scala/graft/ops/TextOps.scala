@@ -204,6 +204,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Inverted-index shard build: `term → (df, capped posting list)` —
+    * the corpus-side artifact a search / decontamination / n-gram
+    * lookup service is bootstrapped from. Postings are
+    * `docid:tf` pairs, ascending doc_id, serialized as one string
+    * (arrays hash awkwardly across engines; the string IS the on-disk
+    * shard format for a line-oriented index).
+    *
+    * Scale shape: one shuffle to `(term, doc_id)` with map-side
+    * partial counts, then a window + final aggregate that BOTH reuse
+    * that hash partitioning on `term` (no further exchange — pinned in
+    * PlanSpec). Stopword-term skew is bounded by `maxPostings`: the
+    * row_number cap discards a hot term's tail BEFORE collect_list, so
+    * no task ever materializes an unbounded posting array, while `df`
+    * still counts the full list. `minDf` drops the hapax-legomena long
+    * tail (typically >half of all terms) from the output shard. */
+  def invertedIndex(docs: DataFrame, minDf: Long = 2L,
+                    maxPostings: Int = 32): DataFrame = {
+    val tf = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    tf.withColumn("rn", row_number().over(w))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") <= maxPostings,
+              struct(col("doc_id"), col("tf"))))),
+            p => concat(p("doc_id"), lit(":"), p("tf"))),
+          ",").as("postings"))
+      .where(col("df") >= minDf)
+      .orderBy("term")
+  }
+
   /** Integer-threshold quality gate (all-integer arithmetic so the
     * oracle comparison is exact): a doc passes when it has at least 20
     * tokens, at least one stopword per 50 tokens, and punctuation

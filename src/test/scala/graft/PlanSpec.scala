@@ -410,6 +410,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("inverted index: two hash exchanges, final agg reuses the " +
+      "window's term partitioning, pruned scan (q76)") {
+    val plan = planOf(SparkEntry.queries("q76_inverted_index")(spark, dir))
+    assert(!plan.contains("Join"), plan.take(3000))
+    // (term,doc_id) tf shuffle + (term) window shuffle; the final
+    // term aggregate must REUSE the window's hash partitioning — a
+    // third hash exchange means the posting build reshuffles the corpus
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(hashExchanges == 2,
+      s"expected 2 hash exchanges, plan:\n${plan.take(3000)}")
+    assert(plan.contains("Window"), plan.take(3000))
+    // posting-cap CASE sits INSIDE collect_list: no task materializes a
+    // hot term's full posting array
+    assert(plan.contains("collect_list(CASE WHEN"), plan.take(3000))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan.take(3000))
+  }
+
   test("anchor summary: majority pick ranks AGGREGATED pairs, no cartesian (q69)") {
     val plan = planOf(SparkEntry.queries("q69_anchor_text")(spark, dir))
     assert(!plan.contains("CartesianProduct") &&
