@@ -703,6 +703,13 @@ object SparkEntry {
       // hash partitioning; stopword skew bounded by the posting cap
       // BEFORE collect_list. minDf=2 drops the hapax tail.
       ops.TextOps.invertedIndex(t(s, d, "documents"))),
+    "q77_sitemap_schedule" -> ((s, d) => // sitemap freshness → recrawl
+      // schedule: per host, next due = max(lastmod) + min(changefreq
+      // interval) — the bridge feeding Freshness.applySchedule (same
+      // gate as q68). One partial-agg hash shuffle on host; 'never'
+      // excluded from the min, no evidence ⇒ null ⇒ due now.
+      sources.Sitemap.freshnessSchedule(
+        sources.Sitemap.read(s, sitemapFixture(s, d) + "/*"))),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -1756,6 +1763,27 @@ object SparkEntry {
         |  FROM (SELECT unnest([0, 1, 2]) AS f))
         |SELECT * FROM u UNION ALL SELECT * FROM i
         |ORDER BY kind, loc""".stripMargin,
+    // q77: host = source-derived authority, lastmod/changefreq replayed
+    // from the fixture's pure row functions; same 30/365-day interval
+    // constants, same never→NULL exclusion from the min.
+    "q77_sitemap_schedule" ->
+      """WITH u AS (
+        |  SELECT source || '.example.org' AS host_id,
+        |    epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+        |      + INTERVAL (doc_id % 1440) MINUTE) AS lm_us,
+        |    CASE CAST(doc_id % 7 AS INTEGER)
+        |      WHEN 0 THEN 0
+        |      WHEN 1 THEN 3600000000
+        |      WHEN 2 THEN 86400000000
+        |      WHEN 3 THEN 604800000000
+        |      WHEN 4 THEN 2592000000000
+        |      WHEN 5 THEN 31536000000000
+        |      ELSE NULL END AS iv_us
+        |  FROM documents)
+        |SELECT host_id, COUNT(*) AS n_urls, MAX(lm_us) AS last_us,
+        |  MIN(iv_us) AS interval_us,
+        |  MAX(lm_us) + MIN(iv_us) AS next_due_us
+        |FROM u GROUP BY 1 ORDER BY host_id""".stripMargin,
     // q76: same whitespace class, same docid:tf serialization, same
     // row_number-before-aggregate posting cap (df counts the FULL
     // list), same minDf floor.

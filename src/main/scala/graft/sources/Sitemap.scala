@@ -132,6 +132,53 @@ object Sitemap {
   private val EntityRef = java.util.regex.Pattern.compile(
     "&([a-zA-Z]+|#[0-9]+|#[xX][0-9a-fA-F]+);")
 
+  // ---- engine bridge: freshness hints → recrawl schedule --------------
+
+  /** `<changefreq>` → recrawl interval, integer microseconds. `always`
+    * is 0 (always due); `never` is EXCLUDED from the per-host minimum
+    * (a never-changing page demands no recrawl; it must not mask a
+    * sibling's daily). Month/year use the fixed 30/365-day calendar
+    * convention. */
+  val FreqIntervalUs: Map[String, Long] = Map(
+    "always" -> 0L,
+    "hourly" -> 3600L * 1000000L,
+    "daily" -> 86400L * 1000000L,
+    "weekly" -> 7L * 86400L * 1000000L,
+    "monthly" -> 30L * 86400L * 1000000L,
+    "yearly" -> 365L * 86400L * 1000000L)
+
+  /** Per-host recrawl schedule from sitemap freshness hints — the
+    * bridge from this source to the engine (same shape as
+    * `Freshness.recrawlSchedule`, so the EXISTING
+    * `Freshness.applySchedule` gates a wave's host dimension on it):
+    * a host is next due at `max(lastmod) + min(changefreq interval)`
+    * over its sitemap entries. A host advertising no parseable
+    * `lastmod` or only `never`/absent changefreqs gets a null
+    * `next_due_us` — applySchedule treats null as DUE NOW (no
+    * freshness evidence must never suppress a crawl).
+    *
+    * Scale shape: one partial-aggregated hash shuffle on host over the
+    * slim (host, lastmod_us, interval_us) projection — the hint
+    * columns arrive as columns, bodies never ride. All integer math,
+    * deterministic, SQL-replayable (q77's oracle). */
+  def freshnessSchedule(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val intervalExpr = FreqIntervalUs.foldLeft(
+      lit(null).cast("long")) { case (acc, (k, v)) =>
+      when(col("changefreq") === k, lit(v)).otherwise(acc)
+    }
+    rows.where(col("kind") === "url")
+      .select(graft.ops.UrlOps.host(col("loc")).as("host_id"),
+        unix_micros(col("lastmod")).as("lm_us"),
+        intervalExpr.as("iv_us"))
+      .groupBy("host_id")
+      .agg(count(lit(1)).as("n_urls"),
+        max(col("lm_us")).as("last_us"),
+        min(col("iv_us")).as("interval_us"))
+      .withColumn("next_due_us", col("last_us") + col("interval_us"))
+      .orderBy("host_id")
+  }
+
   // ---- deterministic fixture (mirrors Warc.synthesizeFromDocs) -------
 
   /** Deterministic sitemap fixture from a `documents` table: doc d →
@@ -158,7 +205,10 @@ object Sitemap {
         sb ++= s"    <loc>${Warc.docUrl(id, src)}</loc>\n"
         sb ++= s"    <lastmod>${Warc.docTsIso(id)}</lastmod>\n"
         sb ++= s"    <changefreq>${ChangeFreqs((id % 7).toInt)}</changefreq>\n"
-        sb ++= f"    <priority>${((id % 9) + 1) / 10.0}%.1f</priority>\n"
+        // Locale.ROOT: a comma-decimal default locale must not leak
+        // into the XML ("0,3" would parse back as a null priority)
+        sb ++= "    <priority>" + String.format(java.util.Locale.ROOT,
+          "%.1f", Double.box(((id % 9) + 1) / 10.0)) + "</priority>\n"
         sb ++= "  </url>\n"
       }
       sb ++= "</urlset>\n"

@@ -99,6 +99,49 @@ class SitemapSpec extends AnyFunSuite {
       !r.isNullAt(3) && !r.isNullAt(4) && !r.isNullAt(5)))
   }
 
+  test("freshness schedule: next due = max(lastmod) + min(interval); " +
+      "'never' excluded; no evidence => null => applySchedule crawls") {
+    import spark.implicits._
+    val us = 1000000L
+    val rows = Seq(
+      // a.example: daily beats never; newest lastmod 10:00
+      ("url", "http://a.example/1", ts("2024-01-01T08:00:00Z"), "daily"),
+      ("url", "http://a.example/2", ts("2024-01-01T10:00:00Z"), "never"),
+      // b.example: only 'never' => interval null => next_due null
+      ("url", "http://b.example/1", ts("2024-01-01T00:00:00Z"), "never"),
+      // c.example: no lastmod at all => next_due null
+      ("url", "http://c.example/1", null.asInstanceOf[java.sql.Timestamp],
+        "hourly"),
+      // index rows must be ignored
+      ("sitemap", "http://a.example/s.xml", ts("2024-01-01T23:00:00Z"), null))
+      .toDF("kind", "loc", "lastmod", "changefreq")
+    val sched = graft.sources.Sitemap.freshnessSchedule(rows).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(sched.keySet == Set("a.example", "b.example", "c.example"))
+    val a = sched("a.example")
+    assert(a.getLong(1) == 2) // n_urls
+    assert(a.getLong(3) == 86400L * us) // daily, never excluded
+    assert(a.getLong(4) ==
+      ts("2024-01-01T10:00:00Z").toInstant.toEpochMilli * 1000 + 86400L * us)
+    assert(sched("b.example").isNullAt(3) && sched("b.example").isNullAt(4))
+    assert(sched("c.example").isNullAt(2) && sched("c.example").isNullAt(4))
+
+    // gate a host dimension on it: overdue/no-evidence hosts crawl,
+    // not-yet-due hosts are deferred (same applySchedule as q68)
+    val hosts = Seq(("a.example", true), ("b.example", true),
+      ("d.example", true)).toDF("host", "enabled")
+    val nowUs = ts("2024-01-01T12:00:00Z").toInstant.toEpochMilli * 1000
+    val gated = graft.crawl.Freshness.applySchedule(
+        hosts, graft.sources.Sitemap.freshnessSchedule(rows), nowUs)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(!gated("a.example")) // due 2024-01-02T10:00 — deferred
+    assert(gated("b.example")) // null schedule — due now
+    assert(gated("d.example")) // absent from the sitemap — due now
+  }
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(s))
+
   test("robots.txt Sitemap lines: global, case-insensitive, deduped") {
     val txt =
       """User-agent: *
