@@ -710,6 +710,41 @@ object SparkEntry {
       // excluded from the min, no evidence ⇒ null ⇒ due now.
       sources.Sitemap.freshnessSchedule(
         sources.Sitemap.read(s, sitemapFixture(s, d) + "/*"))),
+    "q78_content_drift" -> ((s, d) => { // cross-crawl content drift →
+      // recrawl schedule (Cho & Garcia-Molina from two dated dumps):
+      // per host, unchanged/changed/new/gone url counts + integer
+      // change rate, then interval = base·1000 div max(rate,125)
+      // clamped [1×,8×] — feeds the SAME Freshness.applySchedule gate
+      // as q68/q77. Snapshots synthesized from `documents`: prev drops
+      // doc_id%13==5 (those appear "new"), curr drops doc_id%11==3
+      // ("gone"), doc_id%7==0 re-digests ("changed"). Digests computed
+      // in-scan; bodies never ride the url full-outer join.
+      val docs = t(s, d, "documents")
+      def urlOf(c: org.apache.spark.sql.Column) =
+        concat(lit("http://"), mixHostOf(c), lit("/d"), c, lit(".html"))
+      val prev = docs.where(col("doc_id") % 13 =!= 5)
+        .select(mixHostOf(col("doc_id")).as("host"),
+          urlOf(col("doc_id")).as("url"), md5(col("text")).as("digest"))
+      val curr = docs.where(col("doc_id") % 11 =!= 3)
+        .select(mixHostOf(col("doc_id")).as("host"),
+          urlOf(col("doc_id")).as("url"),
+          when(col("doc_id") % 7 === 0,
+            md5(concat(col("text"), lit("#v2"))))
+            .otherwise(md5(col("text"))).as("digest"))
+      crawl.Freshness.driftSchedule(
+          crawl.Freshness.contentDrift(prev, curr),
+          nowUs = 1700000000000000L, baseIntervalUs = 86400000000L)
+        .orderBy("host_id")
+    }),
+    "q79_bloom_decontam" -> ((s, d) => // Bloom-filter decontamination:
+      // the fixed-memory scale path to q47's exact join — eval grams
+      // compressed to a 2^18-bit filter (k=3 disjoint 18-bit fields of
+      // the SAME 60-bit gram hash, so DuckDB replays membership
+      // bit-for-bit); the corpus probe is a pure per-row projection,
+      // NO join/shuffle of corpus grams (PlanSpec-pinned). Zero false
+      // negatives vs q47 is spec-pinned (Bloom can only over-flag).
+      Dedup.bloomContamination(t(s, d, "documents"), n = 5,
+        isEval = col("doc_id") % 20 === 0)),
 
     // ---- crawl-engine surface (SURVEY §2.8/§2.9 + north rule) -------
     "q29_json_extract" -> ((s, d) => // U2 JPath-rule analog over JSON props
@@ -949,6 +984,48 @@ object SparkEntry {
        |  n_urls * 1000 // n_patterns AS ratio_pm,
        |  (n_urls >= 5 AND n_urls * 1000 // n_patterns >= 2000) AS trap
        |FROM a ORDER BY host""".stripMargin
+  }
+
+  // q78: same snapshots (prev drops doc_id%13==5, curr drops %11==3,
+  // %7==0 re-digested with '#v2'), same full-outer url classification,
+  // same integer rate (1000·changed div overlap) and interval
+  // (base·1000 div max(rate,125), base = 86 400 000 000 us) math.
+  private def driftOracleSql: String = {
+    s"""WITH prev AS (
+       |  SELECT ${mixHostSql("doc_id")} AS host,
+       |    'http://' || ${mixHostSql("doc_id")} || '/d' || CAST(doc_id AS VARCHAR) || '.html' AS url,
+       |    md5(text) AS digest
+       |  FROM documents WHERE doc_id % 13 <> 5),
+       |curr AS (
+       |  SELECT ${mixHostSql("doc_id")} AS host,
+       |    'http://' || ${mixHostSql("doc_id")} || '/d' || CAST(doc_id AS VARCHAR) || '.html' AS url,
+       |    CASE WHEN doc_id % 7 = 0 THEN md5(text || '#v2')
+       |         ELSE md5(text) END AS digest
+       |  FROM documents WHERE doc_id % 11 <> 3),
+       |j AS (
+       |  SELECT COALESCE(p.host, c.host) AS host,
+       |    p.digest AS dig_a, c.digest AS dig_b
+       |  FROM prev p FULL OUTER JOIN curr c ON p.url = c.url),
+       |agg AS (
+       |  SELECT host,
+       |    CAST(SUM(CASE WHEN dig_a IS NOT NULL AND dig_b IS NOT NULL AND dig_a = dig_b THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       |    CAST(SUM(CASE WHEN dig_a IS NOT NULL AND dig_b IS NOT NULL AND dig_a <> dig_b THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |    CAST(SUM(CASE WHEN dig_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |    CAST(SUM(CASE WHEN dig_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gone
+       |  FROM j GROUP BY 1),
+       |rate AS (
+       |  SELECT *, CASE WHEN n_changed + n_unchanged > 0
+       |    THEN 1000 * n_changed // (n_changed + n_unchanged) END AS change_permille
+       |  FROM agg),
+       |sched AS (
+       |  SELECT *, CASE WHEN change_permille IS NOT NULL
+       |    THEN 86400000000000 // GREATEST(change_permille, 125) END AS interval_us
+       |  FROM rate)
+       |SELECT host AS host_id, n_unchanged, n_changed, n_new, n_gone,
+       |  change_permille, interval_us,
+       |  CASE WHEN interval_us IS NOT NULL
+       |    THEN 1700000000000000 + interval_us END AS next_due_us
+       |FROM sched ORDER BY host_id""".stripMargin
   }
 
   // q71: the same d → d div 2 hop graph walked by a recursive CTE to
@@ -1784,6 +1861,38 @@ object SparkEntry {
         |  MIN(iv_us) AS interval_us,
         |  MAX(lm_us) + MIN(iv_us) AS next_due_us
         |FROM u GROUP BY 1 ORDER BY host_id""".stripMargin,
+    "q78_content_drift" -> driftOracleSql,
+    // q79: same gram pipeline as q47 (split, 5-token windows, 60-bit
+    // md5-prefix hash, per-doc distinct), positions = the three
+    // disjoint 18-bit fields (m = 262144 = 2^18, m² = 68719476736),
+    // membership replayed against the distinct set-position set —
+    // bit-for-bit the Spark bitmap probe, false positives included.
+    "q79_bloom_decontam" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST('0x' || substring(md5(array_to_string(w[i:i+4], ' ')), 1, 15) AS BIGINT) AS gh
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-4)) AS i) g
+        |  WHERE len(w) >= 5),
+        |ev AS (
+        |  SELECT DISTINCT p FROM (
+        |    SELECT gh % 262144 AS p FROM grams WHERE doc_id % 20 = 0
+        |    UNION ALL SELECT (gh // 262144) % 262144 FROM grams WHERE doc_id % 20 = 0
+        |    UNION ALL SELECT (gh // 68719476736) % 262144 FROM grams WHERE doc_id % 20 = 0) u),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_grams,
+        |    SUM(CASE WHEN gh % 262144 IN (SELECT p FROM ev)
+        |           AND (gh // 262144) % 262144 IN (SELECT p FROM ev)
+        |           AND (gh // 68719476736) % 262144 IN (SELECT p FROM ev)
+        |         THEN 1 ELSE 0 END) AS n_flagged
+        |  FROM grams WHERE doc_id % 20 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(h.n_flagged, 0) AS BIGINT) AS n_flagged,
+        |  CASE WHEN COALESCE(h.n_flagged, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""".stripMargin,
     // q76: same whitespace class, same docid:tf serialization, same
     // row_number-before-aggregate posting cap (df counts the FULL
     // list), same minDf floor.

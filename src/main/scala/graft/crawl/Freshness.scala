@@ -52,6 +52,74 @@ object Freshness {
       .withColumn("next_due_us", col("last_us") + col("interval_us"))
       .orderBy("host_id")
 
+  /** Cross-crawl content drift — the DIRECT change evidence a recrawl
+    * policy wants when two snapshots of the page table exist (this
+    * crawl vs the previous one), complementing [[recrawlSchedule]]'s
+    * event-log estimate: per host, how many urls came back
+    * byte-identical, changed, appeared, or vanished, plus an integer
+    * change rate in per-mille. This is the Cho & Garcia-Molina change
+    *-frequency input computed from observation pairs rather than a
+    * change log — the form a Common-Crawl-style pipeline actually has
+    * (two dated dumps), no instrumented change feed required.
+    *
+    * Scale shape: both sides enter as slim (host, url, digest)
+    * projections — digests are computed in the snapshot scans, so page
+    * BODIES never ride the join; the full-outer join shuffles on url
+    * once, and the per-host roll-up is a map-side-combinable aggregate
+    * over (host, 2×16-byte digest) rows. No window, no driver
+    * collection; skew is bounded because the join key is the unique
+    * url, never the host.
+    *
+    * `change_permille` = 1000·changed div (changed+unchanged) over the
+    * urls observed in BOTH snapshots; NULL when no url overlaps (a
+    * brand-new or fully-vanished host has no rate evidence — callers
+    * fall back to the TTL, same contract as [[recrawlSchedule]]).
+    *
+    * @param prev earlier snapshot: (host, url, digest)
+    * @param curr later snapshot: same columns
+    */
+  def contentDrift(prev: DataFrame, curr: DataFrame): DataFrame = {
+    val a = prev.select(col("host").as("host_a"), col("url"),
+      col("digest").as("dig_a"))
+    val b = curr.select(col("host").as("host_b"), col("url"),
+      col("digest").as("dig_b"))
+    val both = col("dig_a").isNotNull && col("dig_b").isNotNull
+    a.join(b, Seq("url"), "full_outer")
+      .select(coalesce(col("host_a"), col("host_b")).as("host"),
+        col("dig_a"), col("dig_b"))
+      .groupBy("host")
+      .agg(
+        sum(when(both && col("dig_a") === col("dig_b"), 1L)
+          .otherwise(0L)).as("n_unchanged"),
+        sum(when(both && col("dig_a") =!= col("dig_b"), 1L)
+          .otherwise(0L)).as("n_changed"),
+        sum(when(col("dig_a").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("dig_b").isNull, 1L).otherwise(0L)).as("n_gone"))
+      .withColumn("change_permille",
+        when(col("n_changed") + col("n_unchanged") > 0,
+          expr("1000 * n_changed div (n_changed + n_unchanged)")))
+      .orderBy("host")
+  }
+
+  /** Turn [[contentDrift]] output into a recrawl schedule consumable by
+    * [[applySchedule]]: interval inversely proportional to the observed
+    * change rate, clamped to [1×, 8×] the base interval —
+    * `interval_us = base·1000 div max(change_permille, 125)`, so a host
+    * whose every overlapping url changed recrawls at the base cadence
+    * and a fully-static host waits 8× as long. All-integer (a SQL
+    * oracle replays it bit-for-bit); hosts with NULL rate evidence keep
+    * NULL interval/due, which [[applySchedule]] treats as due-now (the
+    * TTL fallback). Pure projection + rename — no shuffle.
+    */
+  def driftSchedule(drift: DataFrame, nowUs: Long,
+                    baseIntervalUs: Long): DataFrame =
+    drift
+      .withColumn("interval_us",
+        when(col("change_permille").isNotNull,
+          expr(s"${baseIntervalUs * 1000L} div greatest(change_permille, 125)")))
+      .withColumn("next_due_us", lit(nowUs) + col("interval_us"))
+      .withColumnRenamed("host", "host_id")
+
   /** Gate a wave's host dimension on the recrawl schedule — the bridge
     * from the offline [[recrawlSchedule]] job to the engine: a host
     * whose `next_due_us` lies in the future is flipped `enabled=false`

@@ -366,6 +366,98 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter decontamination — the FIXED-MEMORY scale path to
+    * [[contaminationCounts]]. The exact join is right when the eval
+    * side is a small benchmark suite; when the blocked set is itself
+    * corpus-sized (copyright takedowns, a previous training run's eval
+    * shards, another lab's released test sets — tens of millions of
+    * grams), broadcasting exact hashes stops scaling. The standard
+    * answer (CCNet's LM-filter plumbing, Lee et al.'s dedup service)
+    * is an m-bit Bloom filter: membership costs k bit probes against a
+    * bitmap whose size is FIXED regardless of the blocked-set
+    * cardinality, at the price of a bounded false-positive rate —
+    * acceptable because decontamination over-removal is harmless while
+    * under-removal is not, and a Bloom filter has ZERO false negatives
+    * (every exact collision is flagged; spec-pinned against
+    * [[contaminationCounts]]).
+    *
+    * Determinism contract: the k=3 "hash functions" are disjoint
+    * log₂(m)-bit fields of the SAME 60-bit md5-prefix gram hash the
+    * exact path joins on (positions `(gh >> 18·i) & (m−1)`), so a SQL
+    * oracle replays bit membership bit-for-bit — no murmur, no seed
+    * state. With m = 2^18 the filter holds ~26k grams at 1% FP
+    * (k=3 optimal near m/n ≈ 10); production sizes m up, and the
+    * probe shape is unchanged.
+    *
+    * Scale shape: the BUILD aggregates eval-gram bit positions to at
+    * most m distinct values before a bounded driver collect (≤ m
+    * longs — the q55 boilerplate-set / IVF-codebook precedent), and
+    * the bitmap rides the plan as an m/64-element long-array literal
+    * (32 KiB at 2^18; broadcast territory at larger m). The PROBE is a
+    * pure per-row projection — per-doc distinct grams and k bit tests
+    * inside array lambdas, NO join and NO shuffle of corpus grams at
+    * all (PlanSpec pins the join-free plan), vs the exact path's
+    * broadcast hash join. Corpus bodies are read once, in-scan.
+    *
+    * Output per non-eval doc: distinct-gram count, Bloom-flagged gram
+    * count, and a 0/1 `contaminated` verdict.
+    */
+  def bloomContamination(docs: DataFrame, n: Int, isEval: Column,
+                         mBits: Int = 1 << 18): DataFrame = {
+    require(mBits >= 64 && Integer.bitCount(mBits) == 1,
+      s"mBits must be a power of two >= 64, got $mBits")
+    val log2m = Integer.numberOfTrailingZeros(mBits)
+    require(3 * log2m <= 60, s"3 hash fields of $log2m bits exceed the 60-bit gram hash")
+    val mask = lit(mBits.toLong - 1L)
+    // field i of the gram hash; shift counts are literal ints, so the
+    // whole probe stays in codegen (no UDF, no non-codegen Expression)
+    def posOf(gh: Column, slot: Int): Column =
+      shiftright(gh, slot * log2m).bitwiseAND(mask)
+
+    // identical gram pipeline to contaminationCounts (same split, same
+    // n-token windows, same 60-bit md5-prefix hash), but kept AS AN
+    // ARRAY COLUMN per doc — materialized stepwise (the q48 lesson:
+    // HOF lambdas are interpreted; an inlined chain re-evaluates per
+    // element) — so short docs keep an empty array instead of
+    // vanishing in an explode.
+    val withGrams = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), TextOps.Ws).as("w"))
+      .withColumn("grams",
+        when(size(col("w")) >= n,
+          array_distinct(transform(sequence(lit(0), size(col("w")) - n),
+            i => conv(substring(md5(
+              concat_ws(" ", slice(col("w"), i + 1, lit(n)))), 1, 15), 16, 10)
+              .cast("long"))))
+          .otherwise(array().cast("array<bigint>")))
+
+    // build: eval grams -> bit positions -> distinct (bounded by m)
+    // -> bitmap. The collect is <= m longs by construction.
+    val evPos = withGrams.where(isEval)
+      .select(explode(col("grams")).as("gh"))
+      .select(explode(array(posOf(col("gh"), 0), posOf(col("gh"), 1),
+        posOf(col("gh"), 2))).as("p"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    val bits = new Array[Long](mBits / 64)
+    evPos.foreach { p => bits((p >> 6).toInt) |= 1L << (p & 63L).toInt }
+
+    val bitsCol = typedLit(bits.toSeq)
+    val pows = typedLit((0 until 64).map(i => 1L << i))
+    def isSet(p: Column): Column =
+      element_at(bitsCol, (shiftright(p, 6) + 1).cast("int"))
+        .bitwiseAND(element_at(pows, (p % 64 + 1).cast("int"))) =!= 0
+    def hit(gh: Column): Column =
+      isSet(posOf(gh, 0)) && isSet(posOf(gh, 1)) && isSet(posOf(gh, 2))
+
+    withGrams.where(!isEval)
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .withColumn("n_flagged",
+        size(filter(col("grams"), gh => hit(gh))).cast("long"))
+      .select(col("doc_id"), col("n_grams"), col("n_flagged"),
+        when(col("n_flagged") > 0, 1).otherwise(0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Substring-level exact dedup signals (the Lee et al. 2022
     * "Deduplicating Training Data" detector, window-hash form): for
     * EVERY document, how many distinct k-token windows it contains

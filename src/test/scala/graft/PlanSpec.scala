@@ -459,6 +459,26 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Join"), plan.take(3000))
   }
 
+  test("bloom decontamination probe is join-free: corpus grams never shuffle (q79)") {
+    val plan = planOf(SparkEntry.queries("q79_bloom_decontam")(spark, dir))
+    // the bitmap rides the plan as a long-array literal, so membership
+    // is k bit tests inside a projection — unlike q47's broadcast hash
+    // join, corpus grams never join and never hash-shuffle (the only
+    // exchange is the oracle-determinism orderBy's range partition)
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("hashpartitioning"), plan.take(3000))
+  }
+
+  test("content drift joins slim digest projections on url — no cartesian (q78)") {
+    val plan = planOf(SparkEntry.queries("q78_content_drift")(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the full-outer join keys on the UNIQUE url (skew-proof), never
+    // the host; the host roll-up combines map-side before its shuffle
+    assert(plan.contains("FullOuter"), plan.take(3000))
+    assert(plan.contains("partial_sum"), plan.take(3000))
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join

@@ -986,4 +986,61 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(byHost("few.com") == ((3L, 1L, 3000L, false)),
       "below the url floor no verdict fires, however collapsed")
   }
+
+  test("q78 content drift: url classification and the clamped drift schedule") {
+    import spark.implicits._
+    // host a: one of each class; b: vanished entirely (no rate
+    // evidence → NULLs, applySchedule's due-now fallback); c: every
+    // overlapping url changed (1000‰ → 1× base, the lower clamp);
+    // d: fully static (0‰ → floor 125 → 8× base, the upper clamp)
+    val prev = Seq(
+      ("a", "u1", "h1"), ("a", "u2", "h2"), ("a", "u3", "h3"),
+      ("b", "v1", "g1"),
+      ("c", "w1", "x1"),
+      ("d", "z1", "y1"), ("d", "z2", "y2")).toDF("host", "url", "digest")
+    val curr = Seq(
+      ("a", "u1", "h1"), ("a", "u2", "h2CHANGED"), ("a", "u4", "h4"),
+      ("c", "w1", "x1CHANGED"),
+      ("d", "z1", "y1"), ("d", "z2", "y2")).toDF("host", "url", "digest")
+    val base = 1000L
+    val rows = graft.crawl.Freshness.driftSchedule(
+        graft.crawl.Freshness.contentDrift(prev, curr),
+        nowUs = 50L, baseIntervalUs = base)
+      .orderBy("host_id").collect()
+    assert(rows.length == 4)
+    def tup(i: Int) = (rows(i).getString(0), rows(i).getLong(1),
+      rows(i).getLong(2), rows(i).getLong(3), rows(i).getLong(4))
+    assert(tup(0) == (("a", 1L, 1L, 1L, 1L)))
+    assert(rows(0).getLong(5) == 500L && rows(0).getLong(6) == 2 * base &&
+      rows(0).getLong(7) == 50L + 2 * base)
+    assert(tup(1) == (("b", 0L, 0L, 0L, 1L)))
+    assert(rows(1).isNullAt(5) && rows(1).isNullAt(6) && rows(1).isNullAt(7))
+    assert(rows(2).getString(0) == "c" && rows(2).getLong(5) == 1000L &&
+      rows(2).getLong(6) == base)
+    assert(rows(3).getString(0) == "d" && rows(3).getLong(5) == 0L &&
+      rows(3).getLong(6) == 8 * base)
+  }
+
+  test("q79 bloom decontamination never misses an exact hit (zero false negatives)") {
+    import org.apache.spark.sql.functions.col
+    // property vs the exact path on the real corpus: for every non-eval
+    // doc the Bloom flag count bounds the exact shared-gram count from
+    // above (FPs allowed, FNs never), and every exactly-contaminated
+    // doc carries the contaminated verdict
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isEval = col("doc_id") % 20 === 0
+    val exact = graft.ops.Dedup.contaminationCounts(docs, n = 5, isEval)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = graft.ops.Dedup.bloomContamination(docs, n = 5, isEval)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(bloom.keySet == exact.keySet, "both paths cover every non-eval doc")
+    assert(exact.values.exists(_ > 0L), "fixture must exercise real contamination")
+    exact.foreach { case (id, nExact) =>
+      val (nGrams, nFlagged, verdict) = bloom(id)
+      assert(nFlagged >= nExact, s"doc $id: bloom $nFlagged < exact $nExact")
+      assert(nFlagged <= nGrams)
+      assert(nExact == 0L || verdict == 1, s"doc $id must be flagged contaminated")
+    }
+  }
 }
