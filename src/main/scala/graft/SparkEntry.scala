@@ -736,6 +736,31 @@ object SparkEntry {
           nowUs = 1700000000000000L, baseIntervalUs = 86400000000L)
         .orderBy("host_id")
     }),
+    "q80_warc_revisit" -> ((s, d) => { // WARC revisit-record dedup
+      // (ISO 28500 identical-payload-digest): two dated crawls of the
+      // documents page table — crawl 2 re-fetches everything still
+      // present; unchanged pages come back byte-identical and become
+      // slim revisit records pointing at crawl 1's response, changed/
+      // new pages stay responses. Digest+len computed in-scan; bodies
+      // never ride the window's digest shuffle.
+      val docs = t(s, d, "documents")
+      def urlOf(c: org.apache.spark.sql.Column) =
+        concat(lit("http://"), mixHostOf(c), lit("/d"), c, lit(".html"))
+      val body = concat(lit("<html><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      val c1 = docs.select(urlOf(col("doc_id")).as("url"),
+        expr("timestampadd(MINUTE, CAST(doc_id % 1440 AS INT), " +
+          "timestamp'2024-03-01 00:00:00')").as("warc_ts"),
+        body.as("html"))
+      val c2 = docs.where(col("doc_id") % 11 =!= 3)
+        .select(urlOf(col("doc_id")).as("url"),
+          expr("timestampadd(MINUTE, CAST(doc_id % 1440 AS INT), " +
+            "timestamp'2024-03-02 00:00:00')").as("warc_ts"),
+          when(col("doc_id") % 7 === 0, concat(body, lit("<!--v2-->")))
+            .otherwise(body).as("html"))
+      sources.Warc.revisitDedup(c1.unionByName(c2))
+        .orderBy("url", "warc_ts")
+    }),
     "q79_bloom_decontam" -> ((s, d) => // Bloom-filter decontamination:
       // the fixed-memory scale path to q47's exact join — eval grams
       // compressed to a 2^18-bit filter (k=3 disjoint 18-bit fields of
@@ -1862,6 +1887,43 @@ object SparkEntry {
         |  MAX(lm_us) + MIN(iv_us) AS next_due_us
         |FROM u GROUP BY 1 ORDER BY host_id""".stripMargin,
     "q78_content_drift" -> driftOracleSql,
+    // q80: same two synthesized crawls (crawl 2 drops doc_id%11==3,
+    // re-versions %7==0 with '<!--v2-->'), same md5 digest over the
+    // same body string, same earliest-(warc_ts, url)-wins window —
+    // DuckDB replays the classification and byte accounting exactly.
+    "q80_warc_revisit" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    'http://' || ${mixHostSql("doc_id")} || '/d' || CAST(doc_id AS VARCHAR) || '.html' AS url,
+         |    '<html><body><p>' || text || '</p></body></html>' AS body
+         |  FROM documents),
+         |cap AS (
+         |  SELECT url, TIMESTAMP '2024-03-01 00:00:00'
+         |      + INTERVAL (doc_id % 1440) MINUTE AS warc_ts, body
+         |  FROM b
+         |  UNION ALL
+         |  SELECT url, TIMESTAMP '2024-03-02 00:00:00'
+         |      + INTERVAL (doc_id % 1440) MINUTE,
+         |    CASE WHEN doc_id % 7 = 0 THEN body || '<!--v2-->'
+         |         ELSE body END
+         |  FROM b WHERE doc_id % 11 <> 3),
+         |d AS (
+         |  SELECT url, warc_ts, md5(body) AS digest,
+         |    CAST(octet_length(encode(body)) AS BIGINT) AS page_len
+         |  FROM cap),
+         |r AS (
+         |  SELECT url, warc_ts, digest, page_len,
+         |    row_number() OVER w AS rn,
+         |    first_value(url) OVER w AS f_url,
+         |    first_value(warc_ts) OVER w AS f_ts
+         |  FROM d WINDOW w AS (PARTITION BY digest ORDER BY warc_ts, url))
+         |SELECT url, warc_ts, digest,
+         |  CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS rec_kind,
+         |  CASE WHEN rn > 1 THEN f_url END AS refers_to_url,
+         |  CASE WHEN rn > 1 THEN f_ts END AS refers_to_ts,
+         |  CASE WHEN rn = 1 THEN page_len ELSE 0 END AS stored_len,
+         |  CASE WHEN rn = 1 THEN 0 ELSE page_len END AS saved_len
+         |FROM r ORDER BY url, warc_ts""".stripMargin,
     // q79: same gram pipeline as q47 (split, 5-token windows, 60-bit
     // md5-prefix hash, per-doc distinct), positions = the three
     // disjoint 18-bit fields (m = 262144 = 2^18, m² = 68719476736),

@@ -10,6 +10,9 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, first, lit, md5, octet_length,
+  row_number, when}
 
 /** One parsed WARC record, as the reader emits it.
   *
@@ -306,6 +309,151 @@ object Warc {
         finally out.close()
       }
     }
+  }
+
+  // ---- revisit-record dedup (archive-level storage dedup) ------------
+
+  /** Classify captures into `response` vs `revisit` records — the WARC
+    * 1.1 `identical-payload-digest` revisit profile (ISO 28500-2017
+    * §6.7.2, the dedup every large archive runs: Heritrix's
+    * DeDuplicator, Common Crawl's dedup pass): when a capture's payload
+    * digest has been archived before, the later capture is stored as a
+    * slim `revisit` record pointing at the original (`WARC-Refers-To-
+    * Target-URI`/`-Date`) instead of re-storing the bytes. Re-fetches
+    * of unchanged pages — the bulk of any recrawl — then cost ~200
+    * header bytes instead of the full page.
+    *
+    * First-capture rule: within a digest group, the earliest
+    * `(warc_ts, url)` is the `response` (deterministic total order —
+    * ties on timestamp break by url); every later capture becomes a
+    * `revisit` carrying the original's url/ts. Cross-url duplicates
+    * (mirrors, alias urls) dedup exactly like same-url re-fetches —
+    * the profile keys on payload bytes, not the url.
+    *
+    * Scale shape: digest (16 bytes) and byte length are computed IN
+    * the capture scan, so page bodies never ride the shuffle — the
+    * window's one hash exchange moves slim (digest, url, ts, len)
+    * rows only (PlanSpec pins join-free, single hash exchange). Skew
+    * is bounded by payload popularity: a digest group is one page's
+    * capture history, and the pathological case (an error page served
+    * by a million hosts) still windows in one partition over slim rows.
+    *
+    * @param captures (url string, warc_ts timestamp, html string|binary)
+    * @return one row per capture: url, warc_ts, digest, rec_kind
+    *         ('response'|'revisit'), refers_to_url/refers_to_ts (null
+    *         for responses), stored_len (payload bytes kept), saved_len
+    *         (payload bytes the dedup avoided storing)
+    */
+  def revisitDedup(captures: DataFrame): DataFrame = {
+    val slim = captures.select(
+      col("url").cast("string").as("url"),
+      col("warc_ts"),
+      md5(col("html")).as("digest"),
+      octet_length(col("html")).cast("long").as("page_len"))
+    val w = Window.partitionBy("digest").orderBy(col("warc_ts"), col("url"))
+    slim
+      .withColumn("rn", row_number().over(w))
+      .withColumn("f_url", first(col("url")).over(w))
+      .withColumn("f_ts", first(col("warc_ts")).over(w))
+      .select(col("url"), col("warc_ts"), col("digest"),
+        when(col("rn") === 1, lit("response"))
+          .otherwise(lit("revisit")).as("rec_kind"),
+        when(col("rn") > 1, col("f_url")).as("refers_to_url"),
+        when(col("rn") > 1, col("f_ts")).as("refers_to_ts"),
+        when(col("rn") === 1, col("page_len")).otherwise(lit(0L))
+          .as("stored_len"),
+        when(col("rn") === 1, lit(0L)).otherwise(col("page_len"))
+          .as("saved_len"))
+  }
+
+  /** One record for the deduplicating sink: `response` rows carry the
+    * payload; `revisit` rows carry only the digest + the original's
+    * coordinates (payload omitted per the revisit profile). */
+  final case class ArchiveRec(url: String, tsIso: String,
+      html: Array[Byte], kind: String, digest: String,
+      refersToUrl: String, refersToTsIso: String)
+
+  /** Serialize classified records: `response` rows in the [[Doc]]
+    * layout, `revisit` rows as zero-payload records with the WARC 1.1
+    * identical-payload-digest profile headers. */
+  private[graft] def writeClassifiedRecords(out: OutputStream,
+      recs: Iterator[ArchiveRec], gzipPerRecord: Boolean = false): Unit =
+    recs.foreach { r =>
+      if (r.kind == "response")
+        writeRecords(out, Iterator(Doc(r.url, r.tsIso, r.html)),
+          gzipPerRecord)
+      else {
+        val sink = if (gzipPerRecord) new GZIPOutputStream(out, 1 << 16)
+          else out
+        val header =
+          ("WARC/1.0\r\n" +
+            "WARC-Type: revisit\r\n" +
+            s"WARC-Record-ID: <urn:md5:${r.digest}>\r\n" +
+            s"WARC-Date: ${r.tsIso}\r\n" +
+            s"WARC-Target-URI: ${r.url}\r\n" +
+            "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/" +
+            "identical-payload-digest\r\n" +
+            s"WARC-Payload-Digest: urn:md5:${r.digest}\r\n" +
+            s"WARC-Refers-To-Target-URI: ${r.refersToUrl}\r\n" +
+            s"WARC-Refers-To-Date: ${r.refersToTsIso}\r\n" +
+            "Content-Length: 0\r\n" +
+            "\r\n").getBytes(UTF_8)
+        sink.write(header)
+        sink.write(CRLF); sink.write(CRLF)
+        sink match { case g: GZIPOutputStream => g.finish() case _ => }
+      }
+    }
+
+  /** Deduplicating WARC sink — [[revisitDedup]] composed with [[write]]:
+    * archive a capture table with every repeated payload stored once
+    * (later captures as revisit records). Returns the classification
+    * DataFrame so callers can audit the storage saving.
+    *
+    * Scale shape: the classification shuffles slim rows only; bodies
+    * ride exactly ONE exchange — the equi-join on `(url, warc_ts)`
+    * that co-locates each capture with its verdict, unavoidable for a
+    * sink that must write winners' bytes — and revisit rows drop their
+    * payload BEFORE the writer sees them. Callers control segment
+    * count/size by repartitioning `captures` upstream (the join
+    * preserves nothing useful; the sink repartitions by url). */
+  def archiveDeduped(captures: DataFrame, dir: String,
+                     segments: Int = 4): DataFrame = {
+    val spark = captures.sparkSession
+    import spark.implicits._
+    val cls = revisitDedup(captures)
+    val joined = captures.join(cls, Seq("url", "warc_ts"))
+      .select(
+        col("url").cast("string"),
+        org.apache.spark.sql.functions.date_format(col("warc_ts"),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("ts_iso"),
+        when(col("rec_kind") === "response", col("html").cast("binary"))
+          .as("html"),
+        col("rec_kind"), col("digest"),
+        col("refers_to_url"),
+        org.apache.spark.sql.functions.date_format(col("refers_to_ts"),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("refers_ts_iso"))
+      .repartition(segments, col("url"))
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    joined.as[(String, String, Array[Byte], String, String, String, String)]
+      .foreachPartition {
+        (it: Iterator[(String, String, Array[Byte], String, String,
+          String, String)]) =>
+        if (it.hasNext) {
+          val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
+          val path = new org.apache.hadoop.fs.Path(
+            f"$dir/part-$pid%05d.warc.gz")
+          val fs = path.getFileSystem(hadoopConf.value)
+          fs.setWriteChecksum(false)
+          val out = fs.create(path, true)
+          try writeClassifiedRecords(out,
+            it.map { case (u, ts, b, k, dg, ru, rts) =>
+              ArchiveRec(u, ts, b, k, dg, ru, rts) },
+            gzipPerRecord = true)
+          finally out.close()
+        }
+      }
+    cls
   }
 
   /** Deterministic WARC fixture derived from a `documents` table:

@@ -479,6 +479,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), plan.take(3000))
   }
 
+  test("warc revisit dedup shuffles slim rows only: one digest exchange, no join (q80)") {
+    val plan = planOf(SparkEntry.queries("q80_warc_revisit")(spark, dir))
+    // digest + byte length are computed in the capture scan, so the
+    // window's single hash exchange moves (digest, url, ts, len) rows —
+    // page bodies never ride a shuffle and nothing joins
+    assert(!plan.contains("Join"), plan.take(3000))
+    val hashExchanges =
+      "hashpartitioning".r.findAllMatchIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 digest exchange, got " +
+      s"$hashExchanges\n${plan.take(3000)}")
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join

@@ -141,6 +141,63 @@ class WarcSpec extends AnyFunSuite {
     assert(back.except(want).isEmpty && want.except(back).isEmpty)
   }
 
+  test("deduplicating sink: repeated payloads become revisit records " +
+      "that round-trip with refers-to coordinates") {
+    import org.apache.spark.sql.functions._
+    val dir = TempDirs.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("warcdedup").toString)
+    // 12 captures over 6 urls: crawl 1 fetches u0..u5, crawl 2
+    // re-fetches all six but only u0/u3 changed — so 8 distinct
+    // payloads, 4 revisit records
+    val pages = spark.range(0, 12).select(
+      concat(lit("http://h.example/p"), col("id") % 6).as("url"),
+      expr("timestampadd(DAY, CAST(id DIV 6 AS INT), " +
+        "timestamp'2024-02-02 10:00:00')").as("warc_ts"),
+      encode(concat(lit("body-"), col("id") % 6,
+        when(col("id") >= 6 && (col("id") % 6).isin(0, 3), lit("-v2"))
+          .otherwise(lit(""))), "UTF-8").as("html"))
+    val cls = Warc.archiveDeduped(pages, dir, segments = 2)
+    val byKind = cls.groupBy("rec_kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind == Map("response" -> 8L, "revisit" -> 4L))
+    // storage accounting: saved bytes = the 4 unchanged re-fetches
+    val saved = cls.agg(sum("saved_len")).head.getLong(0)
+    assert(saved == 4L * "body-0".length)
+    // the archive reads back: 8 response records carry the 8 distinct
+    // payloads, 4 revisit records carry zero payload
+    val back = Warc.read(spark, dir + "/*")
+    val kinds = back.groupBy("rec_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds == Map("response" -> 8L, "revisit" -> 4L))
+    val bodies = back.where(col("rec_type") === "response")
+      .select(decode(col("html"), "UTF-8")).collect().map(_.getString(0))
+    assert(bodies.toSet ==
+      (0 to 5).map(i => s"body-$i").toSet ++ Set("body-0-v2", "body-3-v2"))
+    assert(back.where(col("rec_type") === "revisit")
+      .select(max(octet_length(col("html")))).head.getInt(0) == 0)
+    // revisit headers carry the original's coordinates (WARC 1.1
+    // identical-payload-digest profile) — check the raw record text
+    val raw = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).sortBy(_.getName)
+      .map { f =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.FileInputStream(f))
+        try new String(in.readAllBytes(), UTF_8) finally in.close()
+      }.mkString
+    val revisits = raw.split("WARC/1\\.0\r\n").toList
+      .filter(_.startsWith("WARC-Type: revisit"))
+    assert(revisits.size == 4)
+    revisits.foreach { r =>
+      assert(r.contains("WARC-Profile: http://netpreserve.org/warc/1.0/" +
+        "revisit/identical-payload-digest"), r.take(400))
+      assert(r.contains("WARC-Refers-To-Target-URI: http://h.example/p"),
+        r.take(400))
+      assert(r.contains("WARC-Refers-To-Date: 2024-02-02T10:00:00Z"),
+        r.take(400))
+      assert(r.contains("WARC-Payload-Digest: urn:md5:"), r.take(400))
+    }
+  }
+
   test("Spark read: mixed .warc and .warc.gz directory, distributed") {
     val dir = TempDirs.cleanupOnExit(
       java.nio.file.Files.createTempDirectory("warcspec").toString)
