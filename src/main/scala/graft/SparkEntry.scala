@@ -761,6 +761,34 @@ object SparkEntry {
       sources.Warc.revisitDedup(c1.unionByName(c2))
         .orderBy("url", "warc_ts")
     }),
+    "q81_mirror_hosts" -> ((s, d) => { // mirror-host detection (Bharat
+      // & Broder WWW'99): host pairs replicating (path, digest)
+      // evidence units. Fixture: every doc on its mix-host; %4==1 docs
+      // replicated byte-identical onto 'mm.'-prefixed mirrors (the
+      // signal), %4==2 docs onto 'ss.' hosts with DIVERGED content
+      // (paths match, digests don't — zero evidence, pinned absent),
+      // plus an all-hosts '/index.html' boilerplate key that MUST die
+      // in the maxHostsPerKey cap (84 mix-hosts > 50) or the pair
+      // join goes quadratic in hosts.
+      val docs = t(s, d, "documents")
+      val h = mixHostOf(col("doc_id"))
+      val p = concat(lit("/p"),
+        substring(md5(concat(col("doc_id"), lit("#p"))), 1, 8),
+        lit(".html"))
+      val base = docs.select(h.as("host"), p.as("path"),
+        md5(col("text")).as("digest"))
+      val mirror = docs.where(col("doc_id") % 4 === 1)
+        .select(concat(lit("mm."), h).as("host"), p.as("path"),
+          md5(col("text")).as("digest"))
+      val stale = docs.where(col("doc_id") % 4 === 2)
+        .select(concat(lit("ss."), h).as("host"), p.as("path"),
+          md5(concat(col("text"), lit("#stale"))).as("digest"))
+      val boiler = docs.select(h.as("host"),
+        lit("/index.html").as("path"), md5(lit("boiler")).as("digest"))
+      ops.UrlOps.mirrorHosts(
+        base.unionByName(mirror).unionByName(stale).unionByName(boiler),
+        col("host"), col("path"), col("digest"))
+    }),
     "q79_bloom_decontam" -> ((s, d) => // Bloom-filter decontamination:
       // the fixed-memory scale path to q47's exact join — eval grams
       // compressed to a 2^18-bit filter (k=3 disjoint 18-bit fields of
@@ -1924,6 +1952,48 @@ object SparkEntry {
          |  CASE WHEN rn = 1 THEN page_len ELSE 0 END AS stored_len,
          |  CASE WHEN rn = 1 THEN 0 ELSE page_len END AS saved_len
          |FROM r ORDER BY url, warc_ts""".stripMargin,
+    // q81: the same (host, path, digest) evidence units replayed as
+    // plain SQL — distinct triples, boilerplate keys over the 50-host
+    // cap dropped BEFORE the pair join, host sizes counted UNCAPPED,
+    // min-size-normalized integer permille, thresholds mirrored.
+    "q81_mirror_hosts" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, ${mixHostSql("doc_id")} AS host,
+         |    '/p' || substring(md5(doc_id || '#p'), 1, 8) || '.html' AS path,
+         |    md5(text) AS digest, text
+         |  FROM documents),
+         |pages AS (
+         |  SELECT host, path, digest FROM u
+         |  UNION ALL
+         |  SELECT 'mm.' || host, path, digest FROM u WHERE doc_id % 4 = 1
+         |  UNION ALL
+         |  SELECT 'ss.' || host, path, md5(text || '#stale')
+         |  FROM u WHERE doc_id % 4 = 2
+         |  UNION ALL
+         |  SELECT host, '/index.html', md5('boiler') FROM u),
+         |trip AS (SELECT DISTINCT host, path, digest FROM pages),
+         |sizes AS (SELECT host, COUNT(*) AS n FROM trip GROUP BY 1),
+         |keyh AS (SELECT path, digest, COUNT(*) AS nh
+         |         FROM trip GROUP BY 1, 2),
+         |ok AS (
+         |  SELECT t.host, t.path, t.digest FROM trip t
+         |  JOIN keyh k ON t.path = k.path AND t.digest = k.digest
+         |  WHERE k.nh <= 50),
+         |pairs AS (
+         |  SELECT a.host AS host_a, b.host AS host_b,
+         |    COUNT(*) AS n_shared
+         |  FROM ok a JOIN ok b ON a.path = b.path
+         |    AND a.digest = b.digest AND a.host < b.host
+         |  GROUP BY 1, 2)
+         |SELECT p.host_a, p.host_b, p.n_shared, sa.n AS n_a,
+         |  sb.n AS n_b,
+         |  1000 * p.n_shared // LEAST(sa.n, sb.n) AS overlap_permille
+         |FROM pairs p
+         |JOIN sizes sa ON sa.host = p.host_a
+         |JOIN sizes sb ON sb.host = p.host_b
+         |WHERE p.n_shared >= 2
+         |  AND 1000 * p.n_shared // LEAST(sa.n, sb.n) >= 500
+         |ORDER BY host_a, host_b""".stripMargin,
     // q79: same gram pipeline as q47 (split, 5-token windows, 60-bit
     // md5-prefix hash, per-doc distinct), positions = the three
     // disjoint 18-bit fields (m = 262144 = 2^18, m² = 68719476736),

@@ -218,4 +218,81 @@ object UrlOps {
     hosts.join(flagged, hosts("host") === flagged("tp_host"), "left")
       .select(cols.toIndexedSeq: _*)
   }
+
+  /** Mirror-host detection (Bharat & Broder WWW'99; Cho, Shivakumar &
+    * Garcia-Molina VLDB'00 "Finding replicated Web collections"): host
+    * pairs serving near-identical content under the same paths. A
+    * crawler that knows `b.example` mirrors `a.example` fetches one of
+    * them — at 10^10-URL scale mirror families are a double-digit
+    * percentage of the frontier (the WWW'99 measurement), so this is a
+    * first-class frontier-budget operator, not an analytics nicety.
+    * The reference dedups single urls only (`ArticleDBAccess.cs`'s
+    * unique-url guard); cross-host replication is the offline gap this
+    * fills.
+    *
+    * Evidence unit: the distinct `(host, path, digest)` triple — two
+    * hosts sharing a path that serves byte-identical content (same
+    * content digest) share one unit. `overlap_permille =
+    * 1000·n_shared div min(n_a, n_b)` (integer, oracle-replayable);
+    * a pair is reported when it has at least `minShared` units and
+    * reaches `minPermille`. min-size normalization is the WWW'99
+    * choice: a small full replica of a large host still scores 1000.
+    *
+    * Boilerplate cap (the q21 skew-cap shape, mirrored by the oracle):
+    * a `(path, digest)` key shared by more than `maxHostsPerKey` hosts
+    * is parked-page/error-page boilerplate, not mirroring evidence —
+    * and each such key would mint O(hosts²) join rows. Keys over the
+    * cap are dropped BEFORE the pair join, so the join's per-key
+    * fan-out is bounded by `maxHostsPerKey²` regardless of corpus
+    * shape. Host sizes are counted over the UNCAPPED triples (the cap
+    * prunes evidence, not the denominator).
+    *
+    * Scale shape: one distinct over slim (host, path, digest) triples;
+    * the cap a partial-aggregated count + equi-join on the key; the
+    * pair join a self equi-join on (path, digest) with `host_a <
+    * host_b`; pair counts hash-aggregate map-side; two slim joins
+    * attach sizes. Bodies never ride (callers pass digests, not
+    * content), no window, no cartesian, no driver collection.
+    *
+    * @param pages  one row per crawled page; duplicates fine
+    * @param hostCol host serving the page
+    * @param pathCol path component (the cross-host join key, so pass
+    *                the CANONICAL path — [[canonicalize]] upstream)
+    * @param digestCol content digest (any stable fingerprint column)
+    * @return (host_a, host_b, n_shared, n_a, n_b, overlap_permille)
+    *         with host_a < host_b, ordered by (host_a, host_b)
+    */
+  def mirrorHosts(pages: DataFrame, hostCol: Column, pathCol: Column,
+                  digestCol: Column, maxHostsPerKey: Int = 50,
+                  minShared: Long = 2L,
+                  minPermille: Long = 500L): DataFrame = {
+    val trip = pages.select(hostCol.cast("string").as("host"),
+        pathCol.cast("string").as("path"),
+        digestCol.cast("string").as("digest"))
+      .distinct()
+    val sizes = trip.groupBy("host").agg(count(lit(1)).as("n"))
+    val keyHosts = trip.groupBy("path", "digest")
+      .agg(count(lit(1)).as("nh")) // triples are distinct ⇒ count = hosts
+    val ok = trip.join(keyHosts.where(col("nh") <= maxHostsPerKey),
+      Seq("path", "digest"))
+    val pairs = ok.as("a")
+      .join(ok.as("b"),
+        col("a.path") === col("b.path") &&
+          col("a.digest") === col("b.digest") &&
+          col("a.host") < col("b.host"))
+      .groupBy(col("a.host").as("host_a"), col("b.host").as("host_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("host").as("host_a"), col("n").as("n_a")),
+        Seq("host_a"))
+      .join(sizes.select(col("host").as("host_b"), col("n").as("n_b")),
+        Seq("host_b"))
+      .withColumn("overlap_permille",
+        expr("1000 * n_shared div least(n_a, n_b)"))
+      .where(col("n_shared") >= minShared &&
+        col("overlap_permille") >= minPermille)
+      .select("host_a", "host_b", "n_shared", "n_a", "n_b",
+        "overlap_permille")
+      .orderBy("host_a", "host_b")
+  }
 }

@@ -491,6 +491,19 @@ class PlanSpec extends AnyFunSuite {
       s"$hashExchanges\n${plan.take(3000)}")
   }
 
+  test("mirror hosts: capped equi-joins only — no cartesian, no window (q81)") {
+    val plan = planOf(SparkEntry.queries("q81_mirror_hosts")(spark, dir))
+    // the pair join is a self EQUI-join on (path, digest) whose per-key
+    // fan-out the boilerplate cap bounds at maxHostsPerKey² — a
+    // cartesian/nested-loop here is quadratic in hosts and means the
+    // host_a < host_b predicate leaked out of the join condition
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    // pair counts combine map-side before their (host_a, host_b) shuffle
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join

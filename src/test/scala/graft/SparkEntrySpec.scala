@@ -1021,6 +1021,44 @@ class SparkEntrySpec extends AnyFunSuite {
       rows(3).getLong(6) == 8 * base)
   }
 
+  test("q81 mirror hosts: min-size permille, cap kills boilerplate, diverged digests carry no evidence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pages = (
+      // full mirror: m.a.com replicates 3 of a.com's 4 pages
+      Seq(("a.com", "/p1", "d1"), ("a.com", "/p2", "d2"),
+        ("a.com", "/p3", "d3"), ("a.com", "/p4", "d4"),
+        ("m.a.com", "/p1", "d1"), ("m.a.com", "/p2", "d2"),
+        ("m.a.com", "/p3", "d3")) ++
+      // one shared unit only — under minShared, dropped
+      Seq(("b.com", "/q1", "e1"), ("b.com", "/q2", "e2"),
+        ("pb.com", "/q1", "e1"), ("pb.com", "/q9", "e9")) ++
+      // same paths, diverged digests — zero evidence, no pair
+      Seq(("c.com", "/r1", "f1"), ("c.com", "/r2", "f2"),
+        ("sc.com", "/r1", "g1"), ("sc.com", "/r2", "g2")) ++
+      // 2 shared units over min-size 7 = 285‰ — under minPermille
+      ((1 to 5).map(i => ("e.com", s"/e$i", s"he$i")) :+
+        ("e.com", "/s1", "hs1") :+ ("e.com", "/s2", "hs2")) ++
+      ((1 to 5).map(i => ("f.com", s"/f$i", s"hf$i")) :+
+        ("f.com", "/s1", "hs1") :+ ("f.com", "/s2", "hs2")) ++
+      // boilerplate key on 5 hosts with cap 4: not evidence (else the
+      // a/m.a pair would count 4 shared), but still in the host sizes
+      Seq("a.com", "m.a.com", "b.com", "c.com", "e.com")
+        .map(h => (h, "/idx", "bb")) ++
+      // a duplicate sighting must count once
+      Seq(("a.com", "/p1", "d1"))
+    ).toDF("h", "p", "g")
+    val rows = graft.ops.UrlOps.mirrorHosts(pages, col("h"), col("p"),
+      col("g"), maxHostsPerKey = 4).collect()
+    assert(rows.length == 1, rows.mkString("; "))
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) == (("a.com", "m.a.com")))
+    assert(r.getLong(2) == 3L, "the capped /idx key is not evidence")
+    assert(r.getLong(3) == 5L, "sizes count the UNCAPPED triples")
+    assert(r.getLong(4) == 4L)
+    assert(r.getLong(5) == 750L) // 1000*3 div min(5,4)
+  }
+
   test("q79 bloom decontamination never misses an exact hit (zero false negatives)") {
     import org.apache.spark.sql.functions.col
     // property vs the exact path on the real corpus: for every non-eval
