@@ -789,6 +789,43 @@ object SparkEntry {
         base.unionByName(mirror).unionByName(stale).unionByName(boiler),
         col("host"), col("path"), col("digest"))
     }),
+    "q82_dust_rules" -> ((s, d) => { // DUST param-rule mining (Bar-
+      // Yossef et al. WWW'07): learn strip-this-query-param rules
+      // from duplicate-content evidence. Fixture params: 'sessionid'
+      // always content-irrelevant (bare + ?sessionid= spellings of
+      // every doc, plus ref/page combos), 'ref' irrelevant on the %5
+      // docs that carry it, 'page' content-RELEVANT (?page=2 serves a
+      // '#p2' digest — stripping it lands on the bare url with a
+      // different digest, pure counterexamples), and 'v' mixed on
+      // n_chars parity (~half counters ⇒ rejected by the permille
+      // gate wherever it reaches minSupport).
+      val docs = t(s, d, "documents")
+      val h = mixHostOf(col("doc_id"))
+      val base = concat(lit("http://"), h, lit("/a"), col("doc_id"))
+      val sid = substring(md5(concat(col("doc_id"), lit("#s"))), 1, 6)
+      val d0 = md5(col("text"))
+      def pick(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+               dg: org.apache.spark.sql.Column) =
+        docs.select(h.as("host"), f(base).as("url"), dg.as("digest"))
+      val pages = pick(identity, d0)
+        .unionByName(pick(b => concat(b, lit("?sessionid="), sid), d0))
+        .unionByName(pick(b => concat(b, lit("?ref=home")), d0)
+          .where(col("doc_id") % 5 === 0))
+        .unionByName(
+          pick(b => concat(b, lit("?ref=home&sessionid="), sid), d0)
+            .where(col("doc_id") % 5 === 0))
+        .unionByName(pick(b => concat(b, lit("?page=2")),
+            md5(concat(col("text"), lit("#p2"))))
+          .where(col("doc_id") % 3 === 0))
+        .unionByName(pick(b => concat(b, lit("?page=2&sessionid="), sid),
+            md5(concat(col("text"), lit("#p2"))))
+          .where(col("doc_id") % 7 === 0))
+        .unionByName(pick(b => concat(b, lit("?v=1")),
+          when(col("n_chars") % 2 === 0, d0)
+            .otherwise(md5(concat(col("text"), lit("#v"))))))
+      ops.UrlOps.dustParamRules(pages, col("host"), col("url"),
+        col("digest"))
+    }),
     "q79_bloom_decontam" -> ((s, d) => // Bloom-filter decontamination:
       // the fixed-memory scale path to q47's exact join — eval grams
       // compressed to a 2^18-bit filter (k=3 disjoint 18-bit fields of
@@ -1994,6 +2031,64 @@ object SparkEntry {
          |WHERE p.n_shared >= 2
          |  AND 1000 * p.n_shared // LEAST(sa.n, sb.n) >= 500
          |ORDER BY host_a, host_b""".stripMargin,
+    // q82: the same evidence replayed in SQL — distinct (url, digest),
+    // canonical key = base + SORTED params, per-param-occurrence
+    // residual key joined against the key set (digests compared
+    // POST-join), integer permille gates mirrored.
+    "q82_dust_rules" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, ${mixHostSql("doc_id")} AS host,
+         |    'http://' || ${mixHostSql("doc_id")} || '/a' || CAST(doc_id AS VARCHAR) AS base,
+         |    substring(md5(doc_id || '#s'), 1, 6) AS sid,
+         |    md5(text) AS d0, text, n_chars
+         |  FROM documents),
+         |pages AS (
+         |  SELECT host, base AS url, d0 AS digest FROM u
+         |  UNION ALL SELECT host, base || '?sessionid=' || sid, d0 FROM u
+         |  UNION ALL SELECT host, base || '?ref=home', d0
+         |    FROM u WHERE doc_id % 5 = 0
+         |  UNION ALL SELECT host, base || '?ref=home&sessionid=' || sid, d0
+         |    FROM u WHERE doc_id % 5 = 0
+         |  UNION ALL SELECT host, base || '?page=2', md5(text || '#p2')
+         |    FROM u WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT host, base || '?page=2&sessionid=' || sid,
+         |    md5(text || '#p2') FROM u WHERE doc_id % 7 = 0
+         |  UNION ALL SELECT host, base || '?v=1',
+         |    CASE WHEN n_chars % 2 = 0 THEN d0 ELSE md5(text || '#v') END
+         |    FROM u),
+         |rp AS (
+         |  SELECT host, url, digest,
+         |    split_part(url, '?', 1) AS base,
+         |    list_filter(string_split(split_part(url, '?', 2), '&'),
+         |      p -> len(p) > 0) AS params
+         |  FROM (SELECT DISTINCT host, url, digest FROM pages)),
+         |keys AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN len(params) = 0 THEN base
+         |      ELSE base || '?' || array_to_string(list_sort(params), '&')
+         |    END AS key,
+         |    digest AS key_digest
+         |  FROM rp),
+         |cand AS (
+         |  SELECT host, split_part(kv, '=', 1) AS param, digest,
+         |    CASE WHEN len(list_filter(params, p -> p <> kv)) = 0
+         |      THEN base
+         |      ELSE base || '?' || array_to_string(
+         |        list_sort(list_filter(params, p -> p <> kv)), '&')
+         |    END AS residual
+         |  FROM rp, LATERAL (SELECT unnest(list_distinct(params)) AS kv) x),
+         |agg AS (
+         |  SELECT host, param,
+         |    CAST(SUM(CASE WHEN c.digest = k.key_digest THEN 1 ELSE 0 END) AS BIGINT) AS n_support,
+         |    CAST(SUM(CASE WHEN c.digest <> k.key_digest THEN 1 ELSE 0 END) AS BIGINT) AS n_counter
+         |  FROM cand c JOIN keys k ON c.residual = k.key
+         |  GROUP BY 1, 2)
+         |SELECT host, param, n_support, n_counter,
+         |  1000 * n_counter // (n_support + n_counter) AS counter_permille
+         |FROM agg
+         |WHERE n_support >= 3
+         |  AND 1000 * n_counter // (n_support + n_counter) <= 100
+         |ORDER BY host, param""".stripMargin,
     // q79: same gram pipeline as q47 (split, 5-token windows, 60-bit
     // md5-prefix hash, per-doc distinct), positions = the three
     // disjoint 18-bit fields (m = 262144 = 2^18, m² = 68719476736),

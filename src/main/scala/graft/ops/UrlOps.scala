@@ -262,6 +262,84 @@ object UrlOps {
     * @return (host_a, host_b, n_shared, n_a, n_b, overlap_permille)
     *         with host_a < host_b, ordered by (host_a, host_b)
     */
+  /** DUST rule mining — "Do Not Crawl in the DUST: different URLs with
+    * similar text" (Bar-Yossef, Keidar & Schwartz WWW'07): learn
+    * per-host *strip-this-query-param* rewrite rules from observed
+    * duplicate content, the practical bulk of DUST (session ids,
+    * tracking params). A learned rule feeds URL canonicalization ahead
+    * of the frontier: aliases collapse BEFORE the seen-filter, so the
+    * crawler never fetches a known-duplicate spelling again. The
+    * reference canonicalizes syntax only (`HtmlHelper.cs`'s URL fixes);
+    * content-evidence rules are the offline learning step it lacks.
+    *
+    * Evidence, per (url, param-occurrence): strip the exact `k=v`
+    * occurrence, rebuild the url's canonical key (path + SORTED
+    * residual params — order-insensitive); if the residual key is
+    * itself a crawled url, the pair is *support* when the two content
+    * digests match and a *counterexample* when they differ. Per
+    * (host, param): a rule is emitted when `n_support >= minSupport`
+    * and `counter_permille = 1000·n_counter div (n_support+n_counter)
+    * <= maxCounterPermille` (integer math — oracle-replayable).
+    *
+    * Scale shape: two pure projections (key build; param explode +
+    * residual-key rebuild — sizes bounded by params-per-url), ONE
+    * equi-join of residual keys against the distinct key set (keys
+    * embed host+path, so they are near-unique — no hot key exists even
+    * when one error page's DIGEST covers half the corpus, because
+    * digests are compared post-join, never joined on), then one
+    * partial-aggregated roll-up to (host, param). Bodies never ride;
+    * no window, no cartesian, no driver collection.
+    *
+    * @param pages one row per crawled page (duplicates fine)
+    * @param hostCol grouping host for the emitted rule
+    * @param urlCol  url whose query params are candidate DUST;
+    *                pass the syntax-canonical form ([[canonicalize]])
+    * @param digestCol content digest
+    * @return (host, param, n_support, n_counter, counter_permille)
+    *         for accepted rules, ordered by (host, param)
+    */
+  def dustParamRules(pages: DataFrame, hostCol: Column, urlCol: Column,
+                     digestCol: Column, minSupport: Long = 3L,
+                     maxCounterPermille: Long = 100L): DataFrame = {
+    val rows = pages.select(hostCol.cast("string").as("host"),
+        urlCol.cast("string").as("url"),
+        digestCol.cast("string").as("digest"))
+      .distinct()
+      .withColumn("base", substring_index(col("url"), "?", 1))
+      .withColumn("qs",
+        when(col("url").contains("?"),
+          expr("substring(url, instr(url, '?') + 1)"))
+          .otherwise(lit("")))
+      .withColumn("params",
+        filter(split(col("qs"), "&"), p => length(p) > 0))
+    def keyOf(base: Column, params: Column): Column =
+      when(size(params) === 0, base)
+        .otherwise(concat(base, lit("?"),
+          array_join(array_sort(params), "&")))
+    val keys = rows
+      .select(keyOf(col("base"), col("params")).as("key"),
+        col("digest").as("key_digest"))
+      .distinct()
+    val cand = rows
+      .select(col("host"), col("base"), col("params"), col("digest"),
+        explode(array_distinct(col("params"))).as("kv"))
+      .withColumn("param", substring_index(col("kv"), "=", 1))
+      .withColumn("residual",
+        keyOf(col("base"),
+          filter(col("params"), p => p =!= col("kv"))))
+    cand.join(keys, cand("residual") === keys("key"))
+      .groupBy("host", "param")
+      .agg(sum(when(col("digest") === col("key_digest"), 1L)
+          .otherwise(0L)).as("n_support"),
+        sum(when(col("digest") =!= col("key_digest"), 1L)
+          .otherwise(0L)).as("n_counter"))
+      .withColumn("counter_permille",
+        expr("1000 * n_counter div (n_support + n_counter)"))
+      .where(col("n_support") >= minSupport &&
+        col("counter_permille") <= maxCounterPermille)
+      .orderBy("host", "param")
+  }
+
   def mirrorHosts(pages: DataFrame, hostCol: Column, pathCol: Column,
                   digestCol: Column, maxHostsPerKey: Int = 50,
                   minShared: Long = 2L,

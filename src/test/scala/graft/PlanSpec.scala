@@ -504,6 +504,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan.take(3000))
   }
 
+  test("dust rules: one equi-join on near-unique url keys — no cartesian, no window (q82)") {
+    val plan = planOf(SparkEntry.queries("q82_dust_rules")(spark, dir))
+    // digests are compared POST-join; joining on them instead would
+    // recreate the hot-error-page skew this operator exists to dodge
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    // the (host, param) roll-up combines map-side before its shuffle
+    assert(plan.contains("partial_sum"), plan.take(3000))
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join

@@ -1059,6 +1059,40 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(r.getLong(5) == 750L) // 1000*3 div min(5,4)
   }
 
+  test("q82 dust rules: param-order-insensitive keys, digest counterexamples, support floor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pages = Seq(
+      ("h.com", "http://h.com/a", "d1"),
+      ("h.com", "http://h.com/a?s=1", "d1"),
+      ("h.com", "http://h.com/b", "d2"),
+      ("h.com", "http://h.com/b?s=2", "d2"),
+      // multi-param: stripping s must land on the REMAINING-params key
+      ("h.com", "http://h.com/c", "d3"),
+      ("h.com", "http://h.com/c?x=9&s=3", "d3"),
+      ("h.com", "http://h.com/c?x=9", "d3"),
+      // param order differs between the spellings — keys must sort
+      ("h.com", "http://h.com/d?x=8", "d4"),
+      ("h.com", "http://h.com/d?s=4&x=8", "d4"),
+      // content-relevant param: same residual, DIFFERENT digest
+      ("h.com", "http://h.com/e", "d5"),
+      ("h.com", "http://h.com/e?page=2", "D5"),
+      // a duplicate sighting must count once
+      ("h.com", "http://h.com/a?s=1", "d1")
+    ).toDF("h", "u", "g")
+    val rows = graft.ops.UrlOps.dustParamRules(pages, col("h"), col("u"),
+      col("g")).collect()
+    assert(rows.length == 1, rows.mkString("; "))
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) == (("h.com", "s")))
+    assert(r.getLong(2) == 4L, "one support per droppable occurrence")
+    assert(r.getLong(3) == 0L)
+    assert(r.getLong(4) == 0L)
+    // 'x' reaches only 1 support (< floor), 'page' has pure
+    // counterexamples — neither may appear
+    assert(!rows.exists(r => r.getString(1) == "x" || r.getString(1) == "page"))
+  }
+
   test("q79 bloom decontamination never misses an exact hit (zero false negatives)") {
     import org.apache.spark.sql.functions.col
     // property vs the exact path on the real corpus: for every non-eval
