@@ -124,6 +124,39 @@ object SparkEntry {
   private val blockDomains = Seq("w3.ex1.com", "ex2.com", "m0.w4.ex0.com")
   private val mixWeights = Map("src0" -> 2.5, "src1" -> 1.25)
   private val mixDefaultWeight = 0.5
+  // documents-derived DUST fixture shared by q82 (mining) and q83
+  // (application) — ONE definition so the two queries' url/digest
+  // streams can never desynchronize from each other or their oracles:
+  // every doc spelled bare and with ?sessionid= (content-identical),
+  // %5 docs add ref=home spellings, %3/%7 docs add content-RELEVANT
+  // page=2 variants ('#p2' digest), and a parity-mixed v=1.
+  private def dustFixture(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val h = mixHostOf(col("doc_id"))
+    val base = concat(lit("http://"), h, lit("/a"), col("doc_id"))
+    val sid = substring(md5(concat(col("doc_id"), lit("#s"))), 1, 6)
+    val d0 = md5(col("text"))
+    def pick(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+             dg: org.apache.spark.sql.Column) =
+      docs.select(h.as("host"), f(base).as("url"), dg.as("digest"))
+    pick(identity, d0)
+      .unionByName(pick(b => concat(b, lit("?sessionid="), sid), d0))
+      .unionByName(pick(b => concat(b, lit("?ref=home")), d0)
+        .where(col("doc_id") % 5 === 0))
+      .unionByName(
+        pick(b => concat(b, lit("?ref=home&sessionid="), sid), d0)
+          .where(col("doc_id") % 5 === 0))
+      .unionByName(pick(b => concat(b, lit("?page=2")),
+          md5(concat(col("text"), lit("#p2"))))
+        .where(col("doc_id") % 3 === 0))
+      .unionByName(pick(b => concat(b, lit("?page=2&sessionid="), sid),
+          md5(concat(col("text"), lit("#p2"))))
+        .where(col("doc_id") % 7 === 0))
+      .unionByName(pick(b => concat(b, lit("?v=1")),
+        when(col("n_chars") % 2 === 0, d0)
+          .otherwise(md5(concat(col("text"), lit("#v"))))))
+  }
+
   private def mixHostOf(docId: org.apache.spark.sql.Column) =
     concat(lit("m"), docId % 3, lit(".w"), docId % 7,
       lit(".ex"), docId % 4, lit(".com"))
@@ -799,32 +832,23 @@ object SparkEntry {
       // different digest, pure counterexamples), and 'v' mixed on
       // n_chars parity (~half counters ⇒ rejected by the permille
       // gate wherever it reaches minSupport).
-      val docs = t(s, d, "documents")
-      val h = mixHostOf(col("doc_id"))
-      val base = concat(lit("http://"), h, lit("/a"), col("doc_id"))
-      val sid = substring(md5(concat(col("doc_id"), lit("#s"))), 1, 6)
-      val d0 = md5(col("text"))
-      def pick(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-               dg: org.apache.spark.sql.Column) =
-        docs.select(h.as("host"), f(base).as("url"), dg.as("digest"))
-      val pages = pick(identity, d0)
-        .unionByName(pick(b => concat(b, lit("?sessionid="), sid), d0))
-        .unionByName(pick(b => concat(b, lit("?ref=home")), d0)
-          .where(col("doc_id") % 5 === 0))
-        .unionByName(
-          pick(b => concat(b, lit("?ref=home&sessionid="), sid), d0)
-            .where(col("doc_id") % 5 === 0))
-        .unionByName(pick(b => concat(b, lit("?page=2")),
-            md5(concat(col("text"), lit("#p2"))))
-          .where(col("doc_id") % 3 === 0))
-        .unionByName(pick(b => concat(b, lit("?page=2&sessionid="), sid),
-            md5(concat(col("text"), lit("#p2"))))
-          .where(col("doc_id") % 7 === 0))
-        .unionByName(pick(b => concat(b, lit("?v=1")),
-          when(col("n_chars") % 2 === 0, d0)
-            .otherwise(md5(concat(col("text"), lit("#v"))))))
-      ops.UrlOps.dustParamRules(pages, col("host"), col("url"),
-        col("digest"))
+      ops.UrlOps.dustParamRules(dustFixture(s, d), col("host"),
+        col("url"), col("digest"))
+    }),
+    "q83_dust_apply" -> ((s, d) => { // the q82→frontier bridge: mine
+      // the rules, then rewrite the SAME url stream into sorted-param
+      // canonical form with the ruled params stripped — a broadcast
+      // join + pure projection, the shape the seen-filter consumes.
+      // End-to-end pin: every sessionid/ref alias family collapses to
+      // one spelling while the content-relevant page=2 urls keep
+      // their param.
+      val pages = dustFixture(s, d)
+      val rules = ops.UrlOps.dustParamRules(pages, col("host"),
+        col("url"), col("digest"))
+      ops.UrlOps.applyDustRules(pages.select("host", "url").distinct(),
+          col("host"), col("url"), rules)
+        .select("url", "url_canon")
+        .orderBy("url")
     }),
     "q79_bloom_decontam" -> ((s, d) => // Bloom-filter decontamination:
       // the fixed-memory scale path to q47's exact join — eval grams
@@ -1017,6 +1041,61 @@ object SparkEntry {
   // (q67/q69/q70) — the q57/q66 oracles carry the same formula inline
   // in their plain (non-interpolated) strings; any edit must touch all
   // three places or the composed queries desynchronize.
+  // Shared CTE prefix of the q82/q83 oracles: the dustFixture url
+  // stream (u, pages), parsed urls (rp: base + param list), canonical
+  // keys, per-param-occurrence residuals (cand), and the
+  // support/counter roll-up (agg). ONE definition — the two oracles
+  // extend it with their own final SELECT, exactly as the Spark side
+  // shares dustFixture.
+  private def dustOracleCtes: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, ${mixHostSql("doc_id")} AS host,
+       |    'http://' || ${mixHostSql("doc_id")} || '/a' || CAST(doc_id AS VARCHAR) AS base,
+       |    substring(md5(doc_id || '#s'), 1, 6) AS sid,
+       |    md5(text) AS d0, text, n_chars
+       |  FROM documents),
+       |pages AS (
+       |  SELECT host, base AS url, d0 AS digest FROM u
+       |  UNION ALL SELECT host, base || '?sessionid=' || sid, d0 FROM u
+       |  UNION ALL SELECT host, base || '?ref=home', d0
+       |    FROM u WHERE doc_id % 5 = 0
+       |  UNION ALL SELECT host, base || '?ref=home&sessionid=' || sid, d0
+       |    FROM u WHERE doc_id % 5 = 0
+       |  UNION ALL SELECT host, base || '?page=2', md5(text || '#p2')
+       |    FROM u WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT host, base || '?page=2&sessionid=' || sid,
+       |    md5(text || '#p2') FROM u WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT host, base || '?v=1',
+       |    CASE WHEN n_chars % 2 = 0 THEN d0 ELSE md5(text || '#v') END
+       |    FROM u),
+       |rp AS (
+       |  SELECT host, url, digest,
+       |    split_part(url, '?', 1) AS base,
+       |    list_filter(string_split(split_part(url, '?', 2), '&'),
+       |      p -> len(p) > 0) AS params
+       |  FROM (SELECT DISTINCT host, url, digest FROM pages)),
+       |keys AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN len(params) = 0 THEN base
+       |      ELSE base || '?' || array_to_string(list_sort(params), '&')
+       |    END AS key,
+       |    digest AS key_digest
+       |  FROM rp),
+       |cand AS (
+       |  SELECT host, split_part(kv, '=', 1) AS param, digest,
+       |    CASE WHEN len(list_filter(params, p -> p <> kv)) = 0
+       |      THEN base
+       |      ELSE base || '?' || array_to_string(
+       |        list_sort(list_filter(params, p -> p <> kv)), '&')
+       |    END AS residual
+       |  FROM rp, LATERAL (SELECT unnest(list_distinct(params)) AS kv) x),
+       |agg AS (
+       |  SELECT host, param,
+       |    CAST(SUM(CASE WHEN c.digest = k.key_digest THEN 1 ELSE 0 END) AS BIGINT) AS n_support,
+       |    CAST(SUM(CASE WHEN c.digest <> k.key_digest THEN 1 ELSE 0 END) AS BIGINT) AS n_counter
+       |  FROM cand c JOIN keys k ON c.residual = k.key
+       |  GROUP BY 1, 2)""".stripMargin
+
   private def mixHostSql(e: String) =
     s"'m' || CAST($e % 3 AS VARCHAR) || '.w' || CAST($e % 7 AS VARCHAR) || '.ex' || CAST($e % 4 AS VARCHAR) || '.com'"
 
@@ -2036,59 +2115,36 @@ object SparkEntry {
     // residual key joined against the key set (digests compared
     // POST-join), integer permille gates mirrored.
     "q82_dust_rules" ->
-      s"""WITH u AS (
-         |  SELECT doc_id, ${mixHostSql("doc_id")} AS host,
-         |    'http://' || ${mixHostSql("doc_id")} || '/a' || CAST(doc_id AS VARCHAR) AS base,
-         |    substring(md5(doc_id || '#s'), 1, 6) AS sid,
-         |    md5(text) AS d0, text, n_chars
-         |  FROM documents),
-         |pages AS (
-         |  SELECT host, base AS url, d0 AS digest FROM u
-         |  UNION ALL SELECT host, base || '?sessionid=' || sid, d0 FROM u
-         |  UNION ALL SELECT host, base || '?ref=home', d0
-         |    FROM u WHERE doc_id % 5 = 0
-         |  UNION ALL SELECT host, base || '?ref=home&sessionid=' || sid, d0
-         |    FROM u WHERE doc_id % 5 = 0
-         |  UNION ALL SELECT host, base || '?page=2', md5(text || '#p2')
-         |    FROM u WHERE doc_id % 3 = 0
-         |  UNION ALL SELECT host, base || '?page=2&sessionid=' || sid,
-         |    md5(text || '#p2') FROM u WHERE doc_id % 7 = 0
-         |  UNION ALL SELECT host, base || '?v=1',
-         |    CASE WHEN n_chars % 2 = 0 THEN d0 ELSE md5(text || '#v') END
-         |    FROM u),
-         |rp AS (
-         |  SELECT host, url, digest,
-         |    split_part(url, '?', 1) AS base,
-         |    list_filter(string_split(split_part(url, '?', 2), '&'),
-         |      p -> len(p) > 0) AS params
-         |  FROM (SELECT DISTINCT host, url, digest FROM pages)),
-         |keys AS (
-         |  SELECT DISTINCT
-         |    CASE WHEN len(params) = 0 THEN base
-         |      ELSE base || '?' || array_to_string(list_sort(params), '&')
-         |    END AS key,
-         |    digest AS key_digest
-         |  FROM rp),
-         |cand AS (
-         |  SELECT host, split_part(kv, '=', 1) AS param, digest,
-         |    CASE WHEN len(list_filter(params, p -> p <> kv)) = 0
-         |      THEN base
-         |      ELSE base || '?' || array_to_string(
-         |        list_sort(list_filter(params, p -> p <> kv)), '&')
-         |    END AS residual
-         |  FROM rp, LATERAL (SELECT unnest(list_distinct(params)) AS kv) x),
-         |agg AS (
-         |  SELECT host, param,
-         |    CAST(SUM(CASE WHEN c.digest = k.key_digest THEN 1 ELSE 0 END) AS BIGINT) AS n_support,
-         |    CAST(SUM(CASE WHEN c.digest <> k.key_digest THEN 1 ELSE 0 END) AS BIGINT) AS n_counter
-         |  FROM cand c JOIN keys k ON c.residual = k.key
-         |  GROUP BY 1, 2)
+      (dustOracleCtes +
+        s"""
          |SELECT host, param, n_support, n_counter,
          |  1000 * n_counter // (n_support + n_counter) AS counter_permille
          |FROM agg
          |WHERE n_support >= 3
          |  AND 1000 * n_counter // (n_support + n_counter) <= 100
-         |ORDER BY host, param""".stripMargin,
+         |ORDER BY host, param""".stripMargin),
+    // q83: the same mined rules applied back — per-host strip-sets,
+    // every url rebuilt in sorted-param canonical form minus the
+    // ruled params (list-lambda replay of the Spark projection).
+    "q83_dust_apply" ->
+      (dustOracleCtes +
+        s""",
+         |rules AS (
+         |  SELECT host, param FROM agg
+         |  WHERE n_support >= 3
+         |    AND 1000 * n_counter // (n_support + n_counter) <= 100),
+         |ss AS (SELECT host, list(param) AS ps FROM rules GROUP BY 1),
+         |ap AS (
+         |  SELECT r.url, r.base,
+         |    list_filter(r.params, p -> NOT list_contains(
+         |      COALESCE(s.ps, []), split_part(p, '=', 1))) AS kept
+         |  FROM (SELECT DISTINCT host, url, base, params FROM rp) r
+         |  LEFT JOIN ss s ON r.host = s.host)
+         |SELECT url,
+         |  CASE WHEN len(kept) = 0 THEN base
+         |    ELSE base || '?' || array_to_string(list_sort(kept), '&')
+         |  END AS url_canon
+         |FROM ap ORDER BY url""".stripMargin),
     // q79: same gram pipeline as q47 (split, 5-token windows, 60-bit
     // md5-prefix hash, per-doc distinct), positions = the three
     // disjoint 18-bit fields (m = 262144 = 2^18, m² = 68719476736),

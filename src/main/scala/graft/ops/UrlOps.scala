@@ -340,6 +340,78 @@ object UrlOps {
       .orderBy("host", "param")
   }
 
+  /** Apply learned DUST rules ([[dustParamRules]]) to urls — the
+    * frontier bridge: aliases collapse to one canonical spelling
+    * BEFORE the seen-filter, so a known-duplicate spelling is never
+    * fetched. Rewrite = drop every query param a rule names for the
+    * url's host, then rebuild in sorted-param canonical form (the same
+    * form the miner keyed on, so all of an alias family lands on ONE
+    * string).
+    *
+    * Scale shape: the rule table aggregates to one (host, param-set)
+    * row per RULED host — bounded by the rule mining's own gates and
+    * orders of magnitude smaller than the url stream — and rides a
+    * broadcast hash join; the rewrite itself is a pure projection
+    * (nested higher-order filter/exists, codegen-friendly). No
+    * shuffle touches the url stream at all.
+    *
+    * @param rules (host, param) accepted rules (extra columns ignored)
+    * @return (host, url, url_canon) — one row per input row
+    */
+  def applyDustRules(pages: DataFrame, hostCol: Column, urlCol: Column,
+                     rules: DataFrame): DataFrame = {
+    val strip = rules
+      .select(col("host").cast("string").as("ds_host"),
+        col("param").cast("string").as("ds_param"))
+      .groupBy("ds_host").agg(collect_set("ds_param").as("ds_params"))
+    pages
+      .select(hostCol.cast("string").as("host"),
+        urlCol.cast("string").as("url"))
+      .join(broadcast(strip), col("host") === col("ds_host"), "left")
+      .withColumn("ss",
+        coalesce(col("ds_params"), array().cast("array<string>")))
+      .withColumn("base", substring_index(col("url"), "?", 1))
+      .withColumn("kept",
+        filter(
+          filter(split(when(col("url").contains("?"),
+              expr("substring(url, instr(url, '?') + 1)"))
+              .otherwise(lit("")), "&"),
+            p => length(p) > 0),
+          p => !exists(col("ss"),
+            s => s === substring_index(p, "=", 1))))
+      .select(col("host"), col("url"),
+        when(size(col("kept")) === 0, col("base"))
+          .otherwise(concat(col("base"), lit("?"),
+            array_join(array_sort(col("kept")), "&")))
+          .as("url_canon"))
+  }
+
+  /** Gate a wave's host dimension on [[mirrorHosts]] — the frontier
+    * bridge for replicated sites: of each reported mirror pair, the
+    * lexically smaller host (`host_a`, the operator's own pair
+    * orientation) stays canonical and keeps crawling; every `host_b`
+    * is flipped `enabled=false` for the wave, exactly the
+    * [[applyTrapGate]] semantics (the gate only ever removes work; an
+    * already-disabled host stays disabled; absent hosts are
+    * untouched). Lexical-min canonicalization is the q44 min-label
+    * convention — deterministic, and transitive families (a<b, b<c)
+    * leave exactly their minimum crawling. The mirror side is slim
+    * distinct hosts — broadcastable whenever the seed list is. */
+  def applyMirrorGate(hosts: DataFrame, mirrors: DataFrame): DataFrame = {
+    val doomed = mirrors
+      .select(col("host_b").cast("string").as("mg_host"))
+      .distinct()
+      .withColumn("mg_mirror", lit(true))
+    val cols = hosts.columns.map {
+      case "enabled" =>
+        (col("enabled") && !coalesce(col("mg_mirror"), lit(false)))
+          .as("enabled")
+      case c => hosts(c)
+    }
+    hosts.join(doomed, hosts("host") === doomed("mg_host"), "left")
+      .select(cols.toIndexedSeq: _*)
+  }
+
   def mirrorHosts(pages: DataFrame, hostCol: Column, pathCol: Column,
                   digestCol: Column, maxHostsPerKey: Int = 50,
                   minShared: Long = 2L,

@@ -515,6 +515,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), plan.take(3000))
   }
 
+  test("dust apply: strip-sets ride a broadcast join, rewrite is a projection (q83)") {
+    val plan = planOf(SparkEntry.queries("q83_dust_apply")(spark, dir))
+    // the rule side aggregates to one row per ruled host and must
+    // BROADCAST — a shuffle join here would move the whole url stream
+    // for a table bounded by the mining gates
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join

@@ -491,6 +491,49 @@ class WaveEdgeSpec extends AnyFunSuite {
     // to carry, so no state row is expected here)
   }
 
+  test("mirror gate: host_b of a reported pair skips the wave; host_a and absent hosts crawl") {
+    import spark.implicits._
+    val canonical = FixtureGen.hostName(1) // host_a — keeps crawling
+    val twin = FixtureGen.hostName(5)      // host_b — gated off
+    val mirrors = Seq((canonical, twin, 4L, 5L, 4L, 1000L))
+      .toDF("host_a", "host_b", "n_shared", "n_a", "n_b",
+        "overlap_permille")
+    val gated = graft.ops.UrlOps.applyMirrorGate(
+      FixtureGen.hosts(spark, fx).toDF(), mirrors).as[HostConfig]
+    val flags = gated.collect().map(h => h.host -> h.enabled).toMap
+    assert(flags(canonical) && !flags(twin),
+      "the lexically smaller host stays canonical")
+    val s = newStore()
+    WaveEngine.run(spark, s,
+      w => FixtureGen.pagesParquet(spark, fx, w, pagesDir),
+      gated, FixtureGen.robots(spark, fx), 1, cc)
+    val crawled = s.read(spark, "frontier", 0)
+      .select("host").distinct().collect().map(_.getString(0)).toSet
+    assert(!crawled.contains(twin), "the mirror twin must sit the wave out")
+    assert(crawled.contains(canonical), "the canonical host must crawl")
+    assert(crawled.contains(FixtureGen.hostName(0)),
+      "a host absent from the mirror scan must crawl normally")
+  }
+
+  test("dust apply: unruled hosts pass through in canonical sorted-param form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      ("r.com", "http://r.com/x?b=2&sid=9&a=1"),  // ruled: sid stripped
+      ("r.com", "http://r.com/x"),                // param-less: unchanged
+      ("n.com", "http://n.com/y?z=3&a=1"))        // unruled: sorted only
+      .toDF("h", "u")
+    val rules = Seq(("r.com", "sid")).toDF("host", "param")
+    val out = graft.ops.UrlOps.applyDustRules(urls, col("h"), col("u"),
+        rules).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(out("http://r.com/x?b=2&sid=9&a=1") == "http://r.com/x?a=1&b=2")
+    assert(out("http://r.com/x") == "http://r.com/x")
+    // canonical form is SORTED for every url — alias families collapse
+    // to one spelling whether or not a rule fired
+    assert(out("http://n.com/y?z=3&a=1") == "http://n.com/y?a=1&z=3")
+  }
+
   test("trap gate: a flagged host skips the wave; clean/absent hosts crawl") {
     import spark.implicits._
     val trapped = FixtureGen.hostName(5) // flagged → gated
