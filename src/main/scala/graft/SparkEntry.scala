@@ -157,6 +157,54 @@ object SparkEntry {
           .otherwise(md5(concat(col("text"), lit("#v"))))))
   }
 
+  // documents-derived mirror-evidence fixture shared by q81 (pairs)
+  // and q84 (families) — ONE definition so the evidence sets can
+  // never desynchronize from each other or their oracles. Structure:
+  // every doc on its mix-host; %4==1 docs replicated byte-identical
+  // onto 'mm.'-prefixed mirrors (the signal), %4==2 docs onto 'ss.'
+  // hosts with DIVERGED content (paths match, digests don't — zero
+  // evidence, pinned absent), plus an all-hosts '/index.html'
+  // boilerplate key that MUST die in the maxHostsPerKey cap (84
+  // mix-hosts > 50) or the pair join goes quadratic in hosts.
+  // `withChain` (q84) adds a TRANSITIVE family under chain-only '/c'
+  // paths: chain-a holds the %8∈{1,5} docs, chain-b the %8==1 half,
+  // chain-c the %8==5 half — a~b and a~c pairs exist (1000‰ overlap
+  // of the smaller side) but b and c share NOTHING directly.
+  private def mirrorFixture(s: SparkSession, d: String,
+      withChain: Boolean): DataFrame = {
+    val docs = t(s, d, "documents")
+    val h = mixHostOf(col("doc_id"))
+    val p = concat(lit("/p"),
+      substring(md5(concat(col("doc_id"), lit("#p"))), 1, 8),
+      lit(".html"))
+    val base = docs.select(h.as("host"), p.as("path"),
+      md5(col("text")).as("digest"))
+    val mirror = docs.where(col("doc_id") % 4 === 1)
+      .select(concat(lit("mm."), h).as("host"), p.as("path"),
+        md5(col("text")).as("digest"))
+    val stale = docs.where(col("doc_id") % 4 === 2)
+      .select(concat(lit("ss."), h).as("host"), p.as("path"),
+        md5(concat(col("text"), lit("#stale"))).as("digest"))
+    val boiler = docs.select(h.as("host"),
+      lit("/index.html").as("path"), md5(lit("boiler")).as("digest"))
+    val all = base.unionByName(mirror).unionByName(stale)
+      .unionByName(boiler)
+    if (!withChain) all
+    else {
+      val cp = concat(lit("/c"),
+        substring(md5(concat(col("doc_id"), lit("#c"))), 1, 8),
+        lit(".html"))
+      def chain(host: String, pred: org.apache.spark.sql.Column) =
+        docs.where(pred).select(lit(host).as("host"), cp.as("path"),
+          md5(col("text")).as("digest"))
+      all
+        .unionByName(chain("chain-a.test",
+          col("doc_id") % 8 === 1 || col("doc_id") % 8 === 5))
+        .unionByName(chain("chain-b.test", col("doc_id") % 8 === 1))
+        .unionByName(chain("chain-c.test", col("doc_id") % 8 === 5))
+    }
+  }
+
   private def mixHostOf(docId: org.apache.spark.sql.Column) =
     concat(lit("m"), docId % 3, lit(".w"), docId % 7,
       lit(".ex"), docId % 4, lit(".com"))
@@ -794,34 +842,23 @@ object SparkEntry {
       sources.Warc.revisitDedup(c1.unionByName(c2))
         .orderBy("url", "warc_ts")
     }),
-    "q81_mirror_hosts" -> ((s, d) => { // mirror-host detection (Bharat
+    "q81_mirror_hosts" -> ((s, d) => // mirror-host detection (Bharat
       // & Broder WWW'99): host pairs replicating (path, digest)
-      // evidence units. Fixture: every doc on its mix-host; %4==1 docs
-      // replicated byte-identical onto 'mm.'-prefixed mirrors (the
-      // signal), %4==2 docs onto 'ss.' hosts with DIVERGED content
-      // (paths match, digests don't — zero evidence, pinned absent),
-      // plus an all-hosts '/index.html' boilerplate key that MUST die
-      // in the maxHostsPerKey cap (84 mix-hosts > 50) or the pair
-      // join goes quadratic in hosts.
-      val docs = t(s, d, "documents")
-      val h = mixHostOf(col("doc_id"))
-      val p = concat(lit("/p"),
-        substring(md5(concat(col("doc_id"), lit("#p"))), 1, 8),
-        lit(".html"))
-      val base = docs.select(h.as("host"), p.as("path"),
-        md5(col("text")).as("digest"))
-      val mirror = docs.where(col("doc_id") % 4 === 1)
-        .select(concat(lit("mm."), h).as("host"), p.as("path"),
-          md5(col("text")).as("digest"))
-      val stale = docs.where(col("doc_id") % 4 === 2)
-        .select(concat(lit("ss."), h).as("host"), p.as("path"),
-          md5(concat(col("text"), lit("#stale"))).as("digest"))
-      val boiler = docs.select(h.as("host"),
-        lit("/index.html").as("path"), md5(lit("boiler")).as("digest"))
-      ops.UrlOps.mirrorHosts(
-        base.unionByName(mirror).unionByName(stale).unionByName(boiler),
-        col("host"), col("path"), col("digest"))
-    }),
+      // evidence units — see mirrorFixture for the planted
+      // signal/noise/boilerplate structure.
+      ops.UrlOps.mirrorHosts(mirrorFixture(s, d, withChain = false),
+        col("host"), col("path"), col("digest"))),
+    "q84_mirror_families" -> ((s, d) => // collapse q81's pairwise
+      // mirror evidence into FAMILIES: connected components over the
+      // host-pair graph (the q44 min-label + pointer-jumping loop,
+      // string-keyed), canonical = each family's lexicographic-min
+      // host. The chain fixture plants a~b and a~c evidence with NO
+      // direct b~c key overlap, so {chain-a,chain-b,chain-c} closes
+      // into one family ONLY via transitivity — a pairwise replay
+      // cannot fake it.
+      ops.UrlOps.mirrorFamilies(
+        ops.UrlOps.mirrorHosts(mirrorFixture(s, d, withChain = true),
+          col("host"), col("path"), col("digest")))),
     "q82_dust_rules" -> ((s, d) => { // DUST param-rule mining (Bar-
       // Yossef et al. WWW'07): learn strip-this-query-param rules
       // from duplicate-content evidence. Fixture params: 'sessionid'
@@ -1098,6 +1135,63 @@ object SparkEntry {
 
   private def mixHostSql(e: String) =
     s"'m' || CAST($e % 3 AS VARCHAR) || '.w' || CAST($e % 7 AS VARCHAR) || '.ex' || CAST($e % 4 AS VARCHAR) || '.com'"
+
+  // q81/q84 oracle CTEs: mirrorFixture replayed as plain SQL down to
+  // the THRESHOLDED pair set `pairsf`. ONE definition for both
+  // oracles (the dustOracleCtes precedent) so the fixture, cap,
+  // sizes, and permille gates can never drift between the pair query
+  // and the family query. `recursive` prefixes WITH RECURSIVE for
+  // q84's reachability closure.
+  private def mirrorOracleCtes(chain: Boolean, recursive: Boolean): String = {
+    val chainSql =
+      if (!chain) ""
+      else """
+         |  UNION ALL
+         |  SELECT 'chain-a.test', cpath, digest FROM u
+         |  WHERE doc_id % 8 IN (1, 5)
+         |  UNION ALL
+         |  SELECT 'chain-b.test', cpath, digest FROM u WHERE doc_id % 8 = 1
+         |  UNION ALL
+         |  SELECT 'chain-c.test', cpath, digest FROM u WHERE doc_id % 8 = 5""".stripMargin
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}u AS (
+       |  SELECT doc_id, ${mixHostSql("doc_id")} AS host,
+       |    '/p' || substring(md5(doc_id || '#p'), 1, 8) || '.html' AS path,
+       |    '/c' || substring(md5(doc_id || '#c'), 1, 8) || '.html' AS cpath,
+       |    md5(text) AS digest, text
+       |  FROM documents),
+       |pages AS (
+       |  SELECT host, path, digest FROM u
+       |  UNION ALL
+       |  SELECT 'mm.' || host, path, digest FROM u WHERE doc_id % 4 = 1
+       |  UNION ALL
+       |  SELECT 'ss.' || host, path, md5(text || '#stale')
+       |  FROM u WHERE doc_id % 4 = 2
+       |  UNION ALL
+       |  SELECT host, '/index.html', md5('boiler') FROM u$chainSql),
+       |trip AS (SELECT DISTINCT host, path, digest FROM pages),
+       |sizes AS (SELECT host, COUNT(*) AS n FROM trip GROUP BY 1),
+       |keyh AS (SELECT path, digest, COUNT(*) AS nh
+       |         FROM trip GROUP BY 1, 2),
+       |ok AS (
+       |  SELECT t.host, t.path, t.digest FROM trip t
+       |  JOIN keyh k ON t.path = k.path AND t.digest = k.digest
+       |  WHERE k.nh <= 50),
+       |pairs AS (
+       |  SELECT a.host AS host_a, b.host AS host_b,
+       |    COUNT(*) AS n_shared
+       |  FROM ok a JOIN ok b ON a.path = b.path
+       |    AND a.digest = b.digest AND a.host < b.host
+       |  GROUP BY 1, 2),
+       |pairsf AS (
+       |  SELECT p.host_a, p.host_b, p.n_shared, sa.n AS n_a,
+       |    sb.n AS n_b,
+       |    1000 * p.n_shared // LEAST(sa.n, sb.n) AS overlap_permille
+       |  FROM pairs p
+       |  JOIN sizes sa ON sa.host = p.host_a
+       |  JOIN sizes sb ON sb.host = p.host_b
+       |  WHERE p.n_shared >= 2
+       |    AND 1000 * p.n_shared // LEAST(sa.n, sb.n) >= 500)""".stripMargin
+  }
 
   // q69: same doc_id-derived link sightings as q67 (ONE builder,
   // linkSightings); the anchor is the doc's first NON-EMPTY token
@@ -2071,45 +2165,34 @@ object SparkEntry {
     // q81: the same (host, path, digest) evidence units replayed as
     // plain SQL — distinct triples, boilerplate keys over the 50-host
     // cap dropped BEFORE the pair join, host sizes counted UNCAPPED,
-    // min-size-normalized integer permille, thresholds mirrored.
+    // min-size-normalized integer permille, thresholds mirrored
+    // (shared CTEs with q84: mirrorOracleCtes).
     "q81_mirror_hosts" ->
-      s"""WITH u AS (
-         |  SELECT doc_id, ${mixHostSql("doc_id")} AS host,
-         |    '/p' || substring(md5(doc_id || '#p'), 1, 8) || '.html' AS path,
-         |    md5(text) AS digest, text
-         |  FROM documents),
-         |pages AS (
-         |  SELECT host, path, digest FROM u
-         |  UNION ALL
-         |  SELECT 'mm.' || host, path, digest FROM u WHERE doc_id % 4 = 1
-         |  UNION ALL
-         |  SELECT 'ss.' || host, path, md5(text || '#stale')
-         |  FROM u WHERE doc_id % 4 = 2
-         |  UNION ALL
-         |  SELECT host, '/index.html', md5('boiler') FROM u),
-         |trip AS (SELECT DISTINCT host, path, digest FROM pages),
-         |sizes AS (SELECT host, COUNT(*) AS n FROM trip GROUP BY 1),
-         |keyh AS (SELECT path, digest, COUNT(*) AS nh
-         |         FROM trip GROUP BY 1, 2),
-         |ok AS (
-         |  SELECT t.host, t.path, t.digest FROM trip t
-         |  JOIN keyh k ON t.path = k.path AND t.digest = k.digest
-         |  WHERE k.nh <= 50),
-         |pairs AS (
-         |  SELECT a.host AS host_a, b.host AS host_b,
-         |    COUNT(*) AS n_shared
-         |  FROM ok a JOIN ok b ON a.path = b.path
-         |    AND a.digest = b.digest AND a.host < b.host
-         |  GROUP BY 1, 2)
-         |SELECT p.host_a, p.host_b, p.n_shared, sa.n AS n_a,
-         |  sb.n AS n_b,
-         |  1000 * p.n_shared // LEAST(sa.n, sb.n) AS overlap_permille
-         |FROM pairs p
-         |JOIN sizes sa ON sa.host = p.host_a
-         |JOIN sizes sb ON sb.host = p.host_b
-         |WHERE p.n_shared >= 2
-         |  AND 1000 * p.n_shared // LEAST(sa.n, sb.n) >= 500
-         |ORDER BY host_a, host_b""".stripMargin,
+      (mirrorOracleCtes(chain = false, recursive = false) +
+        """
+         |SELECT host_a, host_b, n_shared, n_a, n_b, overlap_permille
+         |FROM pairsf ORDER BY host_a, host_b""".stripMargin),
+    // q84: the same THRESHOLDED pair set closed into families by a
+    // recursive reachability CTE (q44's closure pattern on host
+    // strings); canonical = MIN reachable host. The Spark side's
+    // string-keyed min-label propagation must converge to the same
+    // fixpoint — the chain fixture makes a transitivity miss a
+    // guaranteed hash mismatch.
+    "q84_mirror_families" ->
+      (mirrorOracleCtes(chain = true, recursive = true) +
+        """,
+         |edges AS (SELECT host_a AS eu, host_b AS ev FROM pairsf
+         |          UNION ALL SELECT host_b, host_a FROM pairsf),
+         |cc AS (
+         |  SELECT DISTINCT eu AS node, eu AS r FROM edges
+         |  UNION
+         |  SELECT e.eu, cc.r FROM edges e JOIN cc ON cc.node = e.ev),
+         |lbl AS (SELECT node, MIN(r) AS canonical_host FROM cc GROUP BY 1),
+         |cn AS (SELECT canonical_host, COUNT(*) AS family_n
+         |       FROM lbl GROUP BY 1)
+         |SELECT node AS host, canonical_host, family_n
+         |FROM lbl JOIN cn USING (canonical_host)
+         |ORDER BY host""".stripMargin),
     // q82: the same evidence replayed in SQL — distinct (url, digest),
     // canonical key = base + SORTED params, per-param-occurrence
     // residual key joined against the key set (digests compared

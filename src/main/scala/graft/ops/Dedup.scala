@@ -596,11 +596,26 @@ object Dedup {
     * never data. Near-dup graphs in practice have tiny components, so
     * this typically converges in 2-3 rounds.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs
-      .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
-      .unionByName(pairs
-        .select(col("doc_b").cast("long").as("u"), col("doc_a").cast("long").as("v")))
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    connectedComponents(pairs
+        .select(col("doc_a").cast("long").as("u"),
+          col("doc_b").cast("long").as("v")), maxIters)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_n"))
+      .orderBy("doc_id")
+
+  /** The min-label + pointer-jumping connected-components core behind
+    * [[dupClusters]] (see its scaladoc for the algorithm and scale
+    * shape), generic over the node key type: any orderable column
+    * works (`least`/`min` define the canonical label), so long doc
+    * ids and mirror-host strings share one implementation. Input:
+    * undirected edges as `(u, v)` columns; output `(id, lbl,
+    * cluster_n)` for every node on at least one edge, `lbl` = the
+    * component's minimum key. */
+  private[graft] def connectedComponents(pairsUV: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairsUV.select(col("u"), col("v"))
+      .unionByName(pairsUV.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
@@ -637,9 +652,7 @@ object Dedup {
       iter += 1
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_n"))
-    labels.join(sizes, "lbl")
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_n"))
-      .orderBy("doc_id")
+    labels.join(sizes, "lbl").select(col("id"), col("lbl"), col("cluster_n"))
   }
 
   /** Boilerplate LINE removal — the CCNet/RefinedWeb pass that drops

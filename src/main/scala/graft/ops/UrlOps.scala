@@ -445,4 +445,56 @@ object UrlOps {
         "overlap_permille")
       .orderBy("host_a", "host_b")
   }
+
+  /** Gate a wave's host dimension on [[mirrorFamilies]] — strictly
+    * stronger than the pair gate: of each FAMILY, only the canonical
+    * (lexical-min) host keeps crawling. The pair gate disables the
+    * pairs' `host_b` set, which under-prunes when a family's evidence
+    * is star-shaped around its largest host (a~c and b~c with no a~b
+    * pair leaves BOTH a and b crawling); closing to families first
+    * leaves exactly one survivor per replicated site. Same gate
+    * contract as [[applyTrapGate]]: only ever removes work,
+    * already-disabled hosts stay disabled, absent hosts untouched.
+    * The family side is slim distinct hosts — broadcastable whenever
+    * the seed list is. */
+  def applyMirrorFamilyGate(hosts: DataFrame, families: DataFrame): DataFrame = {
+    val doomed = families
+      .where(col("host") =!= col("canonical_host"))
+      .select(col("host").cast("string").as("mg_host"))
+      .distinct()
+      .withColumn("mg_mirror", lit(true))
+    val cols = hosts.columns.map {
+      case "enabled" =>
+        (col("enabled") && !coalesce(col("mg_mirror"), lit(false)))
+          .as("enabled")
+      case c => hosts(c)
+    }
+    hosts.join(doomed, hosts("host") === doomed("mg_host"), "left")
+      .select(cols.toIndexedSeq: _*)
+  }
+
+  /** Collapse [[mirrorHosts]] PAIRS into mirror FAMILIES: connected
+    * components over the host-pair graph (Bharat & Broder's final
+    * step — a site replicated across k hosts reports up to k·(k−1)/2
+    * pairwise edges, but the crawl gate wants ONE canonical host per
+    * family). Output `(host, canonical_host, family_n)` for every
+    * host in at least one pair, `canonical_host` = the family's
+    * lexicographically smallest host — the q44 min-label convention,
+    * so the canonical survivor is deterministic and agrees with
+    * [[applyMirrorGate]]'s pair orientation on direct pairs while
+    * ALSO catching transitive families (a~b, b~c with no direct a~c
+    * evidence still land in one family under min a).
+    *
+    * Scale shape: delegates to the same min-label + pointer-jumping
+    * loop as the doc-id dedup clusters (`Dedup.connectedComponents`,
+    * generic over the key type) — O(log n) rounds of equi-joins
+    * moving host strings only; the pair list is host-pair-sized (its
+    * own join is evidence-capped upstream), never page-sized. */
+  def mirrorFamilies(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    graft.ops.Dedup.connectedComponents(
+        pairs.select(col("host_a").cast("string").as("u"),
+          col("host_b").cast("string").as("v")), maxIters)
+      .select(col("id").as("host"), col("lbl").as("canonical_host"),
+        col("cluster_n").as("family_n"))
+      .orderBy("host")
 }

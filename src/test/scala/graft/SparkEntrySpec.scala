@@ -1059,6 +1059,29 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(r.getLong(5) == 750L) // 1000*3 div min(5,4)
   }
 
+  test("q84 mirror families: transitive closure over string keys, lexical-min canonical") {
+    import spark.implicits._
+    // pairs straight in (mirrorHosts output shape): a PATH-shaped
+    // family a–b, b–c, c–d — no direct a–c / a–d / b–d edge exists,
+    // so only the CC closure (min-label propagation + pointer
+    // jumping, here on STRING keys) can land all four hosts on one
+    // canonical — plus an isolated pair that must stay its own family
+    val pairs = Seq(
+      ("b.com", "c.com"), ("a.com", "b.com"), ("c.com", "d.com"),
+      ("x.org", "y.org")).toDF("host_a", "host_b")
+    val fam = graft.ops.UrlOps.mirrorFamilies(pairs).collect()
+    val byHost = fam.map(r =>
+      r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(byHost.keySet ==
+      Set("a.com", "b.com", "c.com", "d.com", "x.org", "y.org"))
+    Seq("a.com", "b.com", "c.com", "d.com").foreach { h =>
+      assert(byHost(h) == (("a.com", 4L)), s"chain member $h")
+    }
+    Seq("x.org", "y.org").foreach { h =>
+      assert(byHost(h) == (("x.org", 2L)), s"isolated pair member $h")
+    }
+  }
+
   test("q82 dust rules: param-order-insensitive keys, digest counterexamples, support floor") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

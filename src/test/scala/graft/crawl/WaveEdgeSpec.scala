@@ -515,6 +515,48 @@ class WaveEdgeSpec extends AnyFunSuite {
       "a host absent from the mirror scan must crawl normally")
   }
 
+  test("mirror FAMILY gate: star-shaped evidence leaves exactly the canonical crawling") {
+    import spark.implicits._
+    // a~c and b~c pairs with NO direct a~b evidence — the pair gate
+    // would disable only c (host_b of both pairs) and leave a AND b
+    // crawling the same replicated site; the family gate closes the
+    // component first and keeps only the lexical-min canonical
+    val a = FixtureGen.hostName(1)
+    val b = FixtureGen.hostName(5)
+    val c = FixtureGen.hostName(9)
+    val Seq(canon, mid, far) = Seq(a, b, c).sorted
+    val pairs = Seq(
+      (Seq(a, c).min, Seq(a, c).max, 4L, 5L, 4L, 1000L),
+      (Seq(b, c).min, Seq(b, c).max, 4L, 5L, 4L, 1000L))
+      .toDF("host_a", "host_b", "n_shared", "n_a", "n_b",
+        "overlap_permille")
+    // pair gate under-prunes the star: host_b covers at most 2 of the
+    // 3 family members, so ≥2 stay enabled
+    val pairGated = graft.ops.UrlOps.applyMirrorGate(
+      FixtureGen.hosts(spark, fx).toDF(), pairs).as[HostConfig]
+    assert(pairGated.collect().count(h =>
+      Set(a, b, c)(h.host) && h.enabled) >= 2,
+      "star evidence must defeat the pair gate (the case that motivates families)")
+    val gated = graft.ops.UrlOps.applyMirrorFamilyGate(
+      FixtureGen.hosts(spark, fx).toDF(),
+      graft.ops.UrlOps.mirrorFamilies(pairs)).as[HostConfig]
+    val flags = gated.collect().map(h => h.host -> h.enabled).toMap
+    assert(flags(canon), "the family's lexical-min host stays canonical")
+    assert(!flags(mid) && !flags(far),
+      "every non-canonical family member is gated off")
+    val s = newStore()
+    WaveEngine.run(spark, s,
+      w => FixtureGen.pagesParquet(spark, fx, w, pagesDir),
+      gated, FixtureGen.robots(spark, fx), 1, cc)
+    val crawled = s.read(spark, "frontier", 0)
+      .select("host").distinct().collect().map(_.getString(0)).toSet
+    assert(crawled.contains(canon) && !crawled.contains(mid) &&
+      !crawled.contains(far),
+      "engine run: one survivor per mirror family")
+    assert(crawled.contains(FixtureGen.hostName(0)),
+      "a host absent from the family scan must crawl normally")
+  }
+
   test("dust apply: unruled hosts pass through in canonical sorted-param form") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
