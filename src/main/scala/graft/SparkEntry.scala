@@ -205,6 +205,37 @@ object SparkEntry {
     }
   }
 
+  // documents-derived soft-404 fixture (q85): the capture plus the
+  // WWW'04 known-missing probe responses. EVERY host has dead links
+  // (%5 docs decayed to its '#err' page, %7 docs to a second '#err2'
+  // template — load-balanced error pages are not one digest), but
+  // only hosts whose md5 leads 0-7 (~half) answer the probe with 200
+  // (soft-404); the rest hard-404 and have NO probe row — their dead
+  // content is UNDETECTABLE by the probe method and must stay
+  // unflagged (the paper's core asymmetry). The '#err2' probe exists
+  // only where the host md5's SECOND hex digit is also 0-7, so some
+  // soft hosts flag via one template and miss the other.
+  private def soft404Fixture(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val h = mixHostOf(col("doc_id"))
+    val live = docs.select(h.as("host"),
+      concat(lit("http://"), h, lit("/a"), col("doc_id")).as("url"),
+      when(col("doc_id") % 5 === 0, md5(concat(h, lit("#err"))))
+        .when(col("doc_id") % 7 === 0, md5(concat(h, lit("#err2"))))
+        .otherwise(md5(col("text"))).as("digest"))
+    val hosts = docs.select(h.as("host")).distinct()
+    def probe(tag: String, pred: org.apache.spark.sql.Column) =
+      hosts.where(pred).select(col("host"),
+        concat(lit("http://"), col("host"), lit("/__soft404probe__"),
+          substring(md5(col("host")), 1, 6)).as("url"),
+        md5(concat(col("host"), lit(tag))).as("digest"))
+    val soft = substring(md5(col("host")), 1, 1) <= "7"
+    live
+      .unionByName(probe("#err", soft))
+      .unionByName(probe("#err2",
+        soft && substring(md5(col("host")), 2, 1) <= "7"))
+  }
+
   private def mixHostOf(docId: org.apache.spark.sql.Column) =
     concat(lit("m"), docId % 3, lit(".w"), docId % 7,
       lit(".ex"), docId % 4, lit(".com"))
@@ -859,6 +890,15 @@ object SparkEntry {
       ops.UrlOps.mirrorFamilies(
         ops.UrlOps.mirrorHosts(mirrorFixture(s, d, withChain = true),
           col("host"), col("path"), col("digest")))),
+    "q85_soft404" -> ((s, d) => // soft-404 detection (WWW'04 probe
+      // method): pages serving content byte-identical to their host's
+      // known-missing-url probe response are dead links in disguise —
+      // flagged for corpus drop + recrawl retirement. Hosts that
+      // hard-404 have no probe row, so their decayed pages stay
+      // unflagged (no evidence — the method's core asymmetry, pinned
+      // by the fixture's no-probe hosts).
+      ops.UrlOps.soft404Urls(soft404Fixture(s, d),
+        col("host"), col("url"), col("digest"))),
     "q82_dust_rules" -> ((s, d) => { // DUST param-rule mining (Bar-
       // Yossef et al. WWW'07): learn strip-this-query-param rules
       // from duplicate-content evidence. Fixture params: 'sessionid'
@@ -2193,6 +2233,32 @@ object SparkEntry {
          |SELECT node AS host, canonical_host, family_n
          |FROM lbl JOIN cn USING (canonical_host)
          |ORDER BY host""".stripMargin),
+    // q85: the fixture's live CASE ladder + probe set replayed in
+    // SQL; flagged = live rows whose (host, digest) hits any probe
+    // digest (DISTINCT both sides — repeat sightings flag once),
+    // no-probe hosts contribute nothing.
+    "q85_soft404" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, ${mixHostSql("doc_id")} AS host, text
+         |  FROM documents),
+         |live AS (
+         |  SELECT host, 'http://' || host || '/a' || doc_id AS url,
+         |    CASE WHEN doc_id % 5 = 0 THEN md5(host || '#err')
+         |         WHEN doc_id % 7 = 0 THEN md5(host || '#err2')
+         |         ELSE md5(text) END AS digest
+         |  FROM d0),
+         |hosts AS (SELECT DISTINCT host FROM d0),
+         |probes AS (
+         |  SELECT host, md5(host || '#err') AS digest FROM hosts
+         |  WHERE substring(md5(host), 1, 1) <= '7'
+         |  UNION
+         |  SELECT host, md5(host || '#err2') FROM hosts
+         |  WHERE substring(md5(host), 1, 1) <= '7'
+         |    AND substring(md5(host), 2, 1) <= '7')
+         |SELECT DISTINCT l.host, l.url, l.digest
+         |FROM live l JOIN probes p
+         |  ON l.host = p.host AND l.digest = p.digest
+         |ORDER BY l.host, l.url""".stripMargin,
     // q82: the same evidence replayed in SQL — distinct (url, digest),
     // canonical key = base + SORTED params, per-param-occurrence
     // residual key joined against the key set (digests compared

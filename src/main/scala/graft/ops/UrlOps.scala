@@ -497,4 +497,44 @@ object UrlOps {
       .select(col("id").as("host"), col("lbl").as("canonical_host"),
         col("cluster_n").as("family_n"))
       .orderBy("host")
+
+  /** Soft-404 detection (Bar-Yossef, Broder, Kumar & Tomkins WWW'04,
+    * "Sic transit gloria telae"): hosts that answer MISSING urls with
+    * HTTP 200 + a friendly error page poison a crawl twice — dead
+    * links look alive (never pruned, recrawled forever) and the error
+    * page's text floods the corpus as mass-produced near-dup
+    * boilerplate. The paper's detector: request a url KNOWN not to
+    * exist on each host (a random-token probe path); if the capture
+    * holds a response for it, the host soft-fails, and every OTHER
+    * page on that host serving content byte-identical to the probe
+    * response is a dead url in disguise. Input: one pages frame
+    * holding the real capture AND the probe responses (probe urls
+    * carry `probeMarker`; a host that hard-404s simply has no probe
+    * row). Output: the flagged `(host, url, digest)` rows — the set a
+    * corpus build drops (q57's blocklist anti-join shape) and a
+    * recrawl scheduler retires as dead. A host may serve several
+    * distinct error pages (load-balanced/unstable templates): ANY of
+    * its probe digests flags.
+    *
+    * Scale shape: probe responses number at most a few per host —
+    * seed-list-sized, so the per-host digest set broadcasts; the flag
+    * decision is ONE broadcast left-semi join on (host, digest) over
+    * a single scan of the capture. Bodies never move (digests only);
+    * nothing shuffles with corpus size. */
+  def soft404Urls(pages: DataFrame, hostCol: Column, urlCol: Column,
+      digestCol: Column,
+      probeMarker: String = "/__soft404probe__"): DataFrame = {
+    val rows = pages.select(hostCol.cast("string").as("host"),
+      urlCol.cast("string").as("url"),
+      digestCol.cast("string").as("digest"))
+    val probes = rows.where(col("url").contains(probeMarker))
+      .select(col("host").as("p_host"), col("digest").as("p_digest"))
+      .distinct()
+    rows.where(!col("url").contains(probeMarker))
+      .join(broadcast(probes),
+        col("host") === col("p_host") && col("digest") === col("p_digest"),
+        "left_semi")
+      .distinct() // repeat sightings of a dead url flag once
+      .orderBy("host", "url")
+  }
 }

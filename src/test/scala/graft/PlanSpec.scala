@@ -526,6 +526,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(3000))
   }
 
+  test("soft-404: probe digests broadcast into a semi-join, one capture scan (q85)") {
+    val plan = planOf(SparkEntry.queries("q85_soft404")(spark, dir))
+    // the probe side is seed-list-sized and must BROADCAST as a
+    // LeftSemi — a shuffle join here moves the whole capture's
+    // (host, url, digest) stream for a per-host handful of digests
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join

@@ -1082,6 +1082,28 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
+  test("q85 soft-404: any probe digest flags, no-probe hosts stay unflagged, probes excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pages = Seq(
+      // s.com soft-fails with TWO error templates (load-balanced)
+      ("s.com", "http://s.com/__soft404probe__x1", "E1"),
+      ("s.com", "http://s.com/__soft404probe__x1", "E2"),
+      ("s.com", "http://s.com/a", "E1"),  // dead — template 1
+      ("s.com", "http://s.com/b", "E2"),  // dead — template 2
+      ("s.com", "http://s.com/b", "E2"),  // repeat sighting: flag once
+      ("s.com", "http://s.com/c", "D1"),  // live content
+      // h.com hard-404s: no probe row, so its decayed page carrying
+      // ANOTHER host's error digest must stay unflagged (no evidence)
+      ("h.com", "http://h.com/x", "E1"))
+      .toDF("h", "u", "g")
+    val rows = graft.ops.UrlOps.soft404Urls(pages, col("h"), col("u"),
+      col("g")).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(
+      ("s.com", "http://s.com/a"), ("s.com", "http://s.com/b")),
+      rows.mkString("; "))
+  }
+
   test("q82 dust rules: param-order-insensitive keys, digest counterexamples, support floor") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
