@@ -899,6 +899,30 @@ object SparkEntry {
       // by the fixture's no-probe hosts).
       ops.UrlOps.soft404Urls(soft404Fixture(s, d),
         col("host"), col("url"), col("digest"))),
+    "q86_domain_rollup" -> ((s, d) => { // registrable-domain (eTLD+1)
+      // contribution roll-up — the unit per-site caps and politeness
+      // budgets key on: subdomains of one site under a cc-SLD
+      // (a.shop.co.uk + b.shop.co.uk = shop.co.uk) must land in ONE
+      // group, while every .co.uk site must NOT merge. Fixture plants
+      // cc-SLD hosts, bare two-label hosts, a single-label edge
+      // (localhost = its own domain), and UPPERCASE spellings that
+      // must fold into their lowercase site.
+      val docs = t(s, d, "documents")
+      val h = mixHostOf(col("doc_id"))
+      val host =
+        when(col("doc_id") % 6 === 0, concat(lit("sh"),
+            col("doc_id") % 5, lit(".shop"), col("doc_id") % 2,
+            lit(".co.uk")))
+          .when(col("doc_id") % 6 === 3, concat(lit("b"),
+            col("doc_id") % 3, lit(".site"), col("doc_id") % 2,
+            lit(".com.au")))
+          .when(col("doc_id") % 11 === 1,
+            concat(lit("plain"), col("doc_id") % 4, lit(".org")))
+          .when(col("doc_id") % 97 === 5, lit("localhost"))
+          .when(col("doc_id") % 13 === 2, upper(h))
+          .otherwise(h)
+      ops.UrlOps.domainRollup(docs.select(host.as("host")), col("host"))
+    }),
     "q82_dust_rules" -> ((s, d) => { // DUST param-rule mining (Bar-
       // Yossef et al. WWW'07): learn strip-this-query-param rules
       // from duplicate-content evidence. Fixture params: 'sessionid'
@@ -2259,6 +2283,36 @@ object SparkEntry {
          |FROM live l JOIN probes p
          |  ON l.host = p.host AND l.digest = p.digest
          |ORDER BY l.host, l.url""".stripMargin,
+    // q86: the host CASE ladder + the registrableDomain column math
+    // replayed in SQL — lower, split, negative-index list slices, and
+    // the SAME suffix literal list (interpolated from
+    // UrlOps.MultiPartSuffixes, so the two sides cannot drift).
+    "q86_domain_rollup" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 6 = 0 THEN 'sh' || CAST(doc_id % 5 AS VARCHAR) || '.shop' || CAST(doc_id % 2 AS VARCHAR) || '.co.uk'
+         |         WHEN doc_id % 6 = 3 THEN 'b' || CAST(doc_id % 3 AS VARCHAR) || '.site' || CAST(doc_id % 2 AS VARCHAR) || '.com.au'
+         |         WHEN doc_id % 11 = 1 THEN 'plain' || CAST(doc_id % 4 AS VARCHAR) || '.org'
+         |         WHEN doc_id % 97 = 5 THEN 'localhost'
+         |         WHEN doc_id % 13 = 2 THEN upper(${mixHostSql("doc_id")})
+         |         ELSE ${mixHostSql("doc_id")} END AS host
+         |  FROM documents),
+         |r AS (
+         |  SELECT host, lower(host) AS lh,
+         |    string_split(lower(host), '.') AS l
+         |  FROM d0),
+         |rd AS (
+         |  SELECT host,
+         |    CASE WHEN len(l) >= 3 AND list_contains(
+         |           [${ops.UrlOps.MultiPartSuffixes.map(x => s"'$x'").mkString(", ")}],
+         |           array_to_string(l[-2:], '.'))
+         |         THEN array_to_string(l[-3:], '.')
+         |         WHEN len(l) >= 2 THEN array_to_string(l[-2:], '.')
+         |         ELSE lh END AS domain
+         |  FROM r)
+         |SELECT domain, COUNT(DISTINCT host) AS n_hosts,
+         |  COUNT(*) AS n_pages
+         |FROM rd GROUP BY 1 ORDER BY domain""".stripMargin,
     // q82: the same evidence replayed in SQL — distinct (url, digest),
     // canonical key = base + SORTED params, per-param-occurrence
     // residual key joined against the key set (digests compared

@@ -537,4 +537,54 @@ object UrlOps {
       .distinct() // repeat sightings of a dead url flag once
       .orderBy("host", "url")
   }
+
+  /** Representative multi-part public suffixes (cc-SLDs). The real
+    * PSL is a ~10k-entry snapshot every crawler ships; this inline
+    * subset covers the high-traffic cc-SLD families and keeps the
+    * operator self-contained — swap in the full list (same shape, a
+    * literal array) for production. Sorted, distinct, lowercase. */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "ac.jp", "ac.uk", "co.id", "co.in", "co.jp", "co.kr", "co.nz",
+    "co.th", "co.uk", "co.za", "com.ar", "com.au", "com.br", "com.cn",
+    "com.hk", "com.mx", "com.my", "com.sg", "com.tr", "com.tw",
+    "com.vn", "edu.au", "edu.cn", "gen.in", "go.jp", "gov.au",
+    "gov.br", "gov.cn", "gov.uk", "ne.jp", "ne.kr", "net.au",
+    "net.br", "net.cn", "net.in", "net.nz", "net.uk", "or.jp",
+    "or.kr", "org.au", "org.br", "org.cn", "org.in", "org.mx",
+    "org.nz", "org.tw", "org.uk", "sch.uk")
+
+  /** Registrable domain (eTLD+1) of a host — the unit every per-site
+    * crawl policy actually keys on: `a.shop.co.uk` and
+    * `b.shop.co.uk` are ONE site (`shop.co.uk`), while grouping by
+    * raw host would give a contribution-capped corpus (q61) or a
+    * politeness budget two slots for it, and grouping by bare TLD+1
+    * would wrongly merge every `.co.uk` site into one. Pure Catalyst
+    * column math (split + negative-index slice + a literal
+    * suffix-set membership test) — codegen'd, no UDF, replayable in
+    * the DuckDB oracle with the same literal list. Hosts with fewer
+    * labels than the rule needs fall back to themselves (a bare
+    * `localhost` is its own domain). */
+  def registrableDomain(host: Column): Column = {
+    val h = lower(host.cast("string"))
+    val labels = split(h, "\\.")
+    val n = size(labels)
+    val last2 = array_join(slice(labels, -2, 2), ".")
+    val isMulti = last2.isin(MultiPartSuffixes: _*)
+    when(n >= 3 && isMulti, array_join(slice(labels, -3, 3), "."))
+      .when(n >= 2, last2)
+      .otherwise(h)
+  }
+
+  /** Per-registrable-domain contribution roll-up: how many hosts and
+    * pages each SITE (eTLD+1) contributes — the aggregation a domain
+    * cap / politeness-budget planner consumes. One projection + one
+    * partial-aggregated groupBy on the derived domain key; nothing
+    * but (domain, host) strings shuffle. */
+  def domainRollup(pages: DataFrame, hostCol: Column): DataFrame =
+    pages.select(registrableDomain(hostCol).as("domain"),
+        hostCol.cast("string").as("host"))
+      .groupBy("domain")
+      .agg(countDistinct(col("host")).as("n_hosts"),
+        count(lit(1)).as("n_pages"))
+      .orderBy("domain")
 }

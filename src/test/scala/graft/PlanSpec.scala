@@ -538,6 +538,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(3000))
   }
 
+  test("domain rollup: pure projection + aggregate — no join, no window (q86)") {
+    val plan = planOf(SparkEntry.queries("q86_domain_rollup")(spark, dir))
+    // the eTLD+1 derivation is literal column math riding the scan's
+    // own projection; a join against a suffix table here would
+    // shuffle the host stream for a fixed literal list
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join

@@ -1104,6 +1104,36 @@ class SparkEntrySpec extends AnyFunSuite {
       rows.mkString("; "))
   }
 
+  test("q86 registrable domain: cc-SLD last-3, generic last-2, short-host fallback, case folding") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq(
+      "a.shop.co.uk",      // cc-SLD: last THREE labels
+      "deep.a.shop.co.uk", // ...regardless of subdomain depth
+      "news.co.uk",        // a 3-label cc-SLD host is its own site
+      "x.example.com",     // generic TLD: last TWO labels
+      "example.com",       // already registrable
+      "localhost",         // single label: itself
+      "A.Shop.CO.UK")      // case folds into the lowercase site
+      .toDF("h")
+      .select(col("h"), graft.ops.UrlOps.registrableDomain(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a.shop.co.uk") == "shop.co.uk")
+    assert(got("deep.a.shop.co.uk") == "shop.co.uk")
+    assert(got("news.co.uk") == "news.co.uk")
+    assert(got("x.example.com") == "example.com")
+    assert(got("example.com") == "example.com")
+    assert(got("localhost") == "localhost")
+    assert(got("A.Shop.CO.UK") == "shop.co.uk")
+    // roll-up: the three shop.co.uk spellings are ONE site, 3 hosts
+    val roll = graft.ops.UrlOps.domainRollup(
+      Seq("a.shop.co.uk", "A.Shop.CO.UK", "b.shop.co.uk",
+        "a.shop.co.uk", "news.co.uk").toDF("h"), col("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(roll.toSeq == Seq(("news.co.uk", 1L, 1L),
+      ("shop.co.uk", 3L, 4L)), roll.mkString("; "))
+  }
+
   test("q82 dust rules: param-order-insensitive keys, digest counterexamples, support floor") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
