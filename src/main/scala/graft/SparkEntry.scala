@@ -923,6 +923,39 @@ object SparkEntry {
           .otherwise(h)
       ops.UrlOps.domainRollup(docs.select(host.as("host")), col("host"))
     }),
+    "q87_canonical_links" -> ((s, d) => { // page-declared rel=canonical
+      // collapse (RFC 6596) — the page-side complement to DUST. The
+      // synthesized html plants, by doc_id%5: a canonical pointing at
+      // the group leader (1), an UPPERCASE single-quoted href-first
+      // spelling (2), a RELATIVE href that must fall back to the
+      // page's own url (3), no tag at all (4), and a self-canonical
+      // (0) — plus a stylesheet <link> decoy on every page that the
+      // rel filter must ignore. Body filler is md5(text) so corpus
+      // text can never fake a tag.
+      val docs = t(s, d, "documents")
+      val h = mixHostOf(col("doc_id"))
+      val own = concat(lit("http://"), h, lit("/a"), col("doc_id"))
+      val leader = concat(lit("http://"), h, lit("/a"),
+        col("doc_id") - col("doc_id") % 5)
+      val tagPart =
+        when(col("doc_id") % 5 === 1,
+          concat(lit("<link rel=\"canonical\" href=\""), leader, lit("\">")))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit("<LINK HREF='"), leader, lit("' REL='CANONICAL'>")))
+          .when(col("doc_id") % 5 === 3,
+            lit("<link rel=\"canonical\" href=\"/print/view\">"))
+          .when(col("doc_id") % 5 === 4, lit(""))
+          .otherwise(
+            concat(lit("<link rel=\"canonical\" href=\""), own, lit("\">")))
+      val html = concat(
+        lit("<html><head><link rel=\"stylesheet\" href=\"/css/m.css\">"),
+        tagPart, lit("</head><body>"), md5(col("text")),
+        lit("</body></html>"))
+      ops.UrlOps.canonicalLinks(
+          docs.select(own.as("url"), html.as("html")),
+          col("url"), col("html"))
+        .orderBy("url")
+    }),
     "q82_dust_rules" -> ((s, d) => { // DUST param-rule mining (Bar-
       // Yossef et al. WWW'07): learn strip-this-query-param rules
       // from duplicate-content evidence. Fixture params: 'sessionid'
@@ -2313,6 +2346,36 @@ object SparkEntry {
          |SELECT domain, COUNT(DISTINCT host) AS n_hosts,
          |  COUNT(*) AS n_pages
          |FROM rd GROUP BY 1 ORDER BY domain""".stripMargin,
+    // q87: the html synthesis + the two-regex extraction replayed in
+    // SQL (RE2 and Java agree on every construct used: (?i), \\b,
+    // [^>]*, ["'] classes); absolute-http(s) gate mirrored.
+    "q87_canonical_links" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, ${mixHostSql("doc_id")} AS host, text
+         |  FROM documents),
+         |p AS (
+         |  SELECT 'http://' || host || '/a' || doc_id AS url,
+         |    '<html><head><link rel="stylesheet" href="/css/m.css">' ||
+         |    CASE WHEN doc_id % 5 = 1
+         |           THEN '<link rel="canonical" href="http://' || host || '/a' || (doc_id - doc_id % 5) || '">'
+         |         WHEN doc_id % 5 = 2
+         |           THEN '<LINK HREF=''http://' || host || '/a' || (doc_id - doc_id % 5) || ''' REL=''CANONICAL''>'
+         |         WHEN doc_id % 5 = 3
+         |           THEN '<link rel="canonical" href="/print/view">'
+         |         WHEN doc_id % 5 = 4 THEN ''
+         |         ELSE '<link rel="canonical" href="http://' || host || '/a' || doc_id || '">'
+         |    END || '</head><body>' || md5(text) || '</body></html>' AS html
+         |  FROM d0),
+         |x AS (
+         |  SELECT url, regexp_extract(
+         |    regexp_extract(html,
+         |      '(?i)<link\\b[^>]*\\brel\\s*=\\s*["'']canonical["''][^>]*>', 0),
+         |    '(?i)\\bhref\\s*=\\s*["'']([^"'']+)["'']', 1) AS href
+         |  FROM p)
+         |SELECT url,
+         |  CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+         |    ELSE url END AS canonical
+         |FROM x ORDER BY url""".stripMargin,
     // q82: the same evidence replayed in SQL — distinct (url, digest),
     // canonical key = base + SORTED params, per-param-occurrence
     // residual key joined against the key set (digests compared

@@ -575,6 +575,35 @@ object UrlOps {
       .otherwise(h)
   }
 
+  /** Page-declared canonical links (`<link rel="canonical">`, RFC
+    * 6596): the page itself names its canonical url, and a crawler
+    * that honors it collapses alias spellings (print views, tracking
+    * params the DUST miner hasn't learned yet, cross-host
+    * syndication pointing at the origin) BEFORE the seen filter —
+    * the page-side complement to [[dustParamRules]]' server-side
+    * evidence mining. Output `(url, canonical)` per page: the
+    * declared absolute http(s) href when one exists, else the page's
+    * own url (missing tag, or a relative href — resolving those
+    * belongs to the DOM pipeline's base-url logic, `UrlCanon`; this
+    * column-math path only trusts absolute targets, documented
+    * deviation). First declared tag wins; rel/href attribute order
+    * and quote style don't matter.
+    *
+    * Scale shape: a pure two-regex projection riding the capture
+    * scan — no UDF, no join, no exchange (PlanSpec-pinned); the
+    * html never leaves its partition and only the slim (url,
+    * canonical) pair emerges. */
+  def canonicalLinks(pages: DataFrame, urlCol: Column,
+      htmlCol: Column): DataFrame = {
+    val tagPat = "(?i)<link\\b[^>]*\\brel\\s*=\\s*[\"']canonical[\"'][^>]*>"
+    val hrefPat = "(?i)\\bhref\\s*=\\s*[\"']([^\"']+)[\"']"
+    val tag = regexp_extract(htmlCol.cast("string"), tagPat, 0)
+    val href = regexp_extract(tag, hrefPat, 1)
+    pages.select(urlCol.cast("string").as("url"),
+      when(href.rlike("(?i)^https?://"), href)
+        .otherwise(urlCol.cast("string")).as("canonical"))
+  }
+
   /** Per-registrable-domain contribution roll-up: how many hosts and
     * pages each SITE (eTLD+1) contributes — the aggregation a domain
     * cap / politeness-budget planner consumes. One projection + one

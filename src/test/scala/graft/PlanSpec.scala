@@ -548,6 +548,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("canonical links: pure two-regex projection — no exchange at all (q87 core)") {
+    val pages = spark.range(8).selectExpr("concat('u', id) AS u",
+      "concat('<link rel=\"canonical\" href=\"http://c/', id, '\">') AS h")
+    val plan = planOf(graft.ops.UrlOps.canonicalLinks(pages,
+      pages("u"), pages("h")))
+    // the collapse rides the capture scan: html never leaves its
+    // partition, only (url, canonical) emerges
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Window"), plan.take(3000))
+  }
+
   test("asof join plans as union+window: no join operator, one key shuffle (q53)") {
     val plan = planOf(SparkEntry.queries("q53_asof_join")(spark, dir))
     // the whole point: an as-of is NOT a range join here — no join

@@ -1134,6 +1134,29 @@ class SparkEntrySpec extends AnyFunSuite {
       ("shop.co.uk", 3L, 4L)), roll.mkString("; "))
   }
 
+  test("q87 canonical links: attr order/quote/case variants, relative and missing fall back, decoy rel ignored") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pages = Seq(
+      ("u1", """<head><link rel="canonical" href="http://c.test/x"></head>"""),
+      ("u2", """<head><LINK HREF='https://c.test/y' REL='CANONICAL'></head>"""),
+      ("u3", """<head><link rel="canonical" href="/relative"></head>"""),
+      ("u4", """<head><link rel="stylesheet" href="http://cdn.test/m.css"></head>"""),
+      ("u5", """<head><link rel="canonical" href="ftp://c.test/z"></head>"""),
+      // two declarations: the FIRST wins (both engines' regex semantics)
+      ("u6", "<link rel=\"canonical\" href=\"http://first.test/\">" +
+        "<link rel=\"canonical\" href=\"http://second.test/\">"))
+      .toDF("u", "h")
+    val got = graft.ops.UrlOps.canonicalLinks(pages, col("u"), col("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("u1") == "http://c.test/x")
+    assert(got("u2") == "https://c.test/y", "href-first uppercase single-quote")
+    assert(got("u3") == "u3", "relative href falls back to the page url")
+    assert(got("u4") == "u4", "a stylesheet link is not a canonical")
+    assert(got("u5") == "u5", "non-http(s) scheme falls back")
+    assert(got("u6") == "http://first.test/")
+  }
+
   test("q82 dust rules: param-order-insensitive keys, digest counterexamples, support floor") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
