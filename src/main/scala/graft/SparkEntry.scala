@@ -956,6 +956,32 @@ object SparkEntry {
           col("url"), col("html"))
         .orderBy("url")
     }),
+    "q88_link_farm" -> ((s, d) => { // link-farm detection by in-link
+      // DOMAIN diversity (q86's eTLD+1 doing ranking work): organic
+      // targets o<k>.test draw links from near-unique .org domains
+      // (diversity ~1000‰); victim targets v<k>.test draw most links
+      // from subdomains of just TWO farm domains (farm0/farm1.co.uk)
+      // plus a thin organic trickle — many distinct hosts, few
+      // distinct domains ⇒ flagged, while raw host fan-in alone
+      // looks organic.
+      val docs = t(s, d, "documents")
+      val organicSrc = concat(lit("s"),
+        substring(md5(concat(col("doc_id"), lit("#s"))), 1, 6),
+        lit(".org"))
+      val organic = docs.select(organicSrc.as("src"),
+        concat(lit("o"), col("doc_id") % 7, lit(".test")).as("dst"))
+      val farm = docs.where(col("doc_id") % 3 === 0)
+        .select(concat(lit("f"),
+          substring(md5(concat(col("doc_id"), lit("#f"))), 1, 6),
+          lit(".farm"), col("doc_id") % 2, lit(".co.uk")).as("src"),
+          concat(lit("v"), col("doc_id") % 5, lit(".test")).as("dst"))
+      val trickle = docs.where(col("doc_id") % 18 === 0)
+        .select(organicSrc.as("src"),
+          concat(lit("v"), col("doc_id") % 5, lit(".test")).as("dst"))
+      ops.LinkGraph.linkFarmScores(
+        organic.unionByName(farm).unionByName(trickle),
+        col("src"), col("dst"))
+    }),
     "q82_dust_rules" -> ((s, d) => { // DUST param-rule mining (Bar-
       // Yossef et al. WWW'07): learn strip-this-query-param rules
       // from duplicate-content evidence. Fixture params: 'sessionid'
@@ -1232,6 +1258,19 @@ object SparkEntry {
 
   private def mixHostSql(e: String) =
     s"'m' || CAST($e % 3 AS VARCHAR) || '.w' || CAST($e % 7 AS VARCHAR) || '.ex' || CAST($e % 4 AS VARCHAR) || '.com'"
+
+  // DuckDB replay of UrlOps.registrableDomain, as a CASE over a
+  // pre-split label list `l` and pre-lowered host `lh` — ONE
+  // definition (q86 roll-up + q88 farm scores) off the SAME
+  // interpolated suffix literals, so no SQL copy can drift from the
+  // Spark column math.
+  private def regDomainCaseSql(l: String, lh: String): String =
+    s"""CASE WHEN len($l) >= 3 AND list_contains(
+       |           [${ops.UrlOps.MultiPartSuffixes.map(x => s"'$x'").mkString(", ")}],
+       |           array_to_string($l[-2:], '.'))
+       |         THEN array_to_string($l[-3:], '.')
+       |         WHEN len($l) >= 2 THEN array_to_string($l[-2:], '.')
+       |         ELSE $lh END""".stripMargin
 
   // q81/q84 oracle CTEs: mirrorFixture replayed as plain SQL down to
   // the THRESHOLDED pair set `pairsf`. ONE definition for both
@@ -2336,12 +2375,7 @@ object SparkEntry {
          |  FROM d0),
          |rd AS (
          |  SELECT host,
-         |    CASE WHEN len(l) >= 3 AND list_contains(
-         |           [${ops.UrlOps.MultiPartSuffixes.map(x => s"'$x'").mkString(", ")}],
-         |           array_to_string(l[-2:], '.'))
-         |         THEN array_to_string(l[-3:], '.')
-         |         WHEN len(l) >= 2 THEN array_to_string(l[-2:], '.')
-         |         ELSE lh END AS domain
+         |    ${regDomainCaseSql("l", "lh")} AS domain
          |  FROM r)
          |SELECT domain, COUNT(DISTINCT host) AS n_hosts,
          |  COUNT(*) AS n_pages
@@ -2376,6 +2410,36 @@ object SparkEntry {
          |  CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
          |    ELSE url END AS canonical
          |FROM x ORDER BY url""".stripMargin,
+    // q88: the edge synthesis + distinct collapse + dual distinct
+    // counts + integer permille + flag replayed in SQL; the eTLD+1
+    // CASE is the SAME regDomainCaseSql text q86 uses.
+    "q88_link_farm" ->
+      s"""WITH edges AS (
+         |  SELECT 's' || substring(md5(doc_id || '#s'), 1, 6) || '.org' AS src,
+         |    'o' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS dst
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'f' || substring(md5(doc_id || '#f'), 1, 6) || '.farm' || CAST(doc_id % 2 AS VARCHAR) || '.co.uk',
+         |    'v' || CAST(doc_id % 5 AS VARCHAR) || '.test'
+         |  FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT 's' || substring(md5(doc_id || '#s'), 1, 6) || '.org',
+         |    'v' || CAST(doc_id % 5 AS VARCHAR) || '.test'
+         |  FROM documents WHERE doc_id % 18 = 0),
+         |e AS (SELECT DISTINCT src, dst FROM edges),
+         |r AS (SELECT dst, src, string_split(lower(src), '.') AS l,
+         |  lower(src) AS lh FROM e),
+         |rd AS (SELECT dst, src,
+         |  ${regDomainCaseSql("l", "lh")} AS src_domain FROM r),
+         |agg AS (
+         |  SELECT dst, COUNT(DISTINCT src) AS n_src_hosts,
+         |    COUNT(DISTINCT src_domain) AS n_src_domains
+         |  FROM rd GROUP BY 1)
+         |SELECT dst, n_src_hosts, n_src_domains,
+         |  1000 * n_src_domains // n_src_hosts AS domain_permille,
+         |  (n_src_hosts >= 10 AND
+         |   1000 * n_src_domains // n_src_hosts <= 300) AS farm_flag
+         |FROM agg ORDER BY dst""".stripMargin,
     // q82: the same evidence replayed in SQL — distinct (url, digest),
     // canonical key = base + SORTED params, per-param-occurrence
     // residual key joined against the key set (digests compared

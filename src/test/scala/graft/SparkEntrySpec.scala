@@ -1157,6 +1157,33 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(got("u6") == "http://first.test/")
   }
 
+  test("q88 link farm: domain diversity flags, min-host gate, repeat sightings count once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val links = (
+      // farm: 12 distinct hosts, ALL subdomains of two .co.uk domains
+      (1 to 6).map(i => (s"a$i.farm0.co.uk", "victim.test")) ++
+      (1 to 6).map(i => (s"b$i.farm1.co.uk", "victim.test")) ++
+      // repeat sightings of one farm edge must not inflate fan-in
+      Seq(("a1.farm0.co.uk", "victim.test"), ("a1.farm0.co.uk", "victim.test")) ++
+      // small farm UNDER minHosts: low diversity but too little
+      // fan-in to call (3 hosts < 10)
+      (1 to 3).map(i => (s"c$i.farm0.co.uk", "small.test")) ++
+      // organic: 10 hosts, 10 distinct domains
+      (1 to 10).map(i => (s"s$i.org", "organic.test"))
+    ).toDF("src", "dst")
+    val got = graft.ops.LinkGraph.linkFarmScores(links, col("src"),
+        col("dst")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got("victim.test") == ((12L, 2L, 166L, true)),
+      got("victim.test").toString)
+    assert(got("small.test") == ((3L, 1L, 333L, false)),
+      "under minHosts: never flagged")
+    assert(got("organic.test") == ((10L, 10L, 1000L, false)),
+      "full diversity: never flagged")
+  }
+
   test("q82 dust rules: param-order-insensitive keys, digest counterexamples, support floor") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
