@@ -10,7 +10,13 @@ final case class RobotsPolicy(
     disallow: Seq[String],
     allow: Seq[String],
     crawl_delay_ms: Option[Long]) {
-  def allows(path: String): Boolean = RobotsTxt.allowed(path, this)
+  // compiled once per policy instance (policies are built per host per
+  // wave inside the task); rules themselves persist as plain strings
+  // in the carried state, so wildcard rules survive checkpoints
+  @transient private lazy val disC = disallow.map(RobotsTxt.compileRule)
+  @transient private lazy val alwC = allow.map(RobotsTxt.compileRule)
+  def allows(path: String): Boolean =
+    RobotsTxt.allowedCompiled(path, disC, alwC)
 }
 
 object RobotsPolicy {
@@ -25,10 +31,15 @@ object RobotsPolicy {
   *    (longest token that is a case-insensitive prefix of ours, `*`
   *    matching everything at specificity 0); ALL groups at the winning
   *    specificity merge;
-  *  - `Disallow` / `Allow` values are path prefixes (empty Disallow =
-  *    no restriction); evaluation is longest-match-wins, Allow winning
-  *    ties — Google semantics. `*`/`$` wildcards are NOT interpreted
-  *    (documented subset; such patterns match literally);
+  *  - `Disallow` / `Allow` values are path patterns (empty Disallow =
+  *    no restriction) matched per RFC 9309 §2.2.3: anchored at the
+  *    path start, `*` matches any character sequence, a TRAILING `$`
+  *    anchors the end (a `$` anywhere else is literal — the spec only
+  *    defines it as an end anchor). Precedence is
+  *    most-specific-match-wins where specificity = the PATTERN's
+  *    character length (Google's documented tie-break; for
+  *    wildcard-free rules this degenerates to classic
+  *    longest-prefix-wins), Allow winning exact ties;
   *  - `Crawl-delay` is (possibly fractional) seconds → milliseconds;
   *  - `#` comments and unknown keys are ignored.
   */
@@ -115,12 +126,39 @@ object RobotsTxt {
       winning.flatMap(_.delay).headOption)
   }
 
-  /** Longest-match-wins evaluation, Allow winning ties; no matching rule
-    * ⇒ allowed. */
-  def allowed(path: String, p: RobotsPolicy): Boolean = {
-    def longest(rules: Seq[String]): Int =
-      rules.foldLeft(-1)((b, r) => if (path.startsWith(r)) math.max(b, r.length) else b)
-    val d = longest(p.disallow)
-    if (d < 0) true else longest(p.allow) >= d
+  /** One rule compiled to (specificity, matcher). Wildcard-free rules
+    * keep the zero-allocation literal-prefix fast path; rules with `*`
+    * or a trailing `$` compile to an anchored regex (each literal
+    * segment quoted, so every other character — including a mid-rule
+    * `$` — is literal). */
+  private[core] def compileRule(rule: String): (Int, String => Boolean) = {
+    val endAnchor = rule.endsWith("$")
+    val body = if (endAnchor) rule.dropRight(1) else rule
+    val m: String => Boolean =
+      if (!endAnchor && body.indexOf('*') < 0) _.startsWith(body)
+      else {
+        val re = java.util.regex.Pattern.compile(
+          body.split("\\*", -1).map(java.util.regex.Pattern.quote)
+            .mkString(".*") + (if (endAnchor) "$" else ""))
+        p => re.matcher(p).lookingAt()
+      }
+    (rule.length, m)
   }
+
+  private[core] def allowedCompiled(path: String,
+      dis: Seq[(Int, String => Boolean)],
+      alw: Seq[(Int, String => Boolean)]): Boolean = {
+    def best(rules: Seq[(Int, String => Boolean)]): Int =
+      rules.foldLeft(-1) { case (b, (len, m)) =>
+        if (m(path)) math.max(b, len) else b
+      }
+    val d = best(dis)
+    if (d < 0) true else best(alw) >= d
+  }
+
+  /** Most-specific-match-wins evaluation (specificity = pattern
+    * length), Allow winning ties; no matching rule ⇒ allowed. */
+  def allowed(path: String, p: RobotsPolicy): Boolean =
+    allowedCompiled(path, p.disallow.map(compileRule),
+      p.allow.map(compileRule))
 }

@@ -104,4 +104,36 @@ class RobotsTxtSpec extends AnyFunSuite {
       assert(parsed == crawl.FixtureGen.robotsFor(i), s"host $i")
     }
   }
+
+  test("RFC 9309 wildcards: * spans segments, trailing $ anchors, mid-$ is literal") {
+    val p = RobotsTxt.parse(
+      """User-agent: *
+        |Disallow: /*?sessionid=
+        |Disallow: /*.pdf$
+        |Disallow: /cgi$bin/
+        |""".stripMargin, "graftbot")
+    assert(!p.allows("/page?sessionid=1"), "* must span path chars")
+    assert(!p.allows("/a/b/c?sessionid=2"), "* spans multiple segments")
+    assert(p.allows("/a/b/c?x=1&sessionid=2"),
+      "&sessionid is not the literal ?sessionid the pattern names")
+    assert(p.allows("/page?session=1"), "near-miss param stays allowed")
+    assert(!p.allows("/docs/a.pdf"), "trailing $ matches at end")
+    assert(p.allows("/docs/a.pdf.html"), "trailing $ rejects a longer path")
+    assert(!p.allows("/cgi$bin/x"), "mid-pattern $ is a literal character")
+    assert(p.allows("/cgibin/x"))
+  }
+
+  test("wildcard precedence: specificity is PATTERN length, allow wins ties") {
+    val p = RobotsTxt.parse(
+      """User-agent: *
+        |Disallow: /p
+        |Allow: /p/*.html$
+        |""".stripMargin, "graftbot")
+    assert(p.allows("/p/index.html"), "longer Allow pattern outranks /p")
+    assert(!p.allows("/p/raw.dat"), "short Disallow still holds elsewhere")
+    // a blanket * disallow (specificity 1) loses to any longer allow
+    val q = RobotsTxt.parse(
+      "User-agent: *\nDisallow: *\nAllow: /public/\n", "graftbot")
+    assert(q.allows("/public/x") && !q.allows("/private/x"))
+  }
 }
