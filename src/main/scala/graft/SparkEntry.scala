@@ -435,6 +435,19 @@ object SparkEntry {
       // mirrored in the oracle SQL so parity holds
       Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3,
         maxShingleDf = 1000)),
+    "q89_containment" -> ((s, d) => { // asymmetric shingle containment:
+      // quote/wrap duplicates Jaccard misses. Input doubles every
+      // 5th doc as "doc + commentary tail" so real containments exist
+      // at any sf; synthetic ids = doc_id + 100000 stay disjoint.
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val wrapped = docs.where(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"),
+          lit(" commentary follows the quoted article in full "),
+          md5(col("text"))).as("text"))
+      Dedup.containmentPairs(docs.unionByName(wrapped), n = 3,
+        maxShingleDf = 1000, thresholdPct = 90)
+    }),
     "q24_lang_distribution" -> ((s, d) =>
       t(s, d, "documents")
         .groupBy("lang")
@@ -1682,6 +1695,36 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE common * 2 >= sa.nsh + sb.nsh - common
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q89: q21's shingle chain verbatim over the doubled input; only
+    // the final predicate differs (containment vs Jaccard). DuckDB's
+    // md5() yields the same lowercase hex as Spark's.
+    "q89_containment" ->
+      """WITH docs0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    text || ' commentary follows the quoted article in full ' || md5(text)
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |words AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS w
+        |  FROM docs0),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+        |  WHERE len(w) >= 3),
+        |keep AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 1000),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, common, sa.nsh AS na, sb.nsh AS nb
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE common * 100 >= LEAST(sa.nsh, sb.nsh) * 90
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q24_lang_distribution" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars

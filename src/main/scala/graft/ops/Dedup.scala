@@ -43,7 +43,36 @@ object Dedup {
     * (Int.MaxValue) in oracle queries so DuckDB SQL stays identical.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
-                        maxShingleDf: Int = Int.MaxValue): DataFrame = {
+                        maxShingleDf: Int = Int.MaxValue): DataFrame =
+    shingleOverlapPairs(docs, n, maxShingleDf)
+      .where(col("common") * 2 >= col("na") + col("nb") - col("common"))
+      .select("doc_a", "doc_b", "common", "na", "nb")
+      .orderBy("doc_a", "doc_b")
+
+  /** Asymmetric shingle CONTAINMENT pairs (Broder's containment
+    * measure): pairs where the smaller document's shingle set sits
+    * (almost) entirely inside the other's —
+    * `common >= thresholdPct% * min(na, nb)`. Catches the duplicates
+    * symmetric Jaccard ([[ngramJaccardPairs]]) structurally cannot: a
+    * short article quoted whole inside a long aggregator page has
+    * Jaccard ≈ na/nb (tiny) but containment ≈ 1. Same shingling, same
+    * df-cap skew guard, all-integer output, so the DuckDB oracle
+    * replays it exactly — only the final predicate differs. */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+                       maxShingleDf: Int = Int.MaxValue,
+                       thresholdPct: Int = 90): DataFrame =
+    shingleOverlapPairs(docs, n, maxShingleDf)
+      .where(col("common") * 100 >= least(col("na"), col("nb")) * thresholdPct)
+      .select("doc_a", "doc_b", "common", "na", "nb")
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared core of the exact (sketch-free) pair ops: distinct word
+    * n-gram shingles per doc, optional document-frequency cap, shingle
+    * equi-self-join, overlap + set-size counts. Returns ALL
+    * overlapping ordered pairs `(doc_a < doc_b, common, na, nb)` —
+    * callers apply their own similarity predicate. */
+  private def shingleOverlapPairs(docs: DataFrame, n: Int,
+                                  maxShingleDf: Int): DataFrame = {
     val words = docs.select(
       col("doc_id"),
       split(lower(trim(col("text"))), TextOps.Ws).as("w"))
@@ -77,9 +106,6 @@ object Dedup {
         .withColumnRenamed("nsh", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("nsh", "nb"), "doc_b")
-      .where(col("common") * 2 >= col("na") + col("nb") - col("common"))
-      .select("doc_a", "doc_b", "common", "na", "nb")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** `(doc_id, sh, bands)` sketch rows — the ONE definition of the

@@ -284,6 +284,31 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(capped == uncapped)
   }
 
+  test("q89 containment catches a quote-wrap pair that Jaccard misses") {
+    import spark.implicits._
+    val body = (1 to 12).map(i => s"w$i").mkString(" ")
+    val wrap = body + " " + (1 to 60).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, wrap), (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    // containment of doc1 in doc2 is 100% (every body shingle is in
+    // the wrap) → the pair is emitted...
+    val cont = graft.ops.Dedup.containmentPairs(docs, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont == Set((1L, 2L)))
+    // ...while symmetric Jaccard ≈ 10/70 stays far below 1/2
+    val jac = graft.ops.Dedup.ngramJaccardPairs(docs, n = 3).count()
+    assert(jac == 0)
+    // threshold is respected: at 100% a one-shingle miss kills the pair
+    val nearWrap = wrap.replace("w7", "y7")
+    val docs2 = Seq((1L, body), (2L, nearWrap)).toDF("doc_id", "text")
+    val strict = graft.ops.Dedup.containmentPairs(docs2, n = 3,
+      thresholdPct = 100).count()
+    assert(strict == 0)
+    val loose = graft.ops.Dedup.containmentPairs(docs2, n = 3,
+      thresholdPct = 50).count()
+    assert(loose == 1)
+  }
+
   test("q20 exact dedup row count equals distinct normalized texts") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
