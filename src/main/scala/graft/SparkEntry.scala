@@ -394,6 +394,23 @@ object SparkEntry {
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("event_type", "day")),
+    "q90_adaptive_delay" -> ((s, d) => { // the adaptive-politeness delay
+      // formula (WaveEngine.scheduleHost: max(floor, min(cap, f×avg)))
+      // as an oracle-checked aggregate: events replayed as a fetch log
+      // (host = user bucket, latency = floor(value×100) ms). All-integer
+      // math — per-row floor quantization, then integer sum/division —
+      // so Spark and DuckDB cannot drift on float accumulation order.
+      val ev = t(s, d, "events")
+      ev.select(concat(lit("h"), col("user_id") % 50).as("host"),
+          floor(col("value") * 100).cast("long").as("lat"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_fetches"), sum("lat").as("tot"))
+        .select(col("host"), col("n_fetches"),
+          expr("tot div n_fetches").as("avg_ms"),
+          least(greatest(expr("2 * (tot div n_fetches)"), lit(500L)),
+            lit(30000L)).as("delay_ms"))
+        .orderBy("host")
+    }),
     "q18_sessionize" -> ((s, d) => { // gaps-and-islands sessionization
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       t(s, d, "events")
@@ -1612,6 +1629,21 @@ object SparkEntry {
       """SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q90: the fetch-log replay (per-row floor quantization → integer
+    // sum → integer division) keeps every step order-independent and
+    // engine-identical; // is DuckDB's integer division, div Spark's.
+    "q90_adaptive_delay" ->
+      """WITH lat AS (
+        |  SELECT 'h' || CAST(user_id % 50 AS VARCHAR) AS host,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS lat
+        |  FROM events),
+        |agg AS (
+        |  SELECT host, COUNT(*) AS n_fetches,
+        |    CAST(SUM(lat) AS BIGINT) AS tot
+        |  FROM lat GROUP BY 1)
+        |SELECT host, n_fetches, tot // n_fetches AS avg_ms,
+        |  LEAST(GREATEST(2 * (tot // n_fetches), 500), 30000) AS delay_ms
+        |FROM agg ORDER BY host""".stripMargin,
     "q18_sessionize" ->
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
         |  COUNT(*) AS n_events

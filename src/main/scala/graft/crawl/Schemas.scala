@@ -96,8 +96,13 @@ final case class HostState(
     robots_disallow: Seq[String],    // cached parsed robots.txt rules
     robots_allow: Seq[String],
     robots_delay_ms: Option[Long],
-    robots_wave: Int)                // wave the robots cache was parsed
+    robots_wave: Int,                // wave the robots cache was parsed
                                      // (TTL: CrawlConfig.robotsTtlWaves)
+    fetch_ewma_ms: Option[Long] = None) // EWMA (α=1/2) of the host's
+                                     // modeled per-fetch duration, fed
+                                     // to the adaptive politeness delay
+                                     // (CrawlConfig.adaptiveDelayFactor);
+                                     // None until the first fetch
 
 /** One article fetch scheduled by the politeness stage. `seq` is the
   * deterministic within-host order (newest-published first, reference

@@ -15,6 +15,7 @@ final case class HostWork(
     lasthandled: Option[String], broken_since: Option[Timestamp],
     robots_disallow: Seq[String], robots_allow: Seq[String],
     robots_delay_ms: Option[Long], robots_wave: Int,
+    fetch_ewma_ms: Option[Long], // carried modeled-fetch-duration EWMA
     robots_txt: Option[String], // fresh raw robots.txt (parsed on TTL expiry)
     html: Option[Array[Byte]], fetched_ts: Option[Timestamp])
 
@@ -69,7 +70,20 @@ final case class CrawlConfig(
     // Bloom cannot forget — expired urls just fall through to the
     // exact anti-join (extra probes, never lost rows); rebuild blooms
     // offline when saturated (SeenFilter.buildBlooms).
-    recrawlAfterWaves: Int = 0)
+    recrawlAfterWaves: Int = 0,
+    // Adaptive politeness (Heritrix's delay-factor): when > 0, a
+    // host's effective crawl-delay is
+    //   max(robots-or-config delay,
+    //       min(adaptiveMaxDelayMs, factor × fetch_ewma_ms))
+    // where fetch_ewma_ms is the carried EWMA (α=1/2) of the host's
+    // MODELED per-fetch duration — 50 ms fixed cost + 1 ms per 64
+    // bytes of stored contenthtml (the snapshot model has no live HTTP
+    // timing; payload size is the deterministic stand-in, and it is
+    // paid for EVERY fetch, deduped or not — you still downloaded it).
+    // A slow/heavy host thus backs off automatically; the robots
+    // crawl-delay stays a hard floor. 0 = off (fixed-delay semantics).
+    adaptiveDelayFactor: Double = 0.0,
+    adaptiveMaxDelayMs: Long = 30000L)
 
 /** One wave of the crawl — the Spark re-expression of the reference's
   * fetch–detect–extract–commit loop (Crawlers/ArticleCrawler.cs:33-262):
@@ -141,7 +155,10 @@ object WaveEngine {
       items: Vector[graft.core.CatalogItem],
       lasthandled: Option[String],
       robots: graft.core.RobotsPolicy,
-      maxPerWave: Int): (Vector[FetchTask], Int, Option[String]) = {
+      maxPerWave: Int,
+      fetchEwmaMs: Option[Long] = None, // carried modeled-duration EWMA
+      adaptiveFactor: Double = 0.0,     // CrawlConfig.adaptiveDelayFactor
+      adaptiveMaxDelayMs: Long = 30000L): (Vector[FetchTask], Int, Option[String]) = {
     // gate on HasDate (parsed OR raw partial date — CatalogItem.HasDate,
     // HtmlAnalyzer.cs:732-738); the sort key is the PARSED date only,
     // with raw-only items last (C# OrderByDescending over DateTime?
@@ -157,7 +174,15 @@ object WaveEngine {
     val fresh = ordered.takeWhile(it =>
       !lasthandled.exists(_.equalsIgnoreCase(it.url)))
     val (allowed, denied) = fresh.partition(it => robots.allows(pathOf(it.url)))
-    val delay = robots.crawl_delay_ms.getOrElse(cfg.crawl_delay_ms)
+    val baseDelay = robots.crawl_delay_ms.getOrElse(cfg.crawl_delay_ms)
+    // adaptive back-off (Heritrix delay-factor): the observed-duration
+    // term can only WIDEN the spacing — robots/config stays the floor
+    val delay = fetchEwmaMs match {
+      case Some(e) if adaptiveFactor > 0.0 =>
+        math.max(baseDelay,
+          math.min(adaptiveMaxDelayMs, (adaptiveFactor * e).toLong))
+      case _ => baseDelay
+    }
     val lanes = math.max(1, cfg.max_in_flight)
     val tasks = allowed.zipWithIndex.map { case (it, k) =>
       FetchTask(
@@ -243,9 +268,14 @@ object WaveEngine {
 
     val prevWave = wave - 1
     val prevState: Dataset[HostState] =
-      if (wave > 0 && store.isCommitted(prevWave))
-        store.read(spark, "state", prevWave).as[HostState]
-      else spark.emptyDataset[HostState]
+      if (wave > 0 && store.isCommitted(prevWave)) {
+        // pre-adaptive-politeness stores lack fetch_ewma_ms — backfill
+        // null (= "no observation yet") so old stores resume unchanged
+        val raw = store.read(spark, "state", prevWave)
+        (if (raw.columns.contains("fetch_ewma_ms")) raw
+         else raw.withColumn("fetch_ewma_ms", lit(null).cast("long")))
+          .as[HostState]
+      } else spark.emptyDataset[HostState]
 
     // -- seeding: enabled hosts ⋈ carried state ⋈ robots (all host-sized,
     //    broadcast) — the Spark form of QueueCrawlAsync's insert-select
@@ -305,6 +335,7 @@ object WaveEngine {
         .as("robots_allow"),
       $"robots_delay_ms",
       coalesce($"robots_wave", lit(-1)).as("robots_wave"),
+      $"fetch_ewma_ms",
       $"r_txt".as("robots_txt"),
       $"html", $"fetched_ts"
     ).as[HostWork]
@@ -314,6 +345,8 @@ object WaveEngine {
     val maxPer = cfg.maxPerHostPerWave
     val robotsTtl = cfg.robotsTtlWaves
     val ua = cfg.userAgent
+    val adaptFactor = cfg.adaptiveDelayFactor
+    val adaptMaxMs = cfg.adaptiveMaxDelayMs
     val outcomes: Dataset[HostOutcome] = work.groupByKey(_.host)
       .flatMapGroups { (_, it) =>
         it.map { w =>
@@ -329,7 +362,7 @@ object WaveEngine {
                   w.broken_since.orElse(w.fetched_ts)
                     .orElse(Some(new Timestamp(86400000L * (wave + 1)))),
                   w.robots_disallow, w.robots_allow, w.robots_delay_ms,
-                  w.robots_wave),
+                  w.robots_wave, w.fetch_ewma_ms),
                 prevLast = w.lasthandled,
                 homeOk = false, catalogFound = 0, robotsDenied = 0, Nil)
             case Some(bytes) =>
@@ -362,11 +395,12 @@ object WaveEngine {
               val hc = HostConfig(w.host_id, w.host, w.home, w.rank,
                 enabled = true, w.crawl_delay_ms, w.max_in_flight, w.rule)
               val (tasks, denied, cand) = scheduleHost(wave, hc, items,
-                w.lasthandled, robotsPol, maxPer)
+                w.lasthandled, robotsPol, maxPer,
+                w.fetch_ewma_ms, adaptFactor, adaptMaxMs)
               HostOutcome(
                 HostState(w.host, cand.orElse(w.lasthandled), None,
                   robotsPol.disallow, robotsPol.allow,
-                  robotsPol.crawl_delay_ms, robotsWave),
+                  robotsPol.crawl_delay_ms, robotsWave, w.fetch_ewma_ms),
                 prevLast = w.lasthandled,
                 homeOk = true, items.size, denied, tasks)
           }
@@ -649,18 +683,34 @@ object WaveEngine {
       .select($"host", lit(true).as("all_failed"))
       .unionByName(budgetDroppedHosts)
       .distinct()
+    // per-host MODELED fetch duration this wave (adaptive politeness
+    // input): 50 ms + payload/64 bytes-per-ms over the cached extracted
+    // rows — every fetched page counts, including ones the dedup later
+    // drops (the bytes were still downloaded). Host-sized after the agg.
+    val hostFetchMs = extracted.toDF()
+      .groupBy($"host")
+      .agg(avg(lit(50.0) + octet_length($"contenthtml") / lit(64.0))
+        .as("cur_fetch_ms"))
     val wavedState = outcomes
       .map(o => (o.state.host, o.state.lasthandled, o.prevLast,
         o.state.broken_since, o.state.robots_disallow, o.state.robots_allow,
-        o.state.robots_delay_ms, o.state.robots_wave))
+        o.state.robots_delay_ms, o.state.robots_wave, o.state.fetch_ewma_ms))
       .toDF("host", "cand_last", "prev_last", "broken_since",
-        "robots_disallow", "robots_allow", "robots_delay_ms", "robots_wave")
+        "robots_disallow", "robots_allow", "robots_delay_ms", "robots_wave",
+        "prev_ewma")
       .join(broadcast(allFailed), Seq("host"), "left")
+      .join(broadcast(hostFetchMs), Seq("host"), "left")
       .select($"host",
         when(coalesce($"all_failed", lit(false)), $"prev_last")
           .otherwise($"cand_last").as("lasthandled"),
         $"broken_since", $"robots_disallow", $"robots_allow",
-        $"robots_delay_ms", $"robots_wave")
+        $"robots_delay_ms", $"robots_wave",
+        // EWMA α=1/2: (prev + cur)/2; first observation seeds with cur;
+        // a wave with no fetches keeps the carried value
+        coalesce(
+          ((coalesce($"prev_ewma".cast("double"), $"cur_fetch_ms")
+            + $"cur_fetch_ms") / 2).cast("long"),
+          $"prev_ewma").as("fetch_ewma_ms"))
     // carry forward the state of hosts ABSENT from this wave (disabled
     // this round, or temporarily off the seed list): the reference
     // persists lasthandled per site regardless of the enabled flag —

@@ -576,6 +576,78 @@ class WaveEdgeSpec extends AnyFunSuite {
     assert(out("http://n.com/y?z=3&a=1") == "http://n.com/y?a=1&z=3")
   }
 
+  test("adaptive politeness: heavy host widens its fetch clock from the carried EWMA") {
+    import spark.implicits._
+    val host = "slow.example.com"
+    val hosts = spark.createDataset(Seq(
+      HostConfig(1, host, s"http://$host/", 1, enabled = true, 100L, 1)))
+    val robots = spark.createDataset(Seq(FixtureGen.RobotsRow(host, "")))
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    def art(j: Int) = ("<html><body><h1>Story</h1><div>" +
+      (0 until 6).map(k =>
+        s"<p>The item $j report number $k brings further detail about " +
+          "the situation, and the description keeps going with " +
+          "additional sentences. More narrative text follows here so " +
+          "the density scan of the extractor sees real content.</p>")
+        .mkString + "</div></body></html>").getBytes("UTF-8")
+    def home(n: Int) = Page(s"http://$host/", ts,
+      ("<html><body><ul>" + (0 until n).map(j =>
+        s"""<li><a href="http://$host/a/$j.html">Story number $j</a>""" +
+          s"""<span>2024-02-${f"${j + 1}%02d"} 10:00</span></li>""").mkString
+        + "</ul></body></html>").getBytes("UTF-8"), "", "en")
+    def arts(r: Range) = r.map(j => Page(s"http://$host/a/$j.html", ts, art(j), "", "en"))
+    val adaptive = cc.copy(adaptiveDelayFactor = 10.0, adaptiveMaxDelayMs = 30000L)
+
+    val s = newStore()
+    // wave 0: 3 items, no carried EWMA yet → base delay (100 ms) spacing
+    WaveEngine.runWave(spark, s,
+      spark.createDataset(home(3) +: arts(0 until 3)), hosts, robots, 0, adaptive)
+    val w0 = s.read(spark, "frontier", 0).orderBy("seq")
+      .select("sched_ms").collect().map(_.getLong(0)).toVector
+    assert(w0 == Vector(0L, 100L, 200L), s"wave-0 spacing must be the base delay: $w0")
+    // the committed state seeds the EWMA with this wave's modeled avg:
+    // floor(avg(50 + octet_length(contenthtml)/64)) over the fetched rows
+    val sizes = s.read(spark, "articles", 0)
+      .select(org.apache.spark.sql.functions.octet_length($"contenthtml"))
+      .collect().map(_.getInt(0))
+    val expectEwma = (sizes.map(b => 50.0 + b / 64.0).sum / sizes.length).toLong
+    val st0 = s.read(spark, "state", 0).head()
+    assert(st0.getAs[Long]("fetch_ewma_ms") == expectEwma)
+    val expectDelay = math.max(100L, math.min(30000L, (10.0 * expectEwma).toLong))
+    assert(expectDelay > 100L, "fixture pages must be heavy enough to out-bid the base delay")
+
+    // wave 1: 3 NEWER items (4..6 by date) → the adaptive delay spaces them
+    WaveEngine.runWave(spark, s,
+      spark.createDataset(home(6) +: arts(0 until 6)), hosts, robots, 1, adaptive)
+    val w1 = s.read(spark, "frontier", 1).orderBy("seq")
+      .select("sched_ms").collect().map(_.getLong(0)).toVector
+    assert(w1 == Vector(0L, expectDelay, 2 * expectDelay),
+      s"wave-1 spacing must be the EWMA-scaled delay $expectDelay: $w1")
+
+    // default config (factor 0) keeps fixed-delay semantics on the same input
+    val s2 = newStore()
+    WaveEngine.runWave(spark, s2,
+      spark.createDataset(home(3) +: arts(0 until 3)), hosts, robots, 0, cc)
+    WaveEngine.runWave(spark, s2,
+      spark.createDataset(home(6) +: arts(0 until 6)), hosts, robots, 1, cc)
+    val off = s2.read(spark, "frontier", 1).orderBy("seq")
+      .select("sched_ms").collect().map(_.getLong(0)).toVector
+    assert(off == Vector(0L, 100L, 200L))
+
+    // legacy state parquet (no fetch_ewma_ms column) resumes cleanly:
+    // the backfill reads it as "no observation" → base delay again
+    val legacyRows = s2.read(spark, "state", 1).drop("fetch_ewma_ms").collect()
+    val legacySchema = s2.read(spark, "state", 1).drop("fetch_ewma_ms").schema
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(legacyRows.toSeq), legacySchema)
+      .write.mode("overwrite").parquet(s2.dataPath("state", 1))
+    WaveEngine.runWave(spark, s2,
+      spark.createDataset(home(6) +: arts(0 until 6)), hosts, robots, 2, adaptive)
+    val st2 = s2.read(spark, "state", 2).head()
+    assert(st2.getAs[Long]("fetch_ewma_ms") != 0L || st2.isNullAt(
+      st2.fieldIndex("fetch_ewma_ms")), "resume over a legacy state must not crash")
+  }
+
   test("trap gate: a flagged host skips the wave; clean/absent hosts crawl") {
     import spark.implicits._
     val trapped = FixtureGen.hostName(5) // flagged → gated
