@@ -687,10 +687,18 @@ object WaveEngine {
     // input): 50 ms + payload/64 bytes-per-ms over the cached extracted
     // rows — every fetched page counts, including ones the dedup later
     // drops (the bytes were still downloaded). Host-sized after the agg.
-    val hostFetchMs = extracted.toDF()
-      .groupBy($"host")
-      .agg(avg(lit(50.0) + octet_length($"contenthtml") / lit(64.0))
-        .as("cur_fetch_ms"))
+    // Only materialized when the adaptive delay is ON: with the factor
+    // at 0 the EWMA would never be read, and the extra per-wave agg job
+    // would pad the wave's serial floor for nothing (the floor is what
+    // bounds N→4N scaling at micro-wave sizes).
+    val hostFetchMs =
+      if (cfg.adaptiveDelayFactor > 0.0)
+        extracted.toDF()
+          .groupBy($"host")
+          .agg(avg(lit(50.0) + octet_length($"contenthtml") / lit(64.0))
+            .as("cur_fetch_ms"))
+      else spark.emptyDataset[(String, Double)]
+        .toDF("host", "cur_fetch_ms")
     val wavedState = outcomes
       .map(o => (o.state.host, o.state.lasthandled, o.prevLast,
         o.state.broken_since, o.state.robots_disallow, o.state.robots_allow,
