@@ -400,9 +400,13 @@ object SparkEntry {
       // (host = user bucket, latency = floor(value×100) ms). All-integer
       // math — per-row floor quantization, then integer sum/division —
       // so Spark and DuckDB cannot drift on float accumulation order.
+      // lat clamped at 0: a negative latency is meaningless AND Spark's
+      // `div` (truncate toward zero) disagrees with DuckDB's `//`
+      // (floor) on negative totals — the clamp keeps the division
+      // engine-identical without a fixture precondition.
       val ev = t(s, d, "events")
       ev.select(concat(lit("h"), col("user_id") % 50).as("host"),
-          floor(col("value") * 100).cast("long").as("lat"))
+          greatest(floor(col("value") * 100).cast("long"), lit(0L)).as("lat"))
         .groupBy("host")
         .agg(count(lit(1)).as("n_fetches"), sum("lat").as("tot"))
         .select(col("host"), col("n_fetches"),
@@ -1635,7 +1639,7 @@ object SparkEntry {
     "q90_adaptive_delay" ->
       """WITH lat AS (
         |  SELECT 'h' || CAST(user_id % 50 AS VARCHAR) AS host,
-        |    CAST(FLOOR(value * 100) AS BIGINT) AS lat
+        |    GREATEST(CAST(FLOOR(value * 100) AS BIGINT), 0) AS lat
         |  FROM events),
         |agg AS (
         |  SELECT host, COUNT(*) AS n_fetches,

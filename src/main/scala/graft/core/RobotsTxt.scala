@@ -128,19 +128,47 @@ object RobotsTxt {
 
   /** One rule compiled to (specificity, matcher). Wildcard-free rules
     * keep the zero-allocation literal-prefix fast path; rules with `*`
-    * or a trailing `$` compile to an anchored regex (each literal
-    * segment quoted, so every other character — including a mid-rule
-    * `$` — is literal). */
+    * or a trailing `$` use a LINEAR two-pointer greedy scan over the
+    * `*`-split literal segments (every other character — including a
+    * mid-rule `$` — is literal). Never a backtracking regex: robots.txt
+    * is SITE-CONTROLLED input, and a hostile many-star pattern (slash,
+    * then a dozen star-a pairs, then `b$`) against a long catalog path
+    * would pin a politeness-stage task in
+    * catastrophic backtracking; greedy leftmost segment placement is
+    * equivalent for this wildcard language and O(|path|·|rule|) worst
+    * case (Google's reference matcher is linear for the same reason). */
   private[core] def compileRule(rule: String): (Int, String => Boolean) = {
     val endAnchor = rule.endsWith("$")
     val body = if (endAnchor) rule.dropRight(1) else rule
     val m: String => Boolean =
       if (!endAnchor && body.indexOf('*') < 0) _.startsWith(body)
       else {
-        val re = java.util.regex.Pattern.compile(
-          body.split("\\*", -1).map(java.util.regex.Pattern.quote)
-            .mkString(".*") + (if (endAnchor) "$" else ""))
-        p => re.matcher(p).lookingAt()
+        val segs = body.split("\\*", -1) // k stars → k+1 literal segments
+        if (endAnchor && segs.length == 1) _ == body // `$`, no `*`: exact
+        else p => {
+          if (!p.startsWith(segs.head)) false
+          else {
+            var pos = segs.head.length
+            var ok = true
+            // middle segments (and the last when unanchored): greedy
+            // leftmost placement, each found strictly after the previous
+            var i = 1
+            val lastGreedy = if (endAnchor) segs.length - 1 else segs.length
+            while (ok && i < lastGreedy) {
+              val at = p.indexOf(segs(i), pos)
+              if (at < 0) ok = false else pos = at + segs(i).length
+              i += 1
+            }
+            if (!ok) false
+            else if (!endAnchor) true // prefix-match semantics: tail free
+            else {
+              // anchored: the final segment must sit at the very end,
+              // at or after the greedy scan position
+              val last = segs.last
+              p.length - last.length >= pos && p.endsWith(last)
+            }
+          }
+        }
       }
     (rule.length, m)
   }
@@ -157,8 +185,8 @@ object RobotsTxt {
   }
 
   /** Most-specific-match-wins evaluation (specificity = pattern
-    * length), Allow winning ties; no matching rule ⇒ allowed. */
-  def allowed(path: String, p: RobotsPolicy): Boolean =
-    allowedCompiled(path, p.disallow.map(compileRule),
-      p.allow.map(compileRule))
+    * length), Allow winning ties; no matching rule ⇒ allowed.
+    * Delegates to the policy's cached compiled matchers — a per-path
+    * loop must not recompile every rule per call. */
+  def allowed(path: String, p: RobotsPolicy): Boolean = p.allows(path)
 }

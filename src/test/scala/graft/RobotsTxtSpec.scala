@@ -123,6 +123,30 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(p.allows("/cgibin/x"))
   }
 
+  test("hostile wildcard patterns match in linear time (no regex backtracking)") {
+    // site-controlled input: the classic catastrophic-backtracking shape
+    val p = RobotsTxt.parse(
+      "User-agent: *\nDisallow: /*a*a*a*a*a*a*a*a*a*a*a*a*b$\n", "graftbot")
+    val longPath = "/" + ("a" * 4000) // no 'b' → worst case for backtracking
+    val t0 = System.nanoTime()
+    assert(p.allows(longPath))
+    assert(!p.allows(longPath + "b"))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 200.0, s"hostile pattern took $ms ms — matcher must be linear")
+  }
+
+  test("$ without * is an exact-path rule; greedy segments respect the end anchor") {
+    val p = RobotsTxt.parse(
+      "User-agent: *\nDisallow: /exact$\nDisallow: /x*y$\n", "graftbot")
+    assert(!p.allows("/exact"))
+    assert(p.allows("/exact/sub"), "anchored literal must not match a longer path")
+    assert(p.allows("/exac"))
+    assert(!p.allows("/xzzy"))
+    assert(p.allows("/x"), "the tail segment needs room after the head")
+    assert(!p.allows("/xy"))
+    assert(p.allows("/xy-not-end"))
+  }
+
   test("wildcard precedence: specificity is PATTERN length, allow wins ties") {
     val p = RobotsTxt.parse(
       """User-agent: *
