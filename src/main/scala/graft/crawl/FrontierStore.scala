@@ -76,6 +76,17 @@ trait FrontierStore extends Serializable {
     readDeltas(spark, table, upTo).map(
       _.where(org.apache.spark.sql.functions.col("bucket")
         .isin(buckets.map(Int.box): _*)))
+
+  /** EXACTLY ONE committed wave of a bucket-keyed table (contrast
+    * [[readBuckets]]' 0..upTo union), restricted to `buckets` — the
+    * recrawl-TTL eviction read, which must see precisely the inserts of
+    * the expiring wave. Default implementation filters the union on the
+    * table's own `wave` DATA column (seenurls carries it); bindings
+    * with physical wave partitioning should read just that wave. */
+  def readWaveBuckets(spark: SparkSession, table: String, wave: Int,
+      buckets: Seq[Int]): Option[DataFrame] =
+    readBuckets(spark, table, wave, buckets)
+      .map(_.where(org.apache.spark.sql.functions.col("wave") === wave))
 }
 
 /** Iceberg production binding: each engine table is an Iceberg table

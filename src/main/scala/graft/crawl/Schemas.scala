@@ -186,7 +186,12 @@ final case class PartitionLineage(
   * scale-killer). `host` rides along only so the S9 host-delete cascade
   * can rewrite this table with the same anti-join as the others; `wave`
   * supports the recrawl-TTL window filter. */
-final case class SeenUrl(bucket: Int, host: String, url: String, wave: Int)
+final case class SeenUrl(bucket: Int, host: String, url: String, wave: Int,
+    digest: Option[String] = None) // md5(contenthtml) at insert time —
+                                   // the recrawl revalidation comparator
+                                   // (CrawlConfig.revalidateOnRecrawl);
+                                   // None on legacy rows ⇒ treated as
+                                   // changed (safe re-store)
 
 /** Bloom-then-Cuckoo seen-filter state, one row per host-hash bucket.
   * BOTH sketches are carried wave-to-wave and merged incrementally

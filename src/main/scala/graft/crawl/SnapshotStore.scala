@@ -119,4 +119,16 @@ final class SnapshotStore(val root: String) extends FrontierStore {
     } yield p
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
+
+  /** Exact-wave variant: only `wave`'s own `bucket=K` leaf dirs are
+    * listed — no 0..wave walk, and an empty wave (zero bucket dirs
+    * under an existing table dir) is None, not a schema-inference
+    * failure. */
+  override def readWaveBuckets(spark: SparkSession, table: String,
+      wave: Int, buckets: Seq[Int]): Option[DataFrame] = {
+    if (!isCommitted(wave)) return None
+    val paths = buckets.map(b => s"${dataPath(table, wave)}/bucket=$b")
+      .filter(p => Files.exists(Paths.get(p)))
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
 }

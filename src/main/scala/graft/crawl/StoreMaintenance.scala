@@ -147,9 +147,11 @@ object StoreMaintenance {
       val rows =
         if (store.hasTable("articles", w))
           store.read(spark, "articles", w)
-            .select($"url", $"host").as[(String, String)]
-            .map { case (u, h) =>
-              SeenUrl(SeenFilter.urlBucket(u, hb, sl), h, u, w) }
+            .select($"url", $"host",
+              org.apache.spark.sql.functions.md5($"contenthtml").as("d"))
+            .as[(String, String, String)]
+            .map { case (u, h, d) =>
+              SeenUrl(SeenFilter.urlBucket(u, hb, sl), h, u, w, Some(d)) }
             .toDF()
         else spark.emptyDataset[SeenUrl].toDF()
       store.writeBucketed(rows, "seenurls", w)

@@ -83,7 +83,18 @@ final case class CrawlConfig(
     // A slow/heavy host thus backs off automatically; the robots
     // crawl-delay stays a hard floor. 0 = off (fixed-delay semantics).
     adaptiveDelayFactor: Double = 0.0,
-    adaptiveMaxDelayMs: Long = 30000L)
+    adaptiveMaxDelayMs: Long = 30000L,
+    // Recrawl REVALIDATION (the HTTP-304 analogue the snapshot model
+    // can honor): when ON, a TTL-expired url whose re-extracted
+    // contenthtml digest equals the digest stored at its last insert
+    // (carried in the slim seenurls table) is NOT re-stored — it gets a
+    // fresh seenurls row + sketch insert (TTL restarts) and counts as
+    // `deduped` in the metrics, but no duplicate article row is
+    // written. At a 10^10-url store with slow-changing pages this is
+    // the difference between re-writing the corpus every TTL and
+    // writing only the delta. OFF by default (re-store semantics);
+    // legacy seenurls rows without a digest always count as changed.
+    revalidateOnRecrawl: Boolean = false)
 
 /** One wave of the crawl — the Spark re-expression of the reference's
   * fetch–detect–extract–commit loop (Crawlers/ArticleCrawler.cs:33-262):
@@ -591,12 +602,18 @@ object WaveEngine {
     // the committed store (round 3 re-read the whole article store's
     // url column every wave). An all-new wave (no maybe rows) skips the
     // build-side read entirely.
+    // affected-bucket driver set (≤ B×S ints off the cached slim probe
+    // output) — prunes BOTH the exact anti-join's build side and the
+    // revalidation digest lookup (expired urls are always maybeSeen:
+    // the Bloom never forgets)
+    val maybeBuckets: Seq[Int] =
+      if (wave == 0) Nil
+      else classified.filter(_._2)
+        .map(t => SeenFilter.urlBucket(t._1.url, hb, sl))
+        .distinct().collect().toSeq.sorted
     val confirmedNew =
       if (wave == 0) maybeSeen
       else {
-        val maybeBuckets = classified.filter(_._2)
-          .map(t => SeenFilter.urlBucket(t._1.url, hb, sl))
-          .distinct().collect().toSeq.sorted
         seenBuildSide(spark, store, prevWave, wave, ttl, maybeBuckets) match {
           case None => maybeSeen
           case Some(side) => maybeSeen.toDF()
@@ -620,13 +637,48 @@ object WaveEngine {
         Seq("url", "host", "seq"), "left_semi")
       .as[ArticleRow]
 
+    // -- recrawl revalidation (flag-gated): winners whose re-extracted
+    //    digest equals the latest digest stored for the url in an
+    //    EXPIRED wave's seenurls rows. Bucket-pruned slim read (the
+    //    same maybeBuckets that prune the anti-join); everything moved
+    //    is (url, digest). A legacy store without the digest column
+    //    yields None ⇒ everything counts as changed (safe re-store).
+    val revalidatedUrls: Option[DataFrame] =
+      if (cfg.revalidateOnRecrawl && ttl > 0 && wave - ttl >= 0 &&
+          maybeBuckets.nonEmpty)
+        store.readBuckets(spark, "seenurls", wave - ttl, maybeBuckets) match {
+          case Some(old) if old.columns.contains("digest") =>
+            val oldDigest = old.where($"digest".isNotNull)
+              .groupBy($"url")
+              .agg(max_by($"digest", $"wave").as("old_digest"))
+            Some(newArticles.toDF()
+              .select($"url", md5($"contenthtml").as("new_digest"))
+              .join(oldDigest, Seq("url"))
+              .where($"new_digest" === $"old_digest")
+              .select($"url"))
+          case _ => None
+        }
+      else None
+    // stored rows = winners minus revalidated; the seen-state
+    // (seenurls + sketches) still covers ALL winners so the TTL
+    // restarts for revalidated urls too
+    val newStored: Dataset[ArticleRow] = revalidatedUrls match {
+      case Some(rv) => newArticles.toDF()
+        .join(if (hintTaskBroadcast) broadcast(rv) else rv,
+          Seq("url"), "left_anti").as[ArticleRow]
+      case None => newArticles
+    }
+
     // -- metrics per host (A4 roll-up): ONE tagged union + ONE groupBy
     //    instead of four separate aggregate-join plans — same result,
     //    a quarter of the driver planning/codegen and one shuffle.
+    //    `inserted` counts STORED rows; a revalidated url lands in
+    //    `deduped` (= fetched_ok − inserted): fetched, unchanged, not
+    //    re-stored.
     val tagged = tasks.toDF().select($"host", lit("s").as("k"))
       .unionByName(extracted.toDF().select($"host", lit("f").as("k")))
       .unionByName(fetchFails.toDF("host", "url").select($"host", lit("x").as("k")))
-      .unionByName(winnersDF.select($"host", lit("i").as("k")))
+      .unionByName(newStored.toDF().select($"host", lit("i").as("k")))
     // cached: consumed twice (metrics roll-up AND checkpoint finalize)
     val counts = tagged.groupBy($"host").agg(
       count(when($"k" === "s", 1)).as("scheduled"),
@@ -660,13 +712,25 @@ object WaveEngine {
     val inserts = winners.map(a =>
       (SeenFilter.urlBucket(a.url, hb, sl), a.url, true))
     val evictWave = wave - ttl
+    // eviction reads the expiring wave's SEENURLS (slim, and — unlike
+    // the articles table — it also covers urls that wave merely
+    // REVALIDATED, whose sketch entries must expire too); legacy waves
+    // without the table fall back to the articles url column
     val changes =
-      if (ttl > 0 && evictWave >= 0 && store.isCommitted(evictWave))
-        inserts.unionByName(
-          store.read(spark, "articles", evictWave)
-            .select($"url").as[String]
+      if (ttl > 0 && evictWave >= 0 && store.isCommitted(evictWave)) {
+        val evictUrls = store
+          .readWaveBuckets(spark, "seenurls", evictWave, 0 until hb * sl)
+          .map(_.select($"url"))
+          .orElse(
+            if (store.hasTable("articles", evictWave))
+              Some(store.read(spark, "articles", evictWave).select($"url"))
+            else None)
+        evictUrls match {
+          case Some(df) => inserts.unionByName(df.as[String]
             .map(u => (SeenFilter.urlBucket(u, hb, sl), u, false)))
-      else inserts
+          case None => inserts
+        }
+      } else inserts
     val newSeen = SeenFilter.updateSketches(
       changes, carriedSeen, cfg.cuckooCapacityPerBucket,
       cfg.expectedUrlsPerBucket, cfg.bloomFpp)
@@ -743,7 +807,7 @@ object WaveEngine {
     //    was the dominant share of the wave's serial floor (measured
     //    with the BenchProbe job listener).
     val mCached = metrics.toDF().coalesce(1).cache()
-    store.writeNoCount(newArticles.toDF(), "articles", wave)
+    store.writeNoCount(newStored.toDF(), "articles", wave)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -759,9 +823,16 @@ object WaveEngine {
       sum("fetch_failed"), sum("inserted"), count(lit(1))).head()
     // slim committed-url side table, appended per wave and PARTITIONED
     // by the same url-bucket the sketches use — the bucket-pruned build
-    // side of the next waves' exact-seen anti-join
-    val seenUrlRows = winners.map(w =>
-      SeenUrl(SeenFilter.urlBucket(w.url, hb, sl), w.host, w.url, wave))
+    // side of the next waves' exact-seen anti-join. Built from ALL
+    // winners (incl. revalidated urls, whose TTL restarts here) with
+    // the insert-time digest the revalidation path compares against;
+    // md5 is a scan-side projection off the extract cache — bodies
+    // never ride the bucket repartition.
+    val seenUrlRows = newArticles.toDF()
+      .select($"host", $"url", md5($"contenthtml").as("d"))
+      .as[(String, String, String)]
+      .map { case (h, u, d) =>
+        SeenUrl(SeenFilter.urlBucket(u, hb, sl), h, u, wave, Some(d)) }
     val smallWrites = Seq(
       // frontier is task-batch-sized (up to maxPerHost × hosts) — keeps
       // its partitioning; genuinely host-/bucket-sized tables coalesce(1)
@@ -776,8 +847,11 @@ object WaveEngine {
     val nArticles = g(4)
     store.commit(wave, Map(
       "articles" -> nArticles, "frontier" -> g(0), "state" -> g(5),
-      "seen" -> -1L, "seenurls" -> nArticles, "metrics" -> g(5),
-      "lineage" -> -1L))
+      // under revalidation seenurls ⊋ articles (it also carries the
+      // revalidated urls' fresh rows) — count not tracked there
+      "seen" -> -1L,
+      "seenurls" -> (if (cfg.revalidateOnRecrawl) -1L else nArticles),
+      "metrics" -> g(5), "lineage" -> -1L))
     val res = WaveResult(wave, g(0), g(1), nArticles, g(2), g(3))
     outcomes.unpersist(); tasks.unpersist(); fetchFails.unpersist()
     extracted.unpersist(); extractedRaw.unpersist()

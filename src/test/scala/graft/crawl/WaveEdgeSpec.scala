@@ -648,6 +648,70 @@ class WaveEdgeSpec extends AnyFunSuite {
       st2.fieldIndex("fetch_ewma_ms")), "resume over a legacy state must not crash")
   }
 
+  test("recrawl revalidation: unchanged expired pages refresh TTL without re-storing") {
+    import spark.implicits._
+    val host = "reval.example.com"
+    val hosts = spark.createDataset(Seq(
+      HostConfig(1, host, s"http://$host/", 1, enabled = true, 100L, 1)))
+    val robots = spark.createDataset(Seq(FixtureGen.RobotsRow(host, "")))
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    def art(word: String) = ("<html><body><h1>Story</h1><div>" +
+      (0 until 5).map(k =>
+        s"<p>The $word report number $k brings further detail about " +
+          "the situation, and the description keeps going with " +
+          "additional sentences. More narrative text follows here so " +
+          "the density scan of the extractor sees real content.</p>")
+        .mkString + "</div></body></html>").getBytes("UTF-8")
+    // equal dates: the all-dated sort is stable, so the catalog's own
+    // order decides — rotating it re-exposes old items past lasthandled
+    def home(order: Seq[String]) = Page(s"http://$host/", ts,
+      ("<html><body><ul>" + order.map(u =>
+        s"""<li><a href="http://$host/a/$u.html">Story item $u</a>""" +
+          """<span>2024-02-01 10:00</span></li>""").mkString
+        + "</ul></body></html>").getBytes("UTF-8"), "", "en")
+    def page(u: String, word: String) =
+      Page(s"http://$host/a/$u.html", ts, art(word), "", "en")
+    val cfgReval = cc.copy(recrawlAfterWaves = 1, revalidateOnRecrawl = true)
+
+    val s = newStore()
+    // wave 0: items a, b, c stored; lasthandled = a (catalog head)
+    WaveEngine.runWave(spark, s, spark.createDataset(Seq(
+      home(Seq("a", "b", "c")), page("a", "alpha"), page("b", "bravo"),
+      page("c", "charlie"))), hosts, robots, 0, cfgReval)
+    assert(s.read(spark, "articles", 0).count() == 3)
+    val d0 = s.readWaveBuckets(spark, "seenurls", 0, 0 until cc.hostBuckets * cc.salt)
+      .get.select("url", "digest").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d0.size == 3 && d0.values.forall(_ != null),
+      "seenurls must carry insert-time digests")
+
+    // wave 1 (ttl=1 ⇒ a/b/c all expired): rotated catalog re-exposes
+    // b and c; b is byte-identical → revalidated; c changed → re-stored
+    WaveEngine.runWave(spark, s, spark.createDataset(Seq(
+      home(Seq("b", "c", "a")), page("a", "alpha"), page("b", "bravo"),
+      page("c", "CHANGED"))), hosts, robots, 1, cfgReval)
+    val a1 = s.read(spark, "articles", 1).select("url").collect().map(_.getString(0))
+    assert(a1.toSeq == Seq(s"http://$host/a/c.html"),
+      s"only the changed page may be re-stored, got ${a1.toSeq}")
+    val su1 = s.readWaveBuckets(spark, "seenurls", 1, 0 until cc.hostBuckets * cc.salt)
+      .get.select("url").collect().map(_.getString(0)).toSet
+    assert(su1 == Set(s"http://$host/a/b.html", s"http://$host/a/c.html"),
+      "both refetched urls must get fresh seenurls rows (TTL restart)")
+    val m1 = s.read(spark, "metrics", 1).where($"host" === host).head()
+    assert(m1.getAs[Int]("fetched_ok") == 2 && m1.getAs[Int]("inserted") == 1
+      && m1.getAs[Int]("deduped") == 1,
+      "revalidated url counts as deduped, changed url as inserted")
+
+    // wave 2: b and c now have FRESH wave-1 seen rows → ordinary dedup
+    // (no refetch-store), and eviction reads wave-1 seenurls — covering
+    // the revalidated url the articles table never saw
+    WaveEngine.runWave(spark, s, spark.createDataset(Seq(
+      home(Seq("c", "b", "a")), page("a", "alpha"), page("b", "bravo"),
+      page("c", "CHANGED"))), hosts, robots, 2, cfgReval)
+    assert(s.read(spark, "articles", 2).count() == 0,
+      "freshly revalidated/re-stored urls are seen for the next TTL window")
+  }
+
   test("trap gate: a flagged host skips the wave; clean/absent hosts crawl") {
     import spark.implicits._
     val trapped = FixtureGen.hostName(5) // flagged → gated
