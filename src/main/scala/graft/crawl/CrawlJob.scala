@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
   *   [--robots-table /path/robots.parquet] (RobotsRow rows)
   *   [--hosts N --base N --growth N --hot N]    (synthetic fixture)
   *   [--delete-hosts h1.com,h2.com]  (S9 cascade, then crawl/exit)
+  *   [--recrawl-ttl N --revalidate true]  (TTL recrawl; digest-gated
+  *     revalidation — unchanged pages refresh TTL without re-storing)
+  *   [--adaptive-delay F --adaptive-max-ms N]  (Heritrix-style
+  *     delay-factor politeness back-off from the carried fetch EWMA)
  *   [--rerank-links /path/sightings.parquet --max-tasks N]  (priority
  *     frontier: link-graph rerank + global per-wave budget)
  *   [--rank-base N]  (rank fixed-point scale; LOWER it for big graphs —
@@ -97,7 +101,14 @@ object CrawlJob {
       maxPerHostPerWave = opts.getOrElse("max-per-host", "100").toInt,
       maxTasksPerWave = opts.getOrElse("max-tasks", "0").toInt,
       hostBuckets = opts.getOrElse("buckets", "64").toInt,
-      salt = opts.getOrElse("salt", "8").toInt)
+      salt = opts.getOrElse("salt", "8").toInt,
+      recrawlAfterWaves = opts.getOrElse("recrawl-ttl", "0").toInt,
+      revalidateOnRecrawl =
+        opts.getOrElse("revalidate", "false").toBoolean,
+      adaptiveDelayFactor =
+        opts.getOrElse("adaptive-delay", "0").toDouble,
+      adaptiveMaxDelayMs =
+        opts.getOrElse("adaptive-max-ms", "30000").toLong)
 
     val pagesAt: Int => org.apache.spark.sql.Dataset[Page] =
       opts.get("pages") match {
