@@ -153,8 +153,16 @@ final class IcebergFrontierStore(
     if (!spark.catalog.tableExists(name)) {
       val parts = Sql.partitionCols(bucketed).map(col)
       tagged.writeTo(name).partitionedBy(parts.head, parts.tail: _*).create()
-    } else
+    } else {
+      // upgraded-engine resume: a table created before a column landed
+      // (seenurls.digest) must evolve before the by-name write
+      val existing = spark.table(name).columns.toSet
+      val missing = tagged.schema.fields.filterNot(f => existing(f.name))
+      if (missing.nonEmpty)
+        spark.sql(Sql.addColumns(name,
+          missing.toSeq.map(f => (f.name, f.dataType.sql))))
       tagged.writeTo(name).overwritePartitions() // idempotent re-run
+    }
   }
 
   override def writeNoCount(df: DataFrame, table: String, wave: Int): Unit =
@@ -234,5 +242,22 @@ object IcebergFrontierStore {
       * anti-join pruning. */
     def partitionCols(bucketed: Boolean): Seq[String] =
       if (bucketed) Seq("_wave", "bucket") else Seq("_wave")
+
+    /** Schema evolution for stores created by an OLDER engine: add the
+      * data columns the existing table predates (e.g. the round-4
+      * `seenurls.digest`) before the by-name v2 write — without it,
+      * `overwritePartitions` on a 4-column table with 5 data columns
+      * is an AnalysisException and resume fails. Iceberg ADD COLUMNS
+      * is a metadata-only commit; existing rows read the new column as
+      * null, which is exactly the legacy-rows-mean-changed contract. */
+    def addColumns(name: String, cols: Seq[(String, String)]): String = {
+      require(cols.nonEmpty)
+      cols.foreach { case (n, t) =>
+        require(n.matches("[A-Za-z_][A-Za-z0-9_]*"), s"unsafe column: $n")
+        require(t.matches("[A-Za-z0-9_<>(), ]+"), s"unsafe type: $t")
+      }
+      s"ALTER TABLE $name ADD COLUMNS " +
+        s"(${cols.map { case (n, t) => s"$n $t" }.mkString(", ")})"
+    }
   }
 }

@@ -97,11 +97,18 @@ final class SnapshotStore(val root: String) extends FrontierStore {
   }
 
   /** Union of a delta table across all committed waves 0..upTo
-    * (e.g. the append-only articles store). */
+    * (e.g. the append-only articles store). `mergeSchema` because waves
+    * written by different engine versions may differ by added columns
+    * (seenurls.digest, articles.contenthtml) — without it the inferred
+    * schema is whichever wave's footer Spark samples first, and a
+    * column present only in NEWER waves can silently vanish from the
+    * union (disabling e.g. revalidation on exactly the upgraded stores
+    * the fallback logic targets). */
   def readDeltas(spark: SparkSession, table: String, upTo: Int): Option[DataFrame] = {
     val paths = (0 to upTo).filter(isCommitted).map(dataPath(table, _))
       .filter(p => Files.exists(Paths.get(p)))
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty) None
+    else Some(spark.read.option("mergeSchema", true).parquet(paths: _*))
   }
 
   /** Maximal bucket pruning for the local binding: only the requested
@@ -117,7 +124,8 @@ final class SnapshotStore(val root: String) extends FrontierStore {
       p = s"${dataPath(table, w)}/bucket=$b"
       if Files.exists(Paths.get(p))
     } yield p
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty) None
+    else Some(spark.read.option("mergeSchema", true).parquet(paths: _*))
   }
 
   /** Exact-wave variant: only `wave`'s own `bucket=K` leaf dirs are
@@ -129,6 +137,7 @@ final class SnapshotStore(val root: String) extends FrontierStore {
     if (!isCommitted(wave)) return None
     val paths = buckets.map(b => s"${dataPath(table, wave)}/bucket=$b")
       .filter(p => Files.exists(Paths.get(p)))
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty) None
+    else Some(spark.read.option("mergeSchema", true).parquet(paths: _*))
   }
 }

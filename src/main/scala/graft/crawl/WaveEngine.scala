@@ -651,11 +651,15 @@ object WaveEngine {
             val oldDigest = old.where($"digest".isNotNull)
               .groupBy($"url")
               .agg(max_by($"digest", $"wave").as("old_digest"))
+            // cached: the anti-join under newStored runs in TWO actions
+            // (articles write + metrics roll-up) — without the cache
+            // each re-reads the expired buckets and re-runs the
+            // max_by shuffle
             Some(newArticles.toDF()
               .select($"url", md5($"contenthtml").as("new_digest"))
               .join(oldDigest, Seq("url"))
               .where($"new_digest" === $"old_digest")
-              .select($"url"))
+              .select($"url").cache())
           case _ => None
         }
       else None
@@ -857,6 +861,7 @@ object WaveEngine {
     extracted.unpersist(); extractedRaw.unpersist()
     classified.unpersist(); winners.unpersist()
     counts.unpersist(); mCached.unpersist(); homesOk.unpersist()
+    revalidatedUrls.foreach(_.unpersist())
     res
   }
 

@@ -63,4 +63,16 @@ class IcebergSeamSpec extends AnyFunSuite {
     assert(Sql.partitionCols(bucketed = false) == Seq("_wave"))
     assert(Sql.partitionCols(bucketed = true) == Seq("_wave", "bucket"))
   }
+
+  test("schema evolution: ADD COLUMNS for columns a legacy table predates") {
+    // the upgraded-engine resume path (writeTagged) emits this before
+    // the by-name v2 write — e.g. the round-4 seenurls.digest column
+    assert(Sql.addColumns("prod.graft.seenurls", Seq(("digest", "STRING"))) ==
+      "ALTER TABLE prod.graft.seenurls ADD COLUMNS (digest STRING)")
+    assert(Sql.addColumns("c.n.t", Seq(("a", "BIGINT"), ("b", "STRING"))) ==
+      "ALTER TABLE c.n.t ADD COLUMNS (a BIGINT, b STRING)")
+    assertThrows[IllegalArgumentException](Sql.addColumns("c.n.t", Nil))
+    assertThrows[IllegalArgumentException](
+      Sql.addColumns("c.n.t", Seq(("bad-name;", "STRING"))))
+  }
 }

@@ -702,14 +702,78 @@ class WaveEdgeSpec extends AnyFunSuite {
       && m1.getAs[Int]("deduped") == 1,
       "revalidated url counts as deduped, changed url as inserted")
 
-    // wave 2: b and c now have FRESH wave-1 seen rows → ordinary dedup
-    // (no refetch-store), and eviction reads wave-1 seenurls — covering
-    // the revalidated url the articles table never saw
+    // wave 2: the checkpoint (lasthandled=b after wave 1) stops the walk
+    // at b, so only c is re-exposed; with ttl=1 its wave-1 row is
+    // already expired again → c revalidates against the wave-1 digest
+    // (eviction also reads wave-1 seenurls, which covers b — the url
+    // the wave-1 articles table never saw)
     WaveEngine.runWave(spark, s, spark.createDataset(Seq(
       home(Seq("c", "b", "a")), page("a", "alpha"), page("b", "bravo"),
       page("c", "CHANGED"))), hosts, robots, 2, cfgReval)
     assert(s.read(spark, "articles", 2).count() == 0,
-      "freshly revalidated/re-stored urls are seen for the next TTL window")
+      "an unchanged-since-last-store page must revalidate, not re-store")
+  }
+
+  test("revalidation restarts the TTL: the fresh seen row dedups the next re-exposure") {
+    import spark.implicits._
+    val host = "ttl2.example.com"
+    val hosts = spark.createDataset(Seq(
+      HostConfig(1, host, s"http://$host/", 1, enabled = true, 100L, 1)))
+    val robots = spark.createDataset(Seq(FixtureGen.RobotsRow(host, "")))
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    def art(word: String) = ("<html><body><h1>Story</h1><div>" +
+      (0 until 5).map(k =>
+        s"<p>The $word report number $k brings further detail about " +
+          "the situation, and the description keeps going with " +
+          "additional sentences. More narrative text follows here so " +
+          "the density scan of the extractor sees real content.</p>")
+        .mkString + "</div></body></html>").getBytes("UTF-8")
+    def home(order: Seq[String]) = Page(s"http://$host/", ts,
+      ("<html><body><ul>" + order.map(u =>
+        s"""<li><a href="http://$host/a/$u.html">Story item $u</a>""" +
+          """<span>2024-02-01 10:00</span></li>""").mkString
+        + "</ul></body></html>").getBytes("UTF-8"), "", "en")
+    val pages = Seq(Page(s"http://$host/a/a.html", ts, art("alpha"), "", "en"),
+      Page(s"http://$host/a/b.html", ts, art("bravo"), "", "en"),
+      Page(s"http://$host/a/c.html", ts, art("charlie"), "", "en"))
+    val cfg2 = cc.copy(recrawlAfterWaves = 2, revalidateOnRecrawl = true)
+    def wave(s: SnapshotStore, w: Int, order: Seq[String]): Unit =
+      WaveEngine.runWave(spark, s,
+        spark.createDataset(home(order) +: pages), hosts, robots, w, cfg2)
+    def metrics(s: SnapshotStore, w: Int) = {
+      val m = s.read(spark, "metrics", w).where($"host" === host).head()
+      (m.getAs[Int]("fetched_ok"), m.getAs[Int]("inserted"),
+        m.getAs[Int]("deduped"))
+    }
+    def seenAt(s: SnapshotStore, w: Int): Set[String] =
+      s.readWaveBuckets(spark, "seenurls", w, 0 until cc.hostBuckets * cc.salt)
+        .map(_.select("url").collect().map(_.getString(0)).toSet)
+        .getOrElse(Set.empty)
+
+    val s = newStore()
+    wave(s, 0, Seq("a", "b", "c")) // a,b,c stored; lasthandled = a
+    // wave 1: b,c re-exposed, their wave-0 rows are STILL within the
+    // ttl=2 window → ordinary dedup, no fresh seen rows
+    wave(s, 1, Seq("b", "c", "a"))
+    assert(s.read(spark, "articles", 1).count() == 0)
+    assert(metrics(s, 1) == ((2, 0, 2)))
+    assert(seenAt(s, 1).isEmpty, "a deduped url must not refresh its TTL")
+    // wave 2 (lasthandled = b): c and a re-exposed, wave-0 rows now
+    // expired → both revalidate (unchanged) → fresh wave-2 seen rows
+    wave(s, 2, Seq("c", "a", "b"))
+    assert(s.read(spark, "articles", 2).count() == 0)
+    assert(metrics(s, 2) == ((2, 0, 2)))
+    assert(seenAt(s, 2) ==
+      Set(s"http://$host/a/c.html", s"http://$host/a/a.html"))
+    // wave 3 (lasthandled = c): a and b re-exposed. a's REVALIDATION
+    // row (wave 2) is inside the window → ordinary dedup — THE TTL
+    // RESTART. b's only row is wave 0 (expired; its wave-1 appearance
+    // was a dedup, not a refresh) → revalidates now.
+    wave(s, 3, Seq("a", "b", "c"))
+    assert(s.read(spark, "articles", 3).count() == 0)
+    assert(metrics(s, 3) == ((2, 0, 2)))
+    assert(seenAt(s, 3) == Set(s"http://$host/a/b.html"),
+      "only the expired url may refresh; the revalidated one is simply seen")
   }
 
   test("trap gate: a flagged host skips the wave; clean/absent hosts crawl") {
