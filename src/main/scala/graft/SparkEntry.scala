@@ -1071,6 +1071,16 @@ object SparkEntry {
         ops.UrlOps.host(messy).as("host"))
         .orderBy("doc_id")
     }),
+    "q91_surt_keys" -> ((s, d) => { // Common-Crawl CDX sort keys:
+      // reversed-host SURT form making each domain one key range.
+      // Messy synthesized input: mixed case, www prefix, port,
+      // unsorted params, fragment — every canonicalization step fires.
+      val messy = concat(
+        lit("HTTP://WWW"), col("doc_id") % 3, lit(".News"), col("doc_id") % 7,
+        lit(".Example.CO.UK:8080/Section/Story"), col("doc_id"),
+        lit(".HTML?z=9&a=1&m="), col("doc_id") % 5, lit("#comments"))
+      ops.UrlOps.surtKeys(t(s, d, "documents"), messy)
+    }),
     "q31_crawl_frontier" -> ((s, _) => // rows-only: politeness schedule
       crawlFixtureRun(s).readDeltas(s, "frontier", 1).get
         .select("wave", "host", "seq", "url", "sched_ms", "title")
@@ -2632,6 +2642,39 @@ object SparkEntry {
         |    || CAST(doc_id AS VARCHAR) || '.HTML?q=a%2Fb&y=2' AS url_canon,
         |  'www' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q91: every canonicalization step replayed with DuckDB string/list
+    // functions (split_part ≡ substring_index for position 1; anchored
+    // regexes make replace-first vs replace-all moot; '' splits to ['']
+    // and filters empty in both engines).
+    "q91_surt_keys" ->
+      """WITH u AS (
+        |  SELECT DISTINCT 'HTTP://WWW' || CAST(doc_id % 3 AS VARCHAR)
+        |    || '.News' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.Example.CO.UK:8080/Section/Story' || CAST(doc_id AS VARCHAR)
+        |    || '.HTML?z=9&a=1&m=' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '#comments' AS url
+        |  FROM documents),
+        |s1 AS (SELECT url,
+        |  regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', '') AS rest
+        |  FROM u),
+        |s2 AS (SELECT url,
+        |  regexp_replace(split_part(split_part(rest, '/', 1), ':', 1),
+        |    '^www[0-9]*\.', '') AS h,
+        |  split_part(CASE WHEN instr(rest, '/') > 0
+        |    THEN substring(rest, instr(rest, '/')) ELSE '/' END, '#', 1) AS pq
+        |  FROM s1),
+        |s3 AS (SELECT url, h, split_part(pq, '?', 1) AS base,
+        |  list_filter(string_split(CASE WHEN instr(pq, '?') > 0
+        |      THEN substring(pq, instr(pq, '?') + 1) ELSE '' END, '&'),
+        |    x -> len(x) > 0) AS params
+        |  FROM s2)
+        |SELECT url,
+        |  array_to_string(list_reverse(string_split(h, '.')), ',') || ')'
+        |    || base ||
+        |    CASE WHEN len(params) > 0
+        |      THEN '?' || array_to_string(list_sort(params), '&')
+        |      ELSE '' END AS surt
+        |FROM s3 ORDER BY url""".stripMargin,
     "q34_full_outer_diff" ->
       """SELECT COALESCE(a.key, b.key) AS key,
         |  CASE WHEN a.key IS NULL THEN 'add'

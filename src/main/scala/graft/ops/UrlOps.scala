@@ -575,6 +575,47 @@ object UrlOps {
       .otherwise(h)
   }
 
+  /** Heritrix SURT / Common-Crawl CDX canonical sort keys: the form
+    * archive indexes actually sort by —
+    * `com,example)/path?a=1&b=2` for `http://www.Example.com/path?b=2&a=1`.
+    * Reversing the host labels makes ALL of a registrable domain's
+    * urls one contiguous key range, so a CDX-style index (q73) or a
+    * url-sorted Iceberg table answers "everything under example.com"
+    * with one range scan instead of a full-index host filter — the
+    * access pattern every archive lookup and per-domain export uses.
+    *
+    * Canonicalization subset (documented): lowercase the whole url,
+    * strip the scheme, strip one leading `www`+digits label, strip
+    * the port, drop the fragment, sort query params (the DUST
+    * canonical form, [[dustParamRules]]); userinfo is not handled.
+    * Pure staged column math — no UDF, no join, no exchange beyond
+    * the distinct; the DuckDB oracle replays every step. */
+  def surtKeys(rows: DataFrame, urlCol: Column): DataFrame = {
+    rows.select(urlCol.cast("string").as("url"))
+      .distinct()
+      .withColumn("rest",
+        regexp_replace(lower(col("url")), "^[a-z][a-z0-9+.-]*://", ""))
+      .withColumn("h", regexp_replace(
+        substring_index(substring_index(col("rest"), "/", 1), ":", 1),
+        "^www[0-9]*\\.", ""))
+      .withColumn("pq", substring_index(
+        when(col("rest").contains("/"),
+          expr("substring(rest, instr(rest, '/'))"))
+          .otherwise(lit("/")), "#", 1))
+      .withColumn("base", substring_index(col("pq"), "?", 1))
+      .withColumn("params", filter(
+        split(when(col("pq").contains("?"),
+          expr("substring(pq, instr(pq, '?') + 1)")).otherwise(lit("")),
+          "&"), p => length(p) > 0))
+      .select(col("url"), concat(
+        concat_ws(",", reverse(split(col("h"), "\\."))), lit(")"),
+        col("base"),
+        when(size(col("params")) > 0,
+          concat(lit("?"), array_join(array_sort(col("params")), "&")))
+          .otherwise(lit(""))).as("surt"))
+      .orderBy("url")
+  }
+
   /** Page-declared canonical links (`<link rel="canonical">`, RFC
     * 6596): the page itself names its canonical url, and a crawler
     * that honors it collapses alias spellings (print views, tracking

@@ -309,6 +309,30 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(loose == 1)
   }
 
+  test("q91 SURT keys: reversed host, www/port/fragment stripped, params sorted") {
+    import spark.implicits._
+    val urls = Seq(
+      "http://www.Example.com/path?b=2&a=1",
+      "HTTPS://news.example.CO.UK:8080/Story.html#frag",
+      "http://example.com",           // no path → ')/'
+      "http://www2.example.com/x",    // www+digit label strips
+      "http://example.com/a?&b=1&")   // empty params drop
+      .toDF("u")
+    val got = graft.ops.UrlOps.surtKeys(urls,
+      org.apache.spark.sql.functions.col("u"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("http://www.Example.com/path?b=2&a=1") ==
+      "com,example)/path?a=1&b=2")
+    assert(got("HTTPS://news.example.CO.UK:8080/Story.html#frag") ==
+      "uk,co,example,news)/story.html")
+    assert(got("http://example.com") == "com,example)/")
+    assert(got("http://www2.example.com/x") == "com,example)/x")
+    assert(got("http://example.com/a?&b=1&") == "com,example)/a?b=1")
+    // the domain-range property: every url of one registrable domain
+    // sorts into one contiguous surt prefix range
+    assert(got.values.filter(_.startsWith("com,example)")).size == 4)
+  }
+
   test("q20 exact dedup row count equals distinct normalized texts") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
