@@ -166,4 +166,51 @@ object SeenFilter {
     updateSketches(inserted.map(p => (p._1, p._2, true)),
       carried, capacity, expectedPerBucket, fpp)
   }
+
+  /** Per-bucket saturation report — the operational gauge for WHEN to
+    * run the offline maintenance this file's scaladoc promises
+    * ([[buildBlooms]] rebuild / capacity resize). Per bucket:
+    * Bloom fill ratio and the standard saturation-fpp estimate
+    * `(setBits/numBits)^k` (the real post-saturation false-positive
+    * rate, vs the sized-for fpp), Cuckoo occupancy vs capacity, and
+    * the carried drop counter (urls the cuckoo REJECTED — covered by
+    * the Bloom but not TTL-evictable). Permille integers so thresholds
+    * are exact. One row per bucket (≤ B×S), computed row-local off the
+    * carried state table — no shuffle, no driver collection. */
+  def sketchStats(sketches: Dataset[SeenSketch]): Dataset[SketchStats] = {
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    sketches.map { s =>
+      val (bits, set, fppPm) = Option(s.bloom).flatten match {
+        case Some(b) =>
+          val bf = BloomFilter.deserialize(b)
+          val fill = bf.bitCount.toDouble / bf.numBits
+          (bf.numBits, bf.bitCount,
+            math.round(math.pow(fill, bf.numHashes.toDouble) * 1000))
+        case None => (0L, 0L, 0L)
+      }
+      val (entries, cap) = Option(s.cuckoo) match {
+        case Some(c) =>
+          val cf = CuckooFilter.deserialize(c)
+          (cf.size, cf.numBuckets * CuckooFilter.SlotsPerBucket)
+        case None => (0, 0)
+      }
+      SketchStats(s.bucket, bits, set,
+        if (bits == 0) 0L else set * 1000 / bits, fppPm,
+        entries, cap, if (cap == 0) 0L else entries.toLong * 1000 / cap,
+        s.n_dropped)
+    }
+  }
 }
+
+/** One bucket's saturation row ([[SeenFilter.sketchStats]]). */
+final case class SketchStats(
+    bucket: Int,
+    bloom_bits: Long,
+    bloom_set_bits: Long,
+    bloom_fill_permille: Long,
+    bloom_est_fpp_permille: Long, // (fill)^k — saturation estimate
+    cuckoo_entries: Int,
+    cuckoo_capacity: Int,
+    cuckoo_load_permille: Long,
+    n_dropped: Long)

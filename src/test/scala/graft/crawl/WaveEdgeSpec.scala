@@ -776,6 +776,40 @@ class WaveEdgeSpec extends AnyFunSuite {
       "only the expired url may refresh; the revalidated one is simply seen")
   }
 
+  test("sketch saturation stats: fill, est-fpp, cuckoo load and drop counter") {
+    import spark.implicits._
+    val urls = (0 until 300).map(i => (i % 2, s"http://h$i.test/a$i", true))
+    // bucket 0 gets a cuckoo sized to saturate (capacity rounds to a
+    // power-of-two × 4 slots), bucket 1 a roomy one via the same call —
+    // capacity is per-call, so run two updates and union the state
+    val tight = SeenFilter.updateSketches(
+      spark.createDataset(urls.filter(_._1 == 0)),
+      spark.emptyDataset[SeenSketch], capacity = 16,
+      expectedPerBucket = 1024, fpp = 0.01)
+    val roomy = SeenFilter.updateSketches(
+      spark.createDataset(urls.filter(_._1 == 1)),
+      spark.emptyDataset[SeenSketch], capacity = 1 << 12,
+      expectedPerBucket = 1024, fpp = 0.01)
+    val stats = SeenFilter.sketchStats(tight.unionByName(roomy))
+      .collect().map(s => s.bucket -> s).toMap
+    val t = stats(0); val r = stats(1)
+    // the tight bucket rejected inserts (150 urls into ≤64 slots):
+    // operators see BOTH the drop counter and a high load
+    assert(t.n_dropped > 0, "saturated cuckoo must report drops")
+    assert(t.cuckoo_entries + t.n_dropped == 150L)
+    assert(t.cuckoo_load_permille > 800)
+    // the roomy bucket holds everything, load stays low
+    assert(r.n_dropped == 0 && r.cuckoo_entries == 150)
+    assert(r.cuckoo_load_permille < 200)
+    // blooms: both carry 150 urls; fill and est-fpp are sane and the
+    // est-fpp of a filter sized for 1024 at 150 items stays tiny
+    for (s <- Seq(t, r)) {
+      assert(s.bloom_bits > 0 && s.bloom_set_bits > 0)
+      assert(s.bloom_fill_permille > 0 && s.bloom_fill_permille < 200)
+      assert(s.bloom_est_fpp_permille >= 0 && s.bloom_est_fpp_permille < 10)
+    }
+  }
+
   test("trap gate: a flagged host skips the wave; clean/absent hosts crawl") {
     import spark.implicits._
     val trapped = FixtureGen.hostName(5) // flagged → gated
