@@ -1081,6 +1081,21 @@ object SparkEntry {
         lit(".HTML?z=9&a=1&m="), col("doc_id") % 5, lit("#comments"))
       ops.UrlOps.surtKeys(t(s, d, "documents"), messy)
     }),
+    "q92_bm25" -> ((s, d) => // search-serving counterpart of q76: BM25
+      // top-k docs for a fixed query-term set, integer-scaled scoring
+      // (k1=1.2, b=0.75, rational idf) so the oracle replays the
+      // ranking bit-for-bit. Explode filtered to the query terms
+      // BEFORE the shuffle; df + corpus stats broadcast; TakeOrdered.
+      ops.TextOps.bm25TopK(t(s, d, "documents"),
+        Seq("join", "scan", "filter"), 10)),
+    "q93_kmv_distinct" -> ((s, d) => // KMV distinct-cardinality sketch:
+      // bounded k-min-set partial aggregates (≤32 longs per group per
+      // map task) over a deterministic 31-bit LCG hash — the
+      // oracle-replayable stand-in for approx_count_distinct at
+      // frontier scale (distinct users per event type here; distinct
+      // urls per host in the crawl store).
+      ops.Sketches.kmvDistinct(t(s, d, "events"),
+        col("event_type"), col("user_id"), 32)),
     "q31_crawl_frontier" -> ((s, _) => // rows-only: politeness schedule
       crawlFixtureRun(s).readDeltas(s, "frontier", 1).get
         .select("wave", "host", "seq", "url", "sched_ms", "title")
@@ -2675,6 +2690,46 @@ object SparkEntry {
         |      THEN '?' || array_to_string(list_sort(params), '&')
         |      ELSE '' END AS surt
         |FROM s3 ORDER BY url""".stripMargin,
+    "q92_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(
+        |      regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents),
+        |stats AS (SELECT COUNT(*) AS n,
+        |    (SUM(len(toks)) * 1000) // COUNT(*) AS adl1000 FROM base),
+        |toks AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+        |         FROM base),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks
+        |       WHERE term IN ('join', 'scan', 'filter') GROUP BY 1, 2, 3),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    CAST(SUM((((2 * (stats.n - df.df) + 1) * 1000000)
+        |        // (2 * df.df + 1))
+        |      * ((tf.tf * 2200000) //
+        |         (tf.tf * 1000
+        |          + (12 * (250 + (750 * tf.dl * 1000) // stats.adl1000))
+        |            // 10))
+        |      // 1000) AS BIGINT) AS score,
+        |    COUNT(*) AS nterms
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT doc_id, score, nterms FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q93_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS grp,
+        |    (user_id * 1103515245 + 12345) % 2147483648 AS h
+        |  FROM events),
+        |r AS (SELECT grp, h,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),
+        |t AS (SELECT grp, CAST(COUNT(*) AS INT) AS n_mins,
+        |      MAX(h) AS kth_min
+        |      FROM r WHERE rn <= 32 GROUP BY 1)
+        |SELECT grp, n_mins, kth_min,
+        |  CASE WHEN n_mins < 32 THEN CAST(n_mins AS BIGINT)
+        |       ELSE (31 * 2147483648) // kth_min END AS distinct_est
+        |FROM t ORDER BY grp""".stripMargin,
     "q34_full_outer_diff" ->
       """SELECT COALESCE(a.key, b.key) AS key,
         |  CASE WHEN a.key IS NULL THEN 'add'

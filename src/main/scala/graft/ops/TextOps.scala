@@ -239,6 +239,54 @@ object TextOps {
       .orderBy("term")
   }
 
+  /** BM25 top-k retrieval for a fixed query-term set — the serving-side
+    * counterpart of [[invertedIndex]]: which crawled documents best
+    * answer a query. Integer-scaled BM25 variant (k1 = 1.2, b = 0.75)
+    * so the DuckDB oracle replays the ranking bit-for-bit; the idf log
+    * is dropped in favor of its rational core (log is monotone per
+    * term but engine floats are not replay-safe — same documented
+    * trade as [[tfidfTopTerm]]'s integer score):
+    *
+    *   idf6     = ((2(N − df) + 1) · 10⁶) div (2·df + 1)
+    *   norm1000 = 250 + (750 · dl · 1000) div adl1000
+    *   denom    = tf·1000 + (12 · norm1000) div 10
+    *   tscore   = idf6 · ((tf · 2 200 000) div denom) div 1000
+    *   score(d) = Σ_terms tscore,  top k by (score desc, doc_id)
+    *
+    * The inner div-before-multiply keeps every intermediate under
+    * 2⁶³ up to N ≈ 10⁹ docs (idf6 ≤ 2·10¹⁵, second factor ≤ 2200).
+    *
+    * Scale shape: the explode is filtered to the |Q| query terms BEFORE
+    * the (doc_id, dl, term) partial-agg shuffle, so only matching
+    * postings ever move; df (|Q| rows) and the corpus stats (1 row) are
+    * broadcast; the final per-doc sum shuffles only docs that matched
+    * at least one term; top-k plans as TakeOrderedAndProject. Docs with
+    * no query term never appear (score 0). */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String],
+               k: Int = 10): DataFrame = {
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      tokens(col("text")).as("toks"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      expr("(sum(size(toks)) * 1000L) div count(1)").as("adl1000"))
+    val tf = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfAgg = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfAgg), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", expr(
+        """(((2 * (n - df) + 1) * 1000000L) div (2 * df + 1))
+          | * ((tf * 2200000L) div
+          |     (tf * 1000L + (12 * (250 + (750 * dl * 1000L) div adl1000)) div 10))
+          | div 1000""".stripMargin))
+      .groupBy("doc_id")
+      .agg(sum(col("tscore")).as("score"), count(lit(1)).as("nterms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Integer-threshold quality gate (all-integer arithmetic so the
     * oracle comparison is exact): a doc passes when it has at least 20
     * tokens, at least one stopword per 50 tokens, and punctuation

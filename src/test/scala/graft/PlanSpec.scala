@@ -567,4 +567,36 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), plan.take(3000))
     assert(plan.contains("hashpartitioning(user_id"), plan.take(3000))
   }
+
+  test("bm25: df/stats broadcast, term filter before the shuffle, top-k " +
+      "as TakeOrdered (q92)") {
+    val plan = planOf(SparkEntry.queries("q92_bm25")(spark, dir))
+    // tiny sides ride broadcasts; a SortMergeJoin here would shuffle
+    // the posting stream against a |Q|-row table
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    // global top-k never materializes a full sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // the IN-list filter runs in the exploded projection BEFORE any
+    // exchange: non-matching tokens never shuffle
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan.take(3000))
+  }
+
+  test("kmv sketch: map-side partial aggregation, one hash exchange, " +
+      "no join/window/distinct stream (q93)") {
+    val plan = planOf(SparkEntry.queries("q93_kmv_distinct")(spark, dir))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      plan.take(3000))
+    // the whole point vs the window-over-distinct formulation: the
+    // aggregator's bounded k-min buffers merge map-side, so the only
+    // hash exchange moves ≤k longs per group per map task (the trailing
+    // rangepartitioning exchange is the output orderBy)
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange, plan:\n${plan.take(3000)}")
+    assert(plan.contains("partial_kmvagg"),
+      s"partial aggregation must appear, plan:\n${plan.take(3000)}")
+  }
 }

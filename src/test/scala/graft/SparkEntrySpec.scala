@@ -1289,4 +1289,68 @@ class SparkEntrySpec extends AnyFunSuite {
       assert(nExact == 0L || verdict == 1, s"doc $id must be flagged contaminated")
     }
   }
+
+  test("q92 bm25 replays the integer scoring contract sequentially") {
+    // independent sequential replay of the q92 contract over the real
+    // corpus: same tokenizer, same integer-scaled BM25 variant
+    val terms = Seq("join", "scan", "filter")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("""[ \t\n\x0B\f\r]+""")
+          .filter(_.nonEmpty).toSeq).toMap
+    val n = docs.size.toLong
+    val adl1000 = docs.values.map(_.size.toLong).sum * 1000L / n
+    val dfs = terms.map(t => t -> docs.values.count(_.contains(t)).toLong).toMap
+    val scores = docs.flatMap { case (id, toks) =>
+      val s = terms.map { term =>
+        val tf = toks.count(_ == term).toLong
+        if (tf == 0L) 0L
+        else {
+          val dl = toks.size.toLong
+          val idf6 = (2L * (n - dfs(term)) + 1L) * 1000000L / (2L * dfs(term) + 1L)
+          val norm1000 = 250L + 750L * dl * 1000L / adl1000
+          idf6 * (tf * 2200000L / (tf * 1000L + 12L * norm1000 / 10L)) / 1000L
+        }
+      }.sum
+      if (s > 0L) Some(id -> s) else None
+    }
+    val expected = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = SparkEntry.queries("q92_bm25")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toSeq
+    assert(got == expected, s"bm25 top-10 mismatch: $got vs $expected")
+  }
+
+  test("kmv sketch: exact below k, bounded error above, merge-order-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // small groups (< k distinct) report exactly; the estimator path is
+    // within its ~1/sqrt(k-2) regime on the events fixture
+    val rows = SparkEntry.queries("q93_kmv_distinct")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Int]("n_mins"),
+        r.getAs[Long]("distinct_est"))).toMap
+    val exact = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions
+        .countDistinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == exact.keySet)
+    exact.foreach { case (g, d) =>
+      val (nMins, est) = rows(g)
+      if (d < 32) assert(est == d, s"$g below-k must be exact: $est vs $d")
+      else {
+        assert(nMins == 32)
+        assert(math.abs(est - d).toDouble / d < 0.5,
+          s"$g: est $est too far from exact $d")
+      }
+    }
+    // reduce/merge invariance: both grouped plans agree with a single
+    // sequential fold (8-partition vs 1-partition input)
+    val data = (1L to 500L).map(i => ("g", i * 7919L % 1000L))
+    val one = ops.Sketches.kmvDistinct(
+      data.toDF("t", "k").repartition(1), col("t"), col("k"), 16).collect()
+    val many = ops.Sketches.kmvDistinct(
+      data.toDF("t", "k").repartition(8), col("t"), col("k"), 16).collect()
+    assert(one.map(_.toSeq).toSeq == many.map(_.toSeq).toSeq)
+  }
 }
