@@ -6,9 +6,10 @@ import graft.crawl.{CrawlConfig, FixtureCfg, FixtureGen, SnapshotStore, WaveEngi
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark main. Prints ONE JSON line:
-  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
-  *  "crawl":{...scaling evidence, see below...}}
+/** Per-round benchmark main. Prints ONE JSON line (field order is
+  * tail-safe — see [[render]]):
+  * {"queries":{...},"sf":...,"crawl":{...scaling evidence, see
+  *  below...},"metric":"total","value":<sec>,"unit":"sec",...}
   *
   * Two parts:
   *  1. the SparkEntry query surface timed at local[32] on
@@ -173,12 +174,23 @@ object Bench {
   private def emitOnce(json: String): Unit =
     if (printed.compareAndSet(false, true)) { println(json); System.out.flush() }
 
+  /** Field ORDER is deliberate: the driver records only the LAST
+    * 2000 chars of stdout, so if the line ever outgrows that window
+    * (94 per-query timings + a full 4-pair crawl decomposition ≈
+    * 2050 chars; the early-stop 1-pair case fits whole) the cut eats
+    * the FRONT — which is why `queries` leads and the headline
+    * metric/value plus the whole crawl block sit at the end, where
+    * the tail always preserves them. JSON object order is
+    * semantically irrelevant to any parser. */
   private def render(total: Double, qs: String, qErrs: String, sfDir: String,
-      crawl: Option[String], elapsedSec: Double, partial: Boolean): String =
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""query_errors":$qErrs,"query_reps":2,"sf":"$sfDir",""" +
-      f""""elapsed_sec":$elapsedSec%.1f,"partial":$partial,""" +
-      s""""crawl":${crawl.getOrElse("null")}}"""
+      crawl: Option[String], elapsedSec: Double, partial: Boolean): String = {
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    s"""{"queries":$qs,"query_errors":$qErrs,"query_reps":2,""" +
+      f""""sf":"$sfShort","elapsed_sec":$elapsedSec%.1f,""" +
+      s""""crawl":${crawl.getOrElse("null")},""" +
+      f""""metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""partial":$partial}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val tGlobal = System.nanoTime()
@@ -327,7 +339,7 @@ object Bench {
       // cannot (a turbo window that blesses only the 1-core samples
       // deflates the best-of ratio while every pair read was fine)
       val pairEffs = aLo.zip(aHi).map { case (l, h) => (l.sec / h.sec) / 4.0 }
-      def arr(a: Array[Run]) = a.map(v => f"${v.sec}%.2f").mkString("[", ",", "]")
+      def arr(a: Array[Run]) = a.map(v => f"${v.sec}%.1f").mkString("[", ",", "]")
       val pairArr = pairEffs.map(v => f"$v%.3f").mkString("[", ",", "]")
       f"""{"n_cores":$nLo,"n4_cores":$nHi,"urls":$urls,""" +
         f""""sec_n":${bestLo.sec}%.2f,"ups_n":$upsLo%.1f,""" +
@@ -336,7 +348,9 @@ object Bench {
         f""""task_cpu_sec_n":${bestLo.taskCpu}%.1f,""" +
         f""""task_cpu_sec_4n":${bestHi.taskCpu}%.1f,""" +
         f""""cpu_work_inflation":$cpuInflation%.3f,""" +
-        f""""deliverable_speedup_cpu":$deliverable%.2f,""" +
+        // deliverable_speedup_cpu dropped from the artifact: it is
+        // exactly (n4/n)/inflation, derivable from emitted fields —
+        // chars matter against the driver's 2000-char stdout tail
         f""""scaling_efficiency_cpu_normalized":$effCpuNorm%.3f,""" +
         f""""serial_floor_sec_n":$floorLo%.1f,""" +
         f""""serial_floor_sec_4n":$floorHi%.1f,""" +
@@ -348,7 +362,6 @@ object Bench {
         f""""scaling_efficiency_vs_kernel":$effKernel%.3f,""" +
         f""""scaling_efficiency_best_pair":${pairEffs.max}%.3f,""" +
         s""""pair_efficiencies":$pairArr,""" +
-        f""""pairs":${aLo.length},""" +
         f""""samples_n":${arr(aLo)},"samples_4n":${arr(aHi)}}"""
     }
 

@@ -1096,6 +1096,16 @@ object SparkEntry {
       // urls per host in the crawl store).
       ops.Sketches.kmvDistinct(t(s, d, "events"),
         col("event_type"), col("user_id"), 32)),
+    "q94_heavy_hitters" -> ((s, d) => // exact φ-frequent tokens (φ=1%)
+      // via a bounded Misra–Gries candidate pass (mergeable summaries,
+      // O(k) state per map task) + exact recount of the ≤k candidates
+      // only — no full-vocabulary shuffle; output provably equals the
+      // oracle's plain GROUP BY/HAVING.
+      ops.Sketches.heavyHitters(
+        t(s, d, "documents")
+          .select(ops.TextOps.tokens(col("text")).as("w"))
+          .select(explode(col("w")).as("tok")),
+        col("tok"), 10L)),
     "q31_crawl_frontier" -> ((s, _) => // rows-only: politeness schedule
       crawlFixtureRun(s).readDeltas(s, "frontier", 1).get
         .select("wave", "host", "seq", "url", "sched_ms", "title")
@@ -2730,6 +2740,17 @@ object SparkEntry {
         |  CASE WHEN n_mins < 32 THEN CAST(n_mins AS BIGINT)
         |       ELSE (31 * 2147483648) // kth_min END AS distinct_est
         |FROM t ORDER BY grp""".stripMargin,
+    "q94_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |      regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+        |      t -> t <> '')) AS item
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM toks),
+        |c AS (SELECT item, COUNT(*) AS cnt FROM toks GROUP BY 1)
+        |SELECT item, cnt FROM c, tot
+        |WHERE cnt * 1000 >= 10 * n
+        |ORDER BY cnt DESC, item""".stripMargin,
     "q34_full_outer_diff" ->
       """SELECT COALESCE(a.key, b.key) AS key,
         |  CASE WHEN a.key IS NULL THEN 'add'

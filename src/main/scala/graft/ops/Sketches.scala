@@ -99,4 +99,86 @@ object Sketches {
         col("kmv.kthMin").as("kth_min"), col("kmv.est").as("distinct_est"))
       .orderBy("grp")
   }
+
+  /** Misra–Gries summary aggregator: at most k counters. `reduce` is
+    * the classic decrement-all step; `merge` adds counters then
+    * subtracts the (k+1)-th largest count and drops non-positives
+    * (Agarwal et al., "Mergeable Summaries", PODS 2012), which
+    * preserves the MG guarantee across arbitrary merge trees: every
+    * item with true count > n/(k+1) survives in the summary. The
+    * SUMMARY's counter values are order-dependent — only the
+    * superset property is relied on; [[heavyHitters]] re-counts
+    * candidates exactly, so its OUTPUT is deterministic. */
+  final class MgAgg(k: Int) extends Aggregator[String, Map[String, Long], String] {
+    require(k >= 1)
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(m: Map[String, Long], x: String): Map[String, Long] =
+      m.get(x) match {
+        case Some(c) => m.updated(x, c + 1L)
+        case None if m.size < k => m.updated(x, 1L)
+        case None => // decrement all, drop zeros (amortized O(1)/item)
+          m.flatMap { case (i, c) => if (c > 1L) Some(i -> (c - 1L)) else None }
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (i, c)) =>
+        m.updated(i, m.getOrElse(i, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.flatMap { case (i, c) =>
+          if (c - cut > 0L) Some(i -> (c - cut)) else None
+        }
+      }
+    }
+    // output is the candidate KEY SET, U+0001-joined (a separator no
+    // canonicalized url/token contains — documented caller contract):
+    // a plain string avoids any array-encoder dependency and the
+    // summary is a single bounded row anyway
+    override def finish(m: Map[String, Long]): String =
+      m.keys.toArray.sorted.mkString("\u0001")
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      Encoders.javaSerialization[Map[String, Long]]
+    override def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** Exact φ-frequent items (`count·1000 ≥ phi1000·n`) in two bounded
+    * passes — the heavy-hitter shape that holds at a 10^10-row stream
+    * where a plain groupBy would shuffle every distinct key:
+    *
+    *  1. a Misra–Gries summary with k = 4·⌈1000/phi1000⌉ counters per
+    *     partial state (map-side merged, O(k) rows shuffled per map
+    *     task) yields a CANDIDATE set that provably contains every
+    *     φ-frequent item (k > 1000/phi1000 ⇒ n/(k+1) < φn);
+    *  2. the ≤k candidates come back to the driver in ONE bounded
+    *     1-row fetch (same accepted pattern as the ANN query vector)
+    *     and ONLY those keys are counted exactly, as an `isin` filter
+    *     the scan can push down — the second pass shuffles one
+    *     (key, partial-count) row per candidate per map task.
+    *
+    * The MG internals are merge-order-dependent but only the superset
+    * property is used; the exact second pass makes the output — items
+    * and counts — deterministic and equal to the plain
+    * `GROUP BY / HAVING` the DuckDB oracle runs. Keys must not
+    * contain U+0001 (the summary separator) — no canonicalized url or
+    * whitespace token does. Returns `(item, cnt)` sorted by
+    * (cnt desc, item). */
+  def heavyHitters(df: DataFrame, key: Column, phi1000: Long): DataFrame = {
+    require(phi1000 >= 1L && phi1000 <= 1000L)
+    val k = 4 * (1000L / phi1000 + 1L).toInt
+    val mg = udaf(new MgAgg(k), Encoders.STRING)
+    val keyed = df.select(key.cast("string").as("item"))
+      .where(col("item").isNotNull)
+    // pass 1: MG candidates + exact total in the same single-row agg
+    // (one scan); the row is bounded (≤k keys) so the driver fetch is O(k)
+    val row = keyed
+      .agg(mg(col("item")).as("cand"), count(lit(1)).as("n")).head()
+    val cands = row.getString(0).split('\u0001').filter(_.nonEmpty).toSeq
+    val n = row.getLong(1)
+    // pass 2: exact counts of the candidate set only
+    keyed.where(col("item").isin(cands: _*))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * 1000L >= lit(phi1000) * lit(n))
+      .orderBy(col("cnt").desc, col("item"))
+  }
 }

@@ -599,4 +599,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_kmvagg"),
       s"partial aggregation must appear, plan:\n${plan.take(3000)}")
   }
+
+  test("heavy hitters second pass: candidate IN-filter before one hash " +
+      "exchange, no join (q94)") {
+    // pass 1 (the MG candidate fetch) runs eagerly at query build; the
+    // remaining plan is the exact recount, which must be a filtered
+    // single-exchange aggregate over the candidate set only
+    val plan = planOf(SparkEntry.queries("q94_heavy_hitters")(spark, dir))
+    assert(!plan.contains("Join"), plan.take(3000))
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange, plan:\n${plan.take(3000)}")
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
 }

@@ -1353,4 +1353,35 @@ class SparkEntrySpec extends AnyFunSuite {
       data.toDF("t", "k").repartition(8), col("t"), col("k"), 16).collect()
     assert(one.map(_.toSeq).toSeq == many.map(_.toSeq).toSeq)
   }
+
+  test("q94 heavy hitters equal the exact group-by/having set") {
+    import org.apache.spark.sql.functions._
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(ops.TextOps.tokens(col("text")).as("w"))
+      .select(explode(col("w")).as("tok"))
+    val n = toks.count()
+    val exact = toks.groupBy("tok").count()
+      .where(col("count") * 1000L >= lit(10L) * lit(n))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q94_heavy_hitters")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "fixture must contain 1%-frequent tokens")
+    assert(got == exact, s"heavy hitters differ: $got vs $exact")
+  }
+
+  test("misra-gries candidate superset survives decrement + merge when vocab >> k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // phi=20% → k=24 counters but 202 distinct values, so every
+    // partition's summary decrements constantly and the 8-partition
+    // merge exercises the (k+1)-th-largest cut; the two genuinely
+    // heavy items must still come out, exactly counted
+    val data = (Seq.fill(400)("hh-a") ++ Seq.fill(300)("hh-b") ++
+      (1 to 200).flatMap(i => Seq.fill(3)(s"t$i"))).toDF("item")
+    val got = ops.Sketches.heavyHitters(
+        data.repartition(8), col("item"), 200L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // n=1300, threshold 260: hh-a (400) and hh-b (300) only
+    assert(got == Seq("hh-a" -> 400L, "hh-b" -> 300L), got.toString)
+  }
 }
