@@ -94,9 +94,18 @@ object BenchProbe {
     val base = args.lift(3).map(_.toInt).getOrElse(600)
     val fx = FixtureCfg(nHosts = hosts, baseArticles = base,
       growthPerWave = base / 4, hotHostFactor = 10)
+    // Round-4 feature-soak knobs (all default-off → round-3-identical
+    // config): PROBE_TTL=<waves> turns on recrawl TTL eviction,
+    // PROBE_REVALIDATE=1 the digest revalidation path, PROBE_ADAPTIVE=
+    // <factor> the politeness EWMA back-off — so the soak can measure
+    // the engine with every round-4 path hot, not just defaults.
     val cc = CrawlConfig(maxPerHostPerWave = base * 2, hostBuckets = 16,
       salt = 4, expectedUrlsPerBucket = 100000,
-      cuckooCapacityPerBucket = 1 << 16)
+      cuckooCapacityPerBucket = 1 << 16,
+      recrawlAfterWaves = sys.env.getOrElse("PROBE_TTL", "0").toInt,
+      revalidateOnRecrawl = sys.env.get("PROBE_REVALIDATE").contains("1"),
+      adaptiveDelayFactor =
+        sys.env.getOrElse("PROBE_ADAPTIVE", "0").toDouble)
     val waves = sys.env.getOrElse("PROBE_WAVES", "2").toInt
     TempDirs.sweepStale()
     val pagesDir = TempDirs.cleanupOnExit(
