@@ -1106,6 +1106,15 @@ object SparkEntry {
           .select(ops.TextOps.tokens(col("text")).as("w"))
           .select(explode(col("w")).as("tok")),
         col("tok"), 10L)),
+    "q95_budget_apportion" -> ((s, d) => // largest-remainder (Hamilton)
+      // split of a 1000-slot global fetch budget across groups ∝ their
+      // row count — quotas sum EXACTLY to the budget, all-integer,
+      // total-order tie-broken; the proportional-fairness alternative
+      // to the engine's rank-ordered maxTasksPerWave cut.
+      ops.LinkGraph.budgetApportion(
+        t(s, d, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("cnt")),
+        col("event_type"), col("cnt"), 1000L)),
     "q31_crawl_frontier" -> ((s, _) => // rows-only: politeness schedule
       crawlFixtureRun(s).readDeltas(s, "frontier", 1).get
         .select("wave", "host", "seq", "url", "sched_ms", "title")
@@ -2751,6 +2760,23 @@ object SparkEntry {
         |SELECT item, cnt FROM c, tot
         |WHERE cnt * 1000 >= 10 * n
         |ORDER BY cnt DESC, item""".stripMargin,
+    "q95_budget_apportion" ->
+      """WITH w AS (
+        |  SELECT event_type AS item, COUNT(*) AS w FROM events
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(w) AS n FROM w),
+        |s AS (SELECT item, w,
+        |    CAST((1000 * w) // n AS BIGINT) AS base,
+        |    CAST((1000 * w) % n AS BIGINT) AS rem
+        |  FROM w, tot),
+        |l AS (SELECT CAST(SUM(rem) // (SELECT n FROM tot) AS BIGINT)
+        |      AS leftover FROM s),
+        |r AS (SELECT item,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, item) AS rn FROM s)
+        |SELECT s.item, s.w,
+        |  s.base + CASE WHEN r.rn <= l.leftover THEN 1 ELSE 0 END AS alloc
+        |FROM s JOIN r ON s.item = r.item CROSS JOIN l
+        |ORDER BY alloc DESC, s.item""".stripMargin,
     "q34_full_outer_diff" ->
       """SELECT COALESCE(a.key, b.key) AS key,
         |  CASE WHEN a.key IS NULL THEN 'add'

@@ -231,4 +231,45 @@ object LinkGraph {
           col("domain_permille") <= maxPermille)
       .orderBy("dst")
   }
+
+  /** Largest-remainder (Hamilton) apportionment of a global fetch
+    * budget across items ∝ an integer weight — the proportional-
+    * fairness alternative to the engine's rank-ORDERED global budget
+    * (`CrawlConfig.maxTasksPerWave` takes the top-N frontier rows; a
+    * production scheduler splitting politeness slots across hosts by
+    * rank/size wants every host to get its proportional share
+    * instead, quotas summing EXACTLY to the budget):
+    *
+    *   base_i = (B·w_i) div n,  rem_i = (B·w_i) mod n   (n = Σ w)
+    *   leftover = (Σ rem) div n   (= B − Σ base, exactly)
+    *   alloc_i = base_i + 1 for the `leftover` largest (rem, item asc)
+    *
+    * All-integer and total-order tie-broken, so the DuckDB oracle
+    * replays the allocation bit-for-bit, and Σ alloc = B by
+    * construction. Caller contract: weights non-negative, B·n < 2⁶³.
+    *
+    * Scale shape: weights arrive pre-aggregated (one row per item —
+    * host-cardinality, not corpus-cardinality); the totals are 1-row
+    * broadcasts; the bonus set is a TakeOrderedAndProject of
+    * `leftover` rows (never a global single-partition window) joined
+    * back on the unique item key. */
+  def budgetApportion(weights: DataFrame, item: Column, weight: Column,
+                      budget: Long): DataFrame = {
+    val w = weights.select(item.cast("string").as("item"),
+      weight.cast("long").as("w"))
+    val tot = w.agg(sum(col("w")).as("n"))
+    val scored = w.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * w) div n"))
+      .withColumn("rem", expr(s"($budget * w) % n"))
+    // leftover is a bounded scalar (< #items): one 1-row driver fetch,
+    // same accepted pattern as the ANN query vector
+    val leftover = scored.agg(expr("coalesce(sum(rem) div max(n), 0L)"))
+      .head().getLong(0)
+    val bonus = scored.orderBy(col("rem").desc, col("item"))
+      .limit(leftover.toInt).select(col("item"), lit(1L).as("extra"))
+    scored.join(bonus, Seq("item"), "left_outer")
+      .withColumn("alloc", col("base") + coalesce(col("extra"), lit(0L)))
+      .select("item", "w", "alloc")
+      .orderBy(col("alloc").desc, col("item"))
+  }
 }

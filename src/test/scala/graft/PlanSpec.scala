@@ -613,4 +613,21 @@ class PlanSpec extends AnyFunSuite {
       s"expected 1 hash exchange, plan:\n${plan.take(3000)}")
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
+
+  test("apportionment: bonus set is TakeOrdered, never a global " +
+      "single-partition window (q95 core)") {
+    import spark.implicits._
+    // weights that do NOT divide the budget, so a leftover exists and
+    // the bonus branch is actually planned (the sf0.001 events split
+    // 1000 rows over a 1000 budget — every remainder 0, branch pruned)
+    val w = Seq(("a", 3L), ("b", 3L), ("c", 1L)).toDF("i", "wt")
+    val plan = planOf(
+      ops.LinkGraph.budgetApportion(w, col("i"), col("wt"), 10L))
+    // the leftover bonus picks the top remainders via TakeOrdered —
+    // a ROW_NUMBER() OVER (ORDER BY ...) here would drag every item
+    // into one partition
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }

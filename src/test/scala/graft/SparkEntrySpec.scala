@@ -1384,4 +1384,34 @@ class SparkEntrySpec extends AnyFunSuite {
     // n=1300, threshold 260: hh-a (400) and hh-b (300) only
     assert(got == Seq("hh-a" -> 400L, "hh-b" -> 300L), got.toString)
   }
+
+  test("q95 apportionment sums exactly to the budget and replays Hamilton") {
+    val rows = SparkEntry.queries("q95_budget_apportion")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == 1000L, "quotas must sum to the budget")
+    // sequential largest-remainder replay
+    val n = rows.map(_._2).sum
+    val base = rows.map { case (i, w, _) => (i, w, 1000L * w / n, 1000L * w % n) }
+    val leftover = 1000L - base.map(_._3).sum
+    val bonus = base.sortBy { case (i, _, _, rem) => (-rem, i) }
+      .take(leftover.toInt).map(_._1).toSet
+    val expect = base.map { case (i, w, b, _) =>
+      (i, w, b + (if (bonus(i)) 1L else 0L))
+    }.sortBy { case (i, _, a) => (-a, i) }
+    assert(rows.toSeq == expect.toSeq, s"${rows.toSeq} vs ${expect.toSeq}")
+    // proportionality: every quota within 1 of its exact share
+    rows.foreach { case (i, w, a) =>
+      assert(math.abs(a - 1000.0 * w / n) <= 1.0, s"$i: $a vs ${1000.0 * w / n}")
+    }
+    // non-degenerate leftover case (sf0.001 has every remainder 0):
+    // weights 3/3/1 on a 10 budget → leftover 1 goes to the largest
+    // remainder (c, rem 3), quotas 4/4/2
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val small = ops.LinkGraph.budgetApportion(
+      Seq(("a", 3L), ("b", 3L), ("c", 1L)).toDF("i", "wt"),
+      col("i"), col("wt"), 10L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(small == Seq("a" -> 4L, "b" -> 4L, "c" -> 2L), small.toString)
+  }
 }
