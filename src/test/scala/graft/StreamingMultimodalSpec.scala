@@ -155,4 +155,46 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(r.getString(2) == "a b")
     assert(r.getString(3) == "T1")
   }
+
+  test("kmv sketch aggregates in a streaming query (frontier cardinality monitor)") {
+    import spark.implicits._
+    import org.apache.spark.sql.{Encoders, functions => F}
+    implicit val sq = spark.sqlContext
+    // the monitoring shape at a live frontier: distinct-url estimates
+    // per host group, updated per micro-batch with bounded state —
+    // the typed Aggregator must merge across micro-batches exactly as
+    // it does across partitions
+    val mem = MemoryStream[(String, Long)]
+    val kmv = F.udaf(new graft.ops.Sketches.KmvAgg(16), Encoders.scalaLong)
+    val q = mem.toDF().toDF("grp", "key")
+      .select(F.col("grp"), graft.ops.Sketches.kmvHash(F.col("key")).as("h"))
+      .groupBy("grp").agg(kmv(F.col("h")).as("kmv"))
+      .select(F.col("grp"), F.col("kmv.nMins").as("n_mins"),
+        F.col("kmv.est").as("est"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    // two micro-batches; 10 distinct keys total for "a" (below k=16 →
+    // exact), 40 for "b" (above k → estimator path)
+    mem.addData((1L to 5L).map(i => ("a", i)) ++
+      (1L to 20L).map(i => ("b", i * 7L)): _*)
+    q.processAllAvailable()
+    mem.addData((3L to 10L).map(i => ("a", i)) ++
+      (21L to 40L).map(i => ("b", i * 7L)): _*)
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT grp, n_mins, est FROM kmv_stream")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    q.stop()
+    assert(rows("a") == ((10, 10L)), s"below-k group must be exact: ${rows("a")}")
+    assert(rows("b")._1 == 16, "above-k group must saturate the sketch")
+    assert(math.abs(rows("b")._2 - 40L).toDouble / 40.0 < 0.6,
+      s"streamed estimate out of regime: ${rows("b")}")
+    // the streamed sketch must equal the batch sketch over the same data
+    val batch = graft.ops.Sketches.kmvDistinct(
+      ((1L to 10L).map(i => ("a", i)) ++
+        (1L to 40L).map(i => ("b", i * 7L))).toDF("grp", "key"),
+      F.col("grp"), F.col("key"), 16)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Int]("n_mins"), r.getAs[Long]("distinct_est"))).toMap
+    assert(rows == batch, s"stream $rows vs batch $batch")
+  }
 }
