@@ -2769,8 +2769,8 @@ object SparkEntry {
         |    CAST((1000 * w) // n AS BIGINT) AS base,
         |    CAST((1000 * w) % n AS BIGINT) AS rem
         |  FROM w, tot),
-        |l AS (SELECT CAST(SUM(rem) // (SELECT n FROM tot) AS BIGINT)
-        |      AS leftover FROM s),
+        |l AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS leftover
+        |      FROM s),
         |r AS (SELECT item,
         |    ROW_NUMBER() OVER (ORDER BY rem DESC, item) AS rn FROM s)
         |SELECT s.item, s.w,

@@ -241,7 +241,10 @@ object LinkGraph {
     * instead, quotas summing EXACTLY to the budget):
     *
     *   base_i = (B·w_i) div n,  rem_i = (B·w_i) mod n   (n = Σ w)
-    *   leftover = (Σ rem) div n   (= B − Σ base, exactly)
+    *   leftover = B − Σ base   (computed in THIS form, not Σrem div n:
+    *              Σ base ≤ B keeps it overflow-free, while Σ rem can
+    *              reach n·(#items−1) and wrap 2⁶³ inside the B·n
+    *              contract)
     *   alloc_i = base_i + 1 for the `leftover` largest (rem, item asc)
     *
     * All-integer and total-order tie-broken, so the DuckDB oracle
@@ -249,22 +252,27 @@ object LinkGraph {
     * construction. Caller contract: weights non-negative, B·n < 2⁶³.
     *
     * Scale shape: weights arrive pre-aggregated (one row per item —
-    * host-cardinality, not corpus-cardinality); the totals are 1-row
-    * broadcasts; the bonus set is a TakeOrderedAndProject of
-    * `leftover` rows (never a global single-partition window) joined
-    * back on the unique item key. */
+    * host-cardinality, not corpus-cardinality) and are CACHED here:
+    * the leftover fetch and the allocation plan are two actions, and
+    * both must see the same snapshot for Σ alloc = B to survive a
+    * caller whose lineage is not replay-stable; the cache is also
+    * what keeps this at one upstream evaluation instead of four. The
+    * totals are 1-row broadcasts; the bonus set is a
+    * TakeOrderedAndProject of `leftover` rows (never a global
+    * single-partition window) joined back on the unique item key. */
   def budgetApportion(weights: DataFrame, item: Column, weight: Column,
                       budget: Long): DataFrame = {
     val w = weights.select(item.cast("string").as("item"),
-      weight.cast("long").as("w"))
+      weight.cast("long").as("w")).cache()
     val tot = w.agg(sum(col("w")).as("n"))
     val scored = w.crossJoin(broadcast(tot))
       .withColumn("base", expr(s"($budget * w) div n"))
       .withColumn("rem", expr(s"($budget * w) % n"))
     // leftover is a bounded scalar (< #items): one 1-row driver fetch,
-    // same accepted pattern as the ANN query vector
-    val leftover = scored.agg(expr("coalesce(sum(rem) div max(n), 0L)"))
-      .head().getLong(0)
+    // same accepted pattern as the ANN query vector. B − Σbase, never
+    // Σrem div n — see the scaladoc overflow note.
+    val leftover = budget -
+      scored.agg(coalesce(sum(col("base")), lit(budget))).head().getLong(0)
     val bonus = scored.orderBy(col("rem").desc, col("item"))
       .limit(leftover.toInt).select(col("item"), lit(1L).as("extra"))
     scored.join(bonus, Seq("item"), "left_outer")

@@ -162,7 +162,16 @@ object Sketches {
     * `GROUP BY / HAVING` the DuckDB oracle runs. Keys must not
     * contain U+0001 (the summary separator) — no canonicalized url or
     * whitespace token does. Returns `(item, cnt)` sorted by
-    * (cnt desc, item). */
+    * (cnt desc, item).
+    *
+    * Caller contract: `df`'s lineage must be replay-stable (parquet
+    * scans, deterministic transforms — the oracle-wide assumption).
+    * The two passes are separate evaluations; a sampling/streaming
+    * source could shift frequencies between them, and the candidate
+    * set is NOT cached here because it is corpus-cardinality input,
+    * not the bounded summary. Note pass 1 runs EAGERLY when this
+    * function is called (a bounded 1-row fetch) — merely planning the
+    * returned DataFrame has already scanned the input once. */
   def heavyHitters(df: DataFrame, key: Column, phi1000: Long): DataFrame = {
     require(phi1000 >= 1L && phi1000 <= 1000L)
     val k = 4 * (1000L / phi1000 + 1L).toInt
