@@ -1115,6 +1115,13 @@ object SparkEntry {
         t(s, d, "events").groupBy("event_type")
           .agg(count(lit(1)).as("cnt")),
         col("event_type"), col("cnt"), 1000L)),
+    "q96_length_percentiles" -> ((s, d) => // EXACT nearest-rank
+      // p50/p90/p99 doc length per language over bounded (grp, value)
+      // counts — the windows run over the distinct-value domain, not
+      // the corpus rows; approx_percentile's sketch would not replay
+      // across engines, the exact form does.
+      ops.TextOps.integerPercentiles(t(s, d, "documents"),
+        col("lang"), col("n_chars"))),
     "q31_crawl_frontier" -> ((s, _) => // rows-only: politeness schedule
       crawlFixtureRun(s).readDeltas(s, "frontier", 1).get
         .select("wave", "host", "seq", "url", "sched_ms", "title")
@@ -2777,6 +2784,19 @@ object SparkEntry {
         |  s.base + CASE WHEN r.rn <= l.leftover THEN 1 ELSE 0 END AS alloc
         |FROM s JOIN r ON s.item = r.item CROSS JOIN l
         |ORDER BY alloc DESC, s.item""".stripMargin,
+    "q96_length_percentiles" ->
+      """WITH c AS (
+        |  SELECT lang AS grp, CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT grp, v,
+        |    CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+        |  FROM c),
+        |x AS (SELECT grp, v, cum, n, unnest([50, 90, 99]) AS pct FROM cum)
+        |SELECT grp, pct, MIN(v) AS value FROM x
+        |WHERE cum * 100 >= pct * n
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q34_full_outer_diff" ->
       """SELECT COALESCE(a.key, b.key) AS key,
         |  CASE WHEN a.key IS NULL THEN 'add'

@@ -287,6 +287,37 @@ object TextOps {
       .limit(k)
   }
 
+  /** EXACT nearest-rank percentiles of an integer-valued column per
+    * group — corpus-QA numbers (p50/p90/p99 doc length per language)
+    * computed the scale-right way: aggregate to (group, value) COUNTS
+    * first, so the windows run over the bounded distinct-value
+    * domain (≤ max doc length rows per group), never the corpus rows.
+    * `approx_percentile` trades exactness for a non-replayable sketch;
+    * for integer domains the exact form is cheap and the DuckDB
+    * oracle replays it bit-for-bit.
+    *
+    * Nearest-rank definition: p-th percentile = min v with
+    * cum(v) ≥ ⌈p·n/100⌉, encoded integer-exactly as
+    * `100·cum ≥ p·n`. One (grp, v) partial-agg shuffle; the
+    * cumulative and total windows SHARE the grp hash partitioning;
+    * the final per-(grp, pct) min is a slim aggregate. */
+  def integerPercentiles(df: DataFrame, group: Column, value: Column,
+                         pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val counts = df
+      .select(group.cast("string").as("grp"), value.cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("grp").orderBy("v")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("grp")))
+    cum.select(col("grp"), col("v"), col("cum"), col("n"),
+        explode(array(pcts.map(p => lit(p)): _*)).as("pct"))
+      .where(col("cum") * 100L >= col("pct") * col("n"))
+      .groupBy("grp", "pct").agg(min(col("v")).as("value"))
+      .orderBy("grp", "pct")
+  }
+
   /** Integer-threshold quality gate (all-integer arithmetic so the
     * oracle comparison is exact): a doc passes when it has at least 20
     * tokens, at least one stopword per 50 tokens, and punctuation

@@ -630,4 +630,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("percentiles: windows over VALUE COUNTS sharing the grp " +
+      "partitioning, no join, pruned scan (q96)") {
+    val plan = planOf(
+      SparkEntry.queries("q96_length_percentiles")(spark, dir))
+    assert(!plan.contains("Join"), plan.take(3000))
+    // the cumulative + total windows and the (grp, v) count must never
+    // drag corpus rows into one partition: every window partitions by
+    // grp, and the scan reads only the two columns involved
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(grp"), plan.take(3000))
+    assert(plan.contains("ReadSchema: struct<lang:string,n_chars:"),
+      plan.take(3000))
+  }
 }

@@ -1414,4 +1414,23 @@ class SparkEntrySpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
     assert(small == Seq("a" -> 4L, "b" -> 4L, "c" -> 2L), small.toString)
   }
+
+  test("q96 percentiles match the sequential nearest-rank definition") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("lang", "cast(n_chars as long) AS nc").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val byLang = docs.groupBy(_._1).map { case (l, xs) =>
+      l -> xs.map(_._2).sorted
+    }
+    val got = SparkEntry.queries("q96_length_percentiles")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.length == byLang.size * 3, s"3 pcts per lang: ${got.length}")
+    got.foreach { case (l, p, v) =>
+      val xs = byLang(l)
+      val rank = math.ceil(p * xs.length / 100.0).toInt
+      assert(v == xs(rank - 1),
+        s"$l p$p: got $v, nearest-rank says ${xs(rank - 1)} (n=${xs.length})")
+    }
+  }
 }
