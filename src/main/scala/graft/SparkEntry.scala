@@ -2787,7 +2787,7 @@ object SparkEntry {
     "q96_length_percentiles" ->
       """WITH c AS (
         |  SELECT lang AS grp, CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
-        |  FROM documents GROUP BY 1, 2),
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
         |cum AS (
         |  SELECT grp, v,
         |    CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum,

@@ -298,14 +298,20 @@ object TextOps {
     *
     * Nearest-rank definition: p-th percentile = min v with
     * cum(v) ≥ ⌈p·n/100⌉, encoded integer-exactly as
-    * `100·cum ≥ p·n`. One (grp, v) partial-agg shuffle; the
-    * cumulative and total windows SHARE the grp hash partitioning;
-    * the final per-(grp, pct) min is a slim aggregate. */
+    * `100·cum ≥ p·n`. NULL values are EXCLUDED from both the
+    * population n and the candidates (percentile of the present
+    * values) — excluded explicitly because the engines disagree on
+    * null sort order (Spark NULLS FIRST, DuckDB NULLS LAST), so any
+    * implicit null handling would silently diverge from the oracle.
+    * One (grp, v) partial-agg shuffle; the cumulative and total
+    * windows SHARE the grp hash partitioning; the final
+    * per-(grp, pct) min is a slim aggregate. */
   def integerPercentiles(df: DataFrame, group: Column, value: Column,
                          pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
     val counts = df
       .select(group.cast("string").as("grp"), value.cast("long").as("v"))
+      .where(col("v").isNotNull)
       .groupBy("grp", "v").agg(count(lit(1)).as("c"))
     val cum = counts
       .withColumn("cum",

@@ -640,7 +640,17 @@ class PlanSpec extends AnyFunSuite {
     // drag corpus rows into one partition: every window partitions by
     // grp, and the scan reads only the two columns involved
     assert(plan.contains("Window"), plan.take(3000))
-    assert(plan.contains("hashpartitioning(grp"), plan.take(3000))
+    // "hashpartitioning(grp" alone would also match the (grp, v)
+    // count exchange; what actually pins grp-partitioned windows is
+    // the exchange COUNT — (grp, v) count + grp window, and the final
+    // (grp, pct) aggregate REUSES the window's grp partitioning
+    // (hashpartitioning(grp) already clusters every (grp, pct) group)
+    // — plus the absence of the degenerate global-window shape
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(hashExchanges == 2,
+      s"expected 2 hash exchanges, plan:\n${plan.take(3000)}")
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
     assert(plan.contains("ReadSchema: struct<lang:string,n_chars:"),
       plan.take(3000))
   }

@@ -1432,5 +1432,15 @@ class SparkEntrySpec extends AnyFunSuite {
       assert(v == xs(rank - 1),
         s"$l p$p: got $v, nearest-rank says ${xs(rank - 1)} (n=${xs.length})")
     }
+    // nulls are excluded from population AND candidates (the engines
+    // disagree on null sort order, so implicit handling would diverge
+    // from the oracle): 2 nulls + values 1..4 → p50 over {1,2,3,4} = 2
+    import spark.implicits._
+    val withNulls = Seq(("g", Some(1L)), ("g", Some(2L)), ("g", Some(3L)),
+      ("g", Some(4L)), ("g", None), ("g", None)).toDF("grp", "v")
+    val p50 = ops.TextOps.integerPercentiles(
+        withNulls, col("grp"), col("v"), Seq(50))
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(p50 == Seq(2L), s"null-exclusion contract broken: $p50")
   }
 }
