@@ -18,6 +18,9 @@ import org.apache.spark.sql.SparkSession
   *     delay-factor politeness back-off from the carried fetch EWMA)
  *   [--rerank-links /path/sightings.parquet --max-tasks N]  (priority
  *     frontier: link-graph rerank + global per-wave budget)
+ *   [--apportion true]  (with --max-tasks: Hamilton-apportion the wave
+ *     budget across hosts ∝ rank — proportional fairness — instead of
+ *     the rank-ordered top-N cut)
  *   [--rank-base N]  (rank fixed-point scale; LOWER it for big graphs —
  *     hostRank requires hosts × base × 100 < 2^63 and fails loudly)
   *   [--store-kind local|iceberg --catalog ice --namespace graft]
@@ -100,6 +103,7 @@ object CrawlJob {
     val cc = CrawlConfig(
       maxPerHostPerWave = opts.getOrElse("max-per-host", "100").toInt,
       maxTasksPerWave = opts.getOrElse("max-tasks", "0").toInt,
+      apportionTasksPerWave = opts.getOrElse("apportion", "false").toBoolean,
       hostBuckets = opts.getOrElse("buckets", "64").toInt,
       salt = opts.getOrElse("salt", "8").toInt,
       recrawlAfterWaves = opts.getOrElse("recrawl-ttl", "0").toInt,

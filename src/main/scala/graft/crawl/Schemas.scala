@@ -62,7 +62,14 @@ final case class RuleSpec(
     page_url_revise_exp: Option[String] = None,
     page_url_revise_rep: Option[String] = None,
     item_url_revise_exp: Option[String] = None,
-    item_url_revise_rep: Option[String] = None)
+    item_url_revise_rep: Option[String] = None,
+    // S5 routing flag (reference: sites marked for the browser proxy,
+    // RequestProxy.xaml.cs / ProxyDispatcher.cs): this host's article
+    // fetches go through the bound CrawlConfig.renderFetcher service
+    // (JS-rendered HTML) instead of the page-snapshot join; with no
+    // service bound the host falls back to the static snapshot fetch
+    // (unrendered HTML — what a non-JS crawler sees).
+    browser_fetch: Boolean = false)
 
 object RuleSpec {
   def toCatalogRule(r: RuleSpec): graft.core.CatalogRule =

@@ -56,6 +56,20 @@ final case class CrawlConfig(
     // normally (the fetched head is the newest — mirroring the
     // reference's MAX_RECORDS cap).
     maxTasksPerWave: Int = 0,
+    // Proportional-fairness alternative to the rank-ORDERED budget cut
+    // (r4 verdict: q95's Hamilton apportionment existed but was not
+    // reachable from the engine): when true (and maxTasksPerWave > 0),
+    // the wave budget is largest-remainder-apportioned across the
+    // batch's hosts ∝ host rank (LinkGraph.budgetApportion) and each
+    // host keeps the FIRST `alloc` tasks of its schedule — every host
+    // gets its proportional share instead of high-rank hosts taking
+    // the whole budget. A host whose available tasks undershoot its
+    // quota just schedules what it has (Σ scheduled ≤ budget); a host
+    // apportioned zero (or whose quota rounds to zero) defers like a
+    // budget-dropped host. Falls back to the rank-ordered cut when
+    // every rank is 0 (no weights to apportion — documented at the
+    // budgetApportion call site).
+    apportionTasksPerWave: Boolean = false,
     // Upper bound (rows) for broadcasting the wave's task batch into
     // the fetch-join. broadcast() is a HARD hint Spark honors
     // regardless of size estimates, so an unbounded frontier batch
@@ -92,9 +106,18 @@ final case class CrawlConfig(
     // `deduped` in the metrics, but no duplicate article row is
     // written. At a 10^10-url store with slow-changing pages this is
     // the difference between re-writing the corpus every TTL and
-    // writing only the delta. OFF by default (re-store semantics);
-    // legacy seenurls rows without a digest always count as changed.
-    revalidateOnRecrawl: Boolean = false)
+    // writing only the delta. OFF by default (re-store semantics).
+    // Digests are also only WRITTEN while ON — md5 over every stored
+    // body is real per-wave CPU the default path must not pay — and
+    // seenurls rows without a digest (legacy stores, waves run with
+    // the knob off) always count as changed on a later revalidating
+    // recrawl: safe re-store, never a lost update.
+    revalidateOnRecrawl: Boolean = false,
+    // S5 browser-proxy seam: the external rendering service hosts whose
+    // rule sets `RuleSpec.browser_fetch` fetch through (see
+    // [[RenderFetcher]]). None (default) = no service bound; flagged
+    // hosts then fall back to the static snapshot fetch.
+    renderFetcher: Option[RenderFetcher] = None)
 
 /** One wave of the crawl — the Spark re-expression of the reference's
   * fetch–detect–extract–commit loop (Crawlers/ArticleCrawler.cs:33-262):
@@ -425,7 +448,30 @@ object WaveEngine {
     // global sort shuffle, no single-partition window)
     val tasksAll = outcomes.flatMap(_.tasks)
     val tasks: Dataset[FetchTask] =
-      (if (cfg.maxTasksPerWave > 0)
+      (if (cfg.maxTasksPerWave > 0 && cfg.apportionTasksPerWave) {
+        // proportional-fairness budget (CrawlConfig.apportionTasksPerWave):
+        // Hamilton-split the budget across the batch's hosts ∝ rank,
+        // then keep each host's first `alloc` tasks in schedule order.
+        // Weights are host-sized (aggregated off the cached outcomes);
+        // budgetApportion requires a positive total, so an all-zero-rank
+        // batch falls back to the rank-ordered cut below.
+        val weights = tasksAll.toDF().groupBy($"host")
+          .agg(max($"rank").as("w"))
+        val totW = weights.agg(coalesce(sum($"w"), lit(0L))).head().getLong(0)
+        if (totW > 0) {
+          val quotas = graft.ops.LinkGraph.budgetApportion(
+            weights, $"host", $"w", cfg.maxTasksPerWave.toLong)
+            .select($"item".as("host"), $"alloc")
+          val perHost = org.apache.spark.sql.expressions.Window
+            .partitionBy($"host").orderBy($"seq")
+          tasksAll.toDF()
+            .withColumn("rn", row_number().over(perHost))
+            .join(broadcast(quotas), Seq("host"), "left")
+            .where($"rn" <= coalesce($"alloc", lit(0L)))
+            .drop("rn", "alloc").as[FetchTask]
+        } else tasksAll.orderBy($"rank".desc, $"host", $"seq")
+          .limit(cfg.maxTasksPerWave).as[FetchTask]
+      } else if (cfg.maxTasksPerWave > 0)
         tasksAll.orderBy($"rank".desc, $"host", $"seq")
           .limit(cfg.maxTasksPerWave).as[FetchTask]
       else tasksAll).cache()
@@ -466,7 +512,36 @@ object WaveEngine {
     // stage can apply the rule's art_*_exp overrides (ParseArticle,
     // HtmlAnalyzer.cs:155-235) without bloating every FetchTask
     val hostRules = hosts.toDF().select($"host", $"rule")
-    val fetched = fetchJoin(pages.toDF(), tasksDF, hostRules, hintTaskBroadcast)
+    // S5 seam: with a RenderFetcher bound, tasks for browser-ruled
+    // hosts divert to the service (mapPartitions — one binding per
+    // partition); everything else keeps the snapshot fetch-join plan
+    // verbatim. Politeness/scheduling already shaped both alike.
+    val fetched = cfg.renderFetcher match {
+      case None => fetchJoin(pages.toDF(), tasksDF, hostRules, hintTaskBroadcast)
+      case Some(rf) =>
+        val flagged = tasksDF.join(broadcast(hostRules), Seq("host"), "left")
+          .withColumn("_browser",
+            coalesce($"rule".getField("browser_fetch"), lit(false)))
+        val snapTasks = flagged.where(!$"_browser")
+          .drop("_browser", "rule")
+        val rendered = flagged.where($"_browser")
+          .select($"url", $"host", $"wave", $"seq", $"cat_title",
+            $"published", $"rule")
+          .as[(String, String, Int, Int, String, Option[Timestamp],
+            Option[RuleSpec])]
+          .mapPartitions { rows =>
+            rows.flatMap { case (url, host, w, seq, ct, pub, rule) =>
+              rf.fetch(url).map(r =>
+                (url, host, w, seq, ct, pub, r.html, r.fetchedAt, rule))
+            }
+          }
+          .toDF("url", "host", "wave", "seq", "cat_title", "published",
+            "html", "warc_ts", "rule")
+        // snapshot side carries extra page columns (text, lang) the
+        // extract stage never reads — null-filled on the rendered side
+        fetchJoin(pages.toDF(), snapTasks, hostRules, hintTaskBroadcast)
+          .unionByName(rendered, allowMissingColumns = true)
+    }
 
     // -- extraction runs ON THE JOIN OUTPUT'S OWN PARTITIONS — no
     //    repartition. Extraction is row-local work over input splits
@@ -828,15 +903,28 @@ object WaveEngine {
     // slim committed-url side table, appended per wave and PARTITIONED
     // by the same url-bucket the sketches use — the bucket-pruned build
     // side of the next waves' exact-seen anti-join. Built from ALL
-    // winners (incl. revalidated urls, whose TTL restarts here) with
-    // the insert-time digest the revalidation path compares against;
-    // md5 is a scan-side projection off the extract cache — bodies
-    // never ride the bucket repartition.
-    val seenUrlRows = newArticles.toDF()
-      .select($"host", $"url", md5($"contenthtml").as("d"))
-      .as[(String, String, String)]
-      .map { case (h, u, d) =>
-        SeenUrl(SeenFilter.urlBucket(u, hb, sl), h, u, wave, Some(d)) }
+    // winners (incl. revalidated urls, whose TTL restarts here). The
+    // insert-time digest the revalidation path compares against is
+    // computed ONLY when that knob is on: md5 over every stored body is
+    // real per-wave CPU (r4 shipped it unconditionally — the one r4
+    // feature that had escaped its knob gate; suspected in the r4
+    // bench's +43% 4-core task-CPU reading), and a store written
+    // without digests later upgraded to revalidation just treats the
+    // digest-less rows as changed (the documented legacy fallback).
+    // Either way md5/bucket are scan-side projections off the extract
+    // cache — bodies never ride the bucket repartition.
+    val seenUrlRows =
+      if (cfg.revalidateOnRecrawl)
+        newArticles.toDF()
+          .select($"host", $"url", md5($"contenthtml").as("d"))
+          .as[(String, String, String)]
+          .map { case (h, u, d) =>
+            SeenUrl(SeenFilter.urlBucket(u, hb, sl), h, u, wave, Some(d)) }
+      else
+        newArticles.toDF()
+          .select($"host", $"url").as[(String, String)]
+          .map { case (h, u) =>
+            SeenUrl(SeenFilter.urlBucket(u, hb, sl), h, u, wave, None) }
     val smallWrites = Seq(
       // frontier is task-batch-sized (up to maxPerHost × hosts) — keeps
       // its partitioning; genuinely host-/bucket-sized tables coalesce(1)

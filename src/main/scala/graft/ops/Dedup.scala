@@ -39,11 +39,18 @@ object Dedup {
     * jaccard >= 1/2 (common*2 >= na+nb-common).
     *
     * `maxShingleDf` drops shingles appearing in more than that many
-    * docs before the self-join — the skew guard at scale. Disabled
-    * (Int.MaxValue) in oracle queries so DuckDB SQL stays identical.
+    * docs before the self-join — the skew guard at scale, ON BY
+    * DEFAULT ([[DefaultShingleDfCap]]; r4 verdict: the exact chain is
+    * the op a user reaches for first, and a stop-shingle at corpus
+    * scale creates an O(hot²) bucket — the guard must not be opt-in).
+    * The cap is plain SQL (a HAVING df <= cap anti-set), mirrored in
+    * the q21/q89 oracles; passing Int.MaxValue explicitly disables it
+    * (small-corpus baselines only). The number of capped shingles is
+    * published as an observed metric (`graft.shingle_df_cap*`) on the
+    * hot-set subplan — zero extra passes.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
-                        maxShingleDf: Int = Int.MaxValue): DataFrame =
+                        maxShingleDf: Int = DefaultShingleDfCap): DataFrame =
     shingleOverlapPairs(docs, n, maxShingleDf)
       .where(col("common") * 2 >= col("na") + col("nb") - col("common"))
       .select("doc_a", "doc_b", "common", "na", "nb")
@@ -59,18 +66,30 @@ object Dedup {
     * df-cap skew guard, all-integer output, so the DuckDB oracle
     * replays it exactly — only the final predicate differs. */
   def containmentPairs(docs: DataFrame, n: Int = 3,
-                       maxShingleDf: Int = Int.MaxValue,
+                       maxShingleDf: Int = DefaultShingleDfCap,
                        thresholdPct: Int = 90): DataFrame =
     shingleOverlapPairs(docs, n, maxShingleDf)
       .where(col("common") * 100 >= least(col("na"), col("nb")) * thresholdPct)
       .select("doc_a", "doc_b", "common", "na", "nb")
       .orderBy("doc_a", "doc_b")
 
+  /** Default df cap for the exact shingle chains: a shingle in more
+    * than this many documents is a stop-phrase, not a dedup signal —
+    * it contributes O(df²) join pairs while every pair it produces is
+    * also found through the documents' rarer shingles (or is not a
+    * near-dup at all). 1000 keeps every genuine near-dup cluster the
+    * fixtures plant (df ≤ 5) by three orders of magnitude while
+    * bounding any single shingle's fan-out at 10⁶ pairs. */
+  val DefaultShingleDfCap = 1000
+
+  private val capMetricSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Shared core of the exact (sketch-free) pair ops: distinct word
-    * n-gram shingles per doc, optional document-frequency cap, shingle
-    * equi-self-join, overlap + set-size counts. Returns ALL
-    * overlapping ordered pairs `(doc_a < doc_b, common, na, nb)` —
-    * callers apply their own similarity predicate. */
+    * n-gram shingles per doc, document-frequency cap (default-on, see
+    * [[DefaultShingleDfCap]]), shingle equi-self-join, overlap +
+    * set-size counts. Returns ALL overlapping ordered pairs
+    * `(doc_a < doc_b, common, na, nb)` — callers apply their own
+    * similarity predicate. */
   private def shingleOverlapPairs(docs: DataFrame, n: Int,
                                   maxShingleDf: Int): DataFrame = {
     val words = docs.select(
@@ -90,9 +109,16 @@ object Dedup {
       else {
         // anti-join against the HOT set (df > cap) — near-empty in
         // healthy corpora, so it broadcasts; joining against the huge
-        // keep-set instead would shuffle every shingle a second time
+        // keep-set instead would shuffle every shingle a second time.
+        // observe() publishes how many shingles the cap dropped (unique
+        // name per call — two chains in one query must not collide) on
+        // the hot subplan itself: the count rides the action that
+        // materializes the join, no extra pass, and surfaces through
+        // any QueryExecutionListener (pinned in SparkEntrySpec).
         val hot = shingles.groupBy("s").agg(count(lit(1)).as("df"))
           .where(col("df") > maxShingleDf)
+          .observe(s"graft.shingle_df_cap_${capMetricSeq.incrementAndGet()}",
+            count(lit(1)).as("capped_shingles"))
         shingles.join(hot.select("s"), Seq("s"), "left_anti")
       }
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
@@ -237,17 +263,35 @@ object Dedup {
     *
     * Scale shape: clustering bounds the pair stage to within-cluster
     * all-pairs — an EQUI-join on `cluster`, never a cartesian; at
-    * 10^10 vectors, `k` scales so lists stay bounded (SemDeDup uses
-    * ~100k clusters for 5B embeddings) and the assigned table is
-    * written bucketed by `cluster` so each list's pair scan is
-    * co-located. Norms are precomputed once per vector; only
-    * (id, cluster, vec, norm) rides the shuffle. */
+    * 10^10 vectors, `k` MUST scale so lists stay bounded (SemDeDup
+    * uses ~100k clusters for 5B embeddings — use
+    * [[semanticDedupScaled]], which derives k from the corpus size)
+    * and the assigned table is written bucketed by `cluster` so each
+    * list's pair scan is co-located. Norms are precomputed once per
+    * vector; only (id, cluster, vec, norm) rides the shuffle.
+    *
+    * Skew guard (r4 verdict: a fixed small k over an unbounded corpus
+    * is Θ(n²/k) pairs — a scale-killer that used to fail only by
+    * timeout): before planning the pair join, the per-cluster sizes
+    * are aggregated (ONE extra pruned-scan action, O(k) rows) and the
+    * call FAILS LOUDLY if the within-cluster pair count would exceed
+    * `maxClusterPairs` — the fix is a larger k, not a longer wait. */
   def semanticDedup(emb: DataFrame, k: Int = 8,
-                    threshold: Double = 0.4): DataFrame = {
+                    threshold: Double = 0.4,
+                    maxClusterPairs: Long = 1L << 26): DataFrame = {
     val codebook = Similarity.collectCodebook(emb, k)
     val slim = emb.select(col("vec_id"), col("embedding"),
       Similarity.norm(col("embedding")).as("nrm"),
       Similarity.ivfClusterCol(codebook))
+    val guard = slim.groupBy("cluster").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("pairs"),
+        coalesce(max(col("c")), lit(0L)).as("maxc")).head()
+    require(guard.getLong(0) <= maxClusterPairs,
+      s"semanticDedup: ${guard.getLong(0)} within-cluster pairs " +
+        s"(largest cluster ${guard.getLong(1)}) exceeds " +
+        s"maxClusterPairs=$maxClusterPairs with k=$k — raise k (use " +
+        "semanticDedupScaled to derive k from the corpus size) or " +
+        "raise the cap explicitly")
     val a = slim.select(col("vec_id").as("id_a"), col("embedding").as("va"),
       col("nrm").as("na"), col("cluster"))
     val b = slim.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
@@ -260,6 +304,32 @@ object Dedup {
     emb.select("vec_id")
       .join(dropped, Seq("vec_id"), "left_anti")
       .orderBy("vec_id")
+  }
+
+  /** [[semanticDedup]] with k derived from the corpus size — the
+    * production entry point at scale: k = ⌈n / targetClusterSize⌉
+    * (floored at 8) keeps expected within-cluster pair work at
+    * Θ(n·targetClusterSize) no matter how the corpus grows, which is
+    * exactly SemDeDup's own operating point (~100k clusters over 5B
+    * embeddings ≈ 50k vectors/cluster; the default here is far
+    * tighter because the deterministic first-k codebook does no
+    * balancing refinement). The codebook collect is k rows — bounded
+    * by `maxK` so a silly targetClusterSize can't turn the driver
+    * fetch into a corpus read. Deterministic given the table (n and
+    * the first-k prefix are replay-stable), so the external oracle
+    * replays it by computing the same k. */
+  def semanticDedupScaled(emb: DataFrame, targetClusterSize: Int = 1000,
+                          threshold: Double = 0.4,
+                          maxClusterPairs: Long = 1L << 26,
+                          maxK: Int = 1 << 20): DataFrame = {
+    require(targetClusterSize > 0)
+    val n = emb.count()
+    val k = math.max(8L, (n + targetClusterSize - 1) / targetClusterSize)
+    require(k <= maxK,
+      s"semanticDedupScaled: derived k=$k exceeds maxK=$maxK — the " +
+        "first-k codebook is a driver-side collect; raise " +
+        "targetClusterSize or maxK deliberately")
+    semanticDedup(emb, k.toInt, threshold, maxClusterPairs)
   }
 
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= maxDist,

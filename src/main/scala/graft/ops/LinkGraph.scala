@@ -249,28 +249,51 @@ object LinkGraph {
     *
     * All-integer and total-order tie-broken, so the DuckDB oracle
     * replays the allocation bit-for-bit, and Σ alloc = B by
-    * construction. Caller contract: weights non-negative, B·n < 2⁶³.
+    * construction. Caller contract: weights non-negative with a
+    * POSITIVE total (n = Σw > 0 — an all-zero or empty wave has no
+    * proportional split: Spark's non-ANSI div would silently null the
+    * quotas while the SQL oracle errors, so it is rejected loudly
+    * here; callers with possibly-empty waves guard at the call site,
+    * as CrawlJob's `--apportion` path does), and B·n < 2⁶³.
     *
     * Scale shape: weights arrive pre-aggregated (one row per item —
-    * host-cardinality, not corpus-cardinality) and are CACHED here:
-    * the leftover fetch and the allocation plan are two actions, and
-    * both must see the same snapshot for Σ alloc = B to survive a
-    * caller whose lineage is not replay-stable; the cache is also
-    * what keeps this at one upstream evaluation instead of four. The
-    * totals are 1-row broadcasts; the bonus set is a
-    * TakeOrderedAndProject of `leftover` rows (never a global
-    * single-partition window) joined back on the unique item key. */
+    * host-cardinality, not corpus-cardinality) and are cached for the
+    * duration of the call: the total/leftover fetches and the
+    * allocation itself must see the same snapshot for Σ alloc = B to
+    * survive a caller whose lineage is not replay-stable. The result
+    * is EAGER — item-cardinality, materialized via localCheckpoint so
+    * the input cache can be released before returning instead of
+    * leaking for the session lifetime (ADVICE r4); the caller's
+    * actions replay from the checkpointed blocks. n and leftover are
+    * bounded 1-row driver fetches (the accepted ANN-query-vector
+    * pattern); the bonus set is a TakeOrderedAndProject of `leftover`
+    * rows (never a global single-partition window) joined back on the
+    * unique item key — plan shape pinned in PlanSpec against
+    * [[apportionPlan]]. */
   def budgetApportion(weights: DataFrame, item: Column, weight: Column,
                       budget: Long): DataFrame = {
     val w = weights.select(item.cast("string").as("item"),
       weight.cast("long").as("w")).cache()
-    val tot = w.agg(sum(col("w")).as("n"))
-    val scored = w.crossJoin(broadcast(tot))
-      .withColumn("base", expr(s"($budget * w) div n"))
-      .withColumn("rem", expr(s"($budget * w) % n"))
-    // leftover is a bounded scalar (< #items): one 1-row driver fetch,
-    // same accepted pattern as the ANN query vector. B − Σbase, never
-    // Σrem div n — see the scaladoc overflow note.
+    try {
+      val n = w.agg(coalesce(sum(col("w")), lit(0L))).head().getLong(0)
+      require(n > 0,
+        s"budgetApportion: total weight must be positive (got $n); " +
+          "an empty/zero-weight wave has no proportional split — guard at " +
+          "the call site")
+      apportionPlan(w, budget, n).localCheckpoint(true)
+    } finally w.unpersist()
+  }
+
+  /** The pure allocation plan over a prepared `(item, w)` frame with a
+    * known-positive total `n` — split out so PlanSpec can pin the
+    * TakeOrdered bonus shape before [[budgetApportion]] eagerly
+    * materializes it. */
+  private[graft] def apportionPlan(w: DataFrame, budget: Long, n: Long): DataFrame = {
+    val scored = w
+      .withColumn("base", expr(s"($budget * w) div $n"))
+      .withColumn("rem", expr(s"($budget * w) % $n"))
+    // leftover is a bounded scalar (< #items): one 1-row driver fetch.
+    // B − Σbase, never Σrem div n — see the scaladoc overflow note.
     val leftover = budget -
       scored.agg(coalesce(sum(col("base")), lit(budget))).head().getLong(0)
     val bonus = scored.orderBy(col("rem").desc, col("item"))

@@ -1,90 +1,70 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Multimodal (image/audio/video) column handling for a training-data
   * pipeline: media ride as opaque `binary` columns + typed metadata, and
-  * the decode / feature-extract / resize / frame-sample stages are
-  * per-partition batched transforms so the Spark-side plumbing — schema,
-  * partitioning, batch shape — is real and testable at scale.
+  * the decode / feature-extract / frame-sample stages are per-partition
+  * batched transforms so the Spark-side plumbing — schema, partitioning,
+  * batch shape — holds at corpus scale.
   *
-  * ==== STUB NOTICE ====
-  * No image/audio codec libraries exist in this environment, so the
-  * actual byte→pixels/samples decode is STUBBED with a deterministic
-  * fake (hash-derived dimensions and features). Every stub call site is
-  * marked `STUB:`. Swapping in a real codec changes ONLY the inside of
-  * [[decodeStub]] — schemas, partitioning and batching stay identical.
+  * The decode stage is REAL header parsing ([[MediaHeaders]]): PNG IHDR
+  * / JPEG SOFn dimensions, WAV and AVI durations — pure byte arithmetic,
+  * no codec libraries, total over malformed input (bad blobs probe as
+  * `unknown`, never throw). What remains deliberately shallow, and is
+  * documented per method, is everything that genuinely needs a codec:
+  * pixel decoding behind [[features]]' deterministic featurizer seam and
+  * real frame extraction behind [[sampleFrames]]' byte-range sampler.
   */
 object Multimodal {
 
-  /** Decoded-media metadata row. */
+  /** Decoded-media metadata row: `kind` is the caller's modality tag
+    * (image | audio | video), `container` the PARSED format
+    * (png | jpeg | wav | avi | unknown); width/height are 0 for audio
+    * and unparseable blobs, duration_ms is 0 for images. */
   final case class MediaInfo(
       doc_id: Long,
-      kind: String,      // image | audio | video
+      kind: String,
+      container: String,
       n_bytes: Long,
-      width: Int,        // STUB: hash-derived (real: decoded header)
+      width: Int,
       height: Int,
-      duration_ms: Long, // 0 for images
-      content_hash: Long)
+      duration_ms: Long)
 
-  /** Lowercase hex MD5 — the stub's hash base. MD5 (not our own mixer)
-    * so an external SQL oracle (DuckDB `md5`) can recompute every
-    * stub-derived field from the raw bytes and value-check the decode
-    * query end-to-end. */
-  private def md5Hex(md: java.security.MessageDigest, bytes: Array[Byte]): String = {
-    md.reset()
-    val d = md.digest(bytes)
-    val sb = new java.lang.StringBuilder(32)
-    var i = 0
-    while (i < d.length) {
-      val v = d(i) & 0xff
-      sb.append(Character.forDigit(v >>> 4, 16)).append(Character.forDigit(v & 0xf, 16))
-      i += 1
-    }
-    sb.toString
-  }
-
-  /** STUB: deterministic fake decode — derives plausible dimensions
-    * from hex slices of md5(bytes) instead of real codec output (each
-    * slice is 15 hex digits = 60 bits, so it parses as a non-negative
-    * Long and as a SQL BIGINT identically). One md5 yields only 32 hex
-    * digits, so the third slice [16,31) deliberately overlaps the
-    * second [15,30) — duration therefore correlates with height across
-    * rows. Fine here: the stub is a PLUMBING contract (schema, batch
-    * shape, oracle parity — pinned in SparkEntrySpec), not a realism
-    * model; don't use its fields for distribution tests. */
-  def decodeStub(docId: Long, kind: String, bytes: Array[Byte],
-                 md: java.security.MessageDigest = java.security.MessageDigest.getInstance("MD5")): MediaInfo = {
-    val hex = md5Hex(md, bytes)
-    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
-    val h3 = java.lang.Long.parseLong(hex.substring(16, 31), 16)
-    val w = 64 + (h1 % 1857).toInt
-    val ht = 64 + (h2 % 1017).toInt
-    val dur = if (kind == "image") 0L else 1000L + h3 % 600000L
-    MediaInfo(docId, kind, bytes.length.toLong, w, ht, dur, h1)
-  }
-
-  /** Decode stage: (doc_id, kind, media) → MediaInfo, batched per
-    * partition (one codec context per partition, not per row). */
+  /** Decode stage: (doc_id, kind, media) → [[MediaInfo]] via real
+    * container-header parsing, batched per partition (the shape under
+    * which a full codec would initialize its context once per
+    * partition, not per row). */
   def decode(df: DataFrame): Dataset[MediaInfo] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("kind"), col("media"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // STUB: a real impl would initialize the codec library here once
-        val md = java.security.MessageDigest.getInstance("MD5")
-        rows.map { case (id, kind, bytes) => decodeStub(id, kind, bytes, md) }
+        rows.map { case (id, kind, bytes) =>
+          MediaHeaders.probe(bytes) match {
+            case Some(p) => MediaInfo(id, kind, p.container,
+              bytes.length.toLong, p.width, p.height, p.durationMs)
+            case None => MediaInfo(id, kind, "unknown",
+              bytes.length.toLong, 0, 0, 0L)
+          }
+        }
       }
   }
 
   /** Feature-extraction stage: fixed-size Float vector per media row —
-    * the embedding-model shape (batch per partition; vector column is
-    * `array<float>` to match the embeddings table contract). */
+    * the embedding-model SEAM. The default featurizer is a
+    * deterministic byte fingerprint (md5 hex slices scaled to [0,1);
+    * every value k/256 is an exact binary fraction, so an external SQL
+    * oracle recomputing in double matches bit-for-bit); a real
+    * embedding model binds by replacing only the per-row body — the
+    * batch-per-partition shape, `array<float>` column contract
+    * (matching the embeddings table) and partitioning stay identical.
+    * No pixel/sample decode happens here: that needs a codec library
+    * this environment does not ship. */
   def features(df: DataFrame, dim: Int = 16): DataFrame = {
-    require(dim <= 16, s"stub features support dim <= 16 (got $dim): " +
+    require(dim <= 16, s"default featurizer supports dim <= 16 (got $dim): " +
       "one md5 yields 16 two-hex-digit slices")
     val spark = df.sparkSession
     import spark.implicits._
@@ -93,24 +73,21 @@ object Multimodal {
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, bytes) =>
-          // STUB: feature i = hex byte i of md5(bytes) / 256 — exactly
-          // representable in binary floating point at any width, so an
-          // external oracle recomputing in double matches bit-for-bit
-          val hex = md5Hex(md, bytes)
+          md.reset()
+          val d = md.digest(bytes)
           val fs = new Array[Float](dim)
           var i = 0
-          while (i < dim) {
-            fs(i) = Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16) / 256.0f
-            i += 1
-          }
+          while (i < dim) { fs(i) = (d(i) & 0xff) / 256.0f; i += 1 }
           (id, fs)
         }
       }.toDF("doc_id", "feature")
   }
 
   /** Deterministic frame sampling for video-kind rows: n byte-range
-    * "frames" at evenly spaced offsets (STUB for real frame decode; the
-    * explode shape — one row per frame — is the real contract). */
+    * "frames" at evenly spaced offsets. Real frame extraction needs a
+    * video codec; the explode shape — one row per frame, evenly spaced
+    * over the payload — is the contract a codec-backed implementation
+    * drops into. */
   def sampleFrames(df: DataFrame, n: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -134,4 +111,40 @@ object Multimodal {
     df.withColumn("_sz", length(col("media")))
       .repartitionByRange(partitions, col("_sz"), col("doc_id"))
       .drop("_sz")
+
+  /** Deterministic synthetic media table `(doc_id, kind, media)` over a
+    * `doc_id` column — the q39 fixture: every blob is a REAL container
+    * header ([[MediaHeaders]] synthesizers) whose probed fields are
+    * exact arithmetic in doc_id, so the DuckDB oracle reconstructs the
+    * whole decode output from the ids alone (the q72 CDX pattern):
+    *
+    *  - doc_id % 3 = 0 → image: PNG when doc_id % 6 = 0 else JPEG,
+    *    width = 64 + doc_id % 1857, height = 64 + doc_id % 1017;
+    *  - doc_id % 3 = 1 → audio: WAV, duration_ms = 1000 + (doc_id % 600)·100;
+    *  - doc_id % 3 = 2 → video: AVI at 30 fps·µs (33333 µs/frame),
+    *    frames = 30·(1 + doc_id % 300), image-formula dimensions.
+    */
+  def syntheticMedia(docIds: DataFrame): DataFrame = {
+    val spark = docIds.sparkSession
+    import spark.implicits._
+    docIds.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { i =>
+        val w = (64 + i % 1857).toInt
+        val h = (64 + i % 1017).toInt
+        (i % 3) match {
+          case 0 =>
+            val blob = if (i % 6 == 0) MediaHeaders.pngBytes(w, h)
+                       else MediaHeaders.jpegBytes(w, h)
+            (i, "image", blob)
+          case 1 =>
+            // byte_rate = rate·ch·2 is a multiple of 1000 for every
+            // rate below, so the duration reconstructs exactly
+            val rate = 8000 * (1 + (i % 5)).toInt
+            val ch = (1 + (i / 5) % 2).toInt
+            (i, "audio", MediaHeaders.wavBytes(rate, ch, 1000L + (i % 600) * 100L))
+          case _ =>
+            (i, "video", MediaHeaders.aviBytes(w, h, 33333L, 30L * (1 + i % 300)))
+        }
+      }).toDF("doc_id", "kind", "media")
+  }
 }

@@ -26,21 +26,27 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** LCG constants (glibc rand); modulus 2³¹ — small enough that
-    * `key·A + C` stays below 2⁶³ for keys < 2³¹ in BOTH engines
-    * (DuckDB errors on int64 overflow rather than wrapping, so the
-    * replayable subset is the non-overflowing one). Callers with wider
-    * or non-numeric keys must pre-fold (e.g. leading-8-hex-digit md5,
-    * < 2³², still safe) before hashing. */
+    * `folded·A + C` stays below 2⁶³ for folded keys < 2³¹ in BOTH
+    * engines (DuckDB errors on int64 overflow rather than wrapping, so
+    * the replayable subset is the non-overflowing one). Non-numeric
+    * keys must be pre-folded numerically (e.g. leading-8-hex-digit
+    * md5, < 2³², still safe) before hashing. */
   private val LcgA = 1103515245L
   private val LcgC = 12345L
   private[ops] val M31 = 2147483648L // 2^31
 
-  /** Deterministic 31-bit hash of a non-negative integer key. The same
-    * expression `(key * 1103515245 + 12345) % 2147483648` replays
-    * verbatim in DuckDB (both operands non-negative, so Java pmod and
-    * DuckDB `%` agree). */
+  /** Deterministic 31-bit hash of a non-negative integer key of ANY
+    * long width: the key is first folded to [0, 2³¹) so the LCG
+    * multiply can never overflow int64 — a wider id would silently
+    * wrap in Spark's long math but ERROR in the DuckDB oracle (ADVICE
+    * r4), so the fold is part of the hash, not a caller obligation.
+    * The same expression
+    * `((key % 2147483648) * 1103515245 + 12345) % 2147483648` replays
+    * verbatim in DuckDB (all operands non-negative, so Java pmod and
+    * DuckDB `%` agree; negative keys remain outside the contract —
+    * the two engines' `%` signs differ there). */
   def kmvHash(key: Column): Column =
-    pmod(key.cast("long") * lit(LcgA) + lit(LcgC), lit(M31))
+    pmod(pmod(key.cast("long"), lit(M31)) * lit(LcgA) + lit(LcgC), lit(M31))
 
   /** One group's finished sketch: how many of the k slots filled, the
     * k-th smallest hash, and the cardinality estimate. */
@@ -116,7 +122,19 @@ object Sketches {
       m.get(x) match {
         case Some(c) => m.updated(x, c + 1L)
         case None if m.size < k => m.updated(x, 1L)
-        case None => // decrement all, drop zeros (amortized O(1)/item)
+        // decrement all, drop zeros. A single call here is O(k) (the
+        // map rebuild), but AMORTIZED over the stream it is O(1)/item:
+        // this branch only fires with k live counters, and each firing
+        // removes exactly k units of total stored count, while the
+        // other two branches each add at most 1 unit — so over n items
+        // it fires ≤ n/k times, O(k) each ⇒ O(n) total (the classic MG
+        // mass argument; ADVICE r4 conjectured O(n·k) from "nearly
+        // every non-candidate token decrements", but a full map of
+        // count-1 candidates is emptied by ONE decrement and then
+        // refills over k cheap inserts — the per-item cost constant is
+        // the immutable-map rebuild, not an asymptotic blow-up;
+        // measured in SketchesSpec's adversarial-stream timing pin).
+        case None =>
           m.flatMap { case (i, c) => if (c > 1L) Some(i -> (c - 1L)) else None }
       }
     override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {

@@ -614,15 +614,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("exact shingle chain engages the hot-set anti-join by DEFAULT " +
+      "(q21/q89 skew guard)") {
+    import spark.implicits._
+    // r4 verdict: the df cap must not be opt-in — a DEFAULT call's plan
+    // must carry the hot-set prune (a left-anti join against shingles
+    // with df > cap) plus the CollectMetrics node that reports how many
+    // shingles were capped
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val plan = planOf(ops.Dedup.ngramJaccardPairs(docs))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(plan.contains("CollectMetrics"), plan.take(3000))
+  }
+
   test("apportionment: bonus set is TakeOrdered, never a global " +
       "single-partition window (q95 core)") {
     import spark.implicits._
     // weights that do NOT divide the budget, so a leftover exists and
     // the bonus branch is actually planned (the sf0.001 events split
     // 1000 rows over a 1000 budget — every remainder 0, branch pruned)
-    val w = Seq(("a", 3L), ("b", 3L), ("c", 1L)).toDF("i", "wt")
-    val plan = planOf(
-      ops.LinkGraph.budgetApportion(w, col("i"), col("wt"), 10L))
+    // pin the pure plan-builder: the public op eagerly materializes via
+    // localCheckpoint (to release its input cache), which collapses the
+    // RETURNED plan to an RDD scan — the shape under test is what runs
+    // during that materialization
+    val w = Seq(("a", 3L), ("b", 3L), ("c", 1L))
+      .toDF("item", "w").select(col("item"), col("w").cast("long").as("w"))
+    val plan = planOf(ops.LinkGraph.apportionPlan(w, 10L, 7L))
     // the leftover bonus picks the top remainders via TakeOrdered —
     // a ROW_NUMBER() OVER (ORDER BY ...) here would drag every item
     // into one partition

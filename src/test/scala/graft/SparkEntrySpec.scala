@@ -60,17 +60,12 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("md5-derived sketch constants are pinned (oracle contract)") {
     // These exact values are what the DuckDB oracles recompute in SQL
-    // (q27/q39) — a change here silently breaks oracle parity, so the
+    // (q27) — a change here silently breaks oracle parity, so the
     // constants are pinned against independently computed references.
     import graft.core.TextSketch
     assert(TextSketch.simhash60("hello world hello") == 419982666956583591L)
     assert(TextSketch.simhash60("the quick brown fox") == 71291262450833004L)
     assert(TextSketch.simhash60("") == 0L)
-    val mi = graft.ops.Multimodal.decodeStub(7L, "audio", "abc".getBytes("UTF-8"))
-    assert(mi.width == 1329 && mi.height == 582)
-    assert(mi.duration_ms == 82591L && mi.content_hash == 648541476951500027L)
-    assert(graft.ops.Multimodal.decodeStub(7L, "image",
-      "abc".getBytes("UTF-8")).duration_ms == 0L)
   }
 
   test("rolling fingerprint replays the reference fold and is order-sensitive") {
@@ -270,18 +265,83 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("q21 shingle-df cap prunes hot shingles (skew kill switch)") {
-    import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     // cap=1: only shingles unique to one doc survive → no pair can share
     // a shingle → zero candidate pairs
     val pruned = graft.ops.Dedup.ngramJaccardPairs(docs, n = 3, maxShingleDf = 1)
     assert(pruned.count() == 0)
-    // the exposed cap (1000) is a no-op at this sf → equals uncapped
-    val capped = graft.ops.Dedup.ngramJaccardPairs(docs, n = 3, maxShingleDf = 1000)
+    // the DEFAULT cap (finite since r5) is a no-op at this sf → equals
+    // the explicitly disabled run, so the oracle-green results at gate
+    // scale are unchanged by the default flipping on
+    val capped = graft.ops.Dedup.ngramJaccardPairs(docs, n = 3)
       .collect().map(_.toSeq).toSet
-    val uncapped = graft.ops.Dedup.ngramJaccardPairs(docs, n = 3)
+    val uncapped = graft.ops.Dedup
+      .ngramJaccardPairs(docs, n = 3, maxShingleDf = Int.MaxValue)
       .collect().map(_.toSeq).toSet
     assert(capped == uncapped)
+  }
+
+  test("shingle df-cap is ON by default: a stop-shingle corpus prunes " +
+      "the hot bucket and reports the capped count") {
+    import spark.implicits._
+    assert(graft.ops.Dedup.DefaultShingleDfCap == 1000)
+    // 1100 docs all sharing one shingle ("aa bb cc", df=1100 > cap) with
+    // otherwise-unique tails: under the default the hot shingle is
+    // pruned BEFORE the self-join (which would otherwise fan out
+    // 1100·1099/2 candidate pairs from that one bucket)
+    val docs = (0 until 1100)
+      .map(i => (i.toLong, s"aa bb cc u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (k, row) =>
+          if (k.startsWith("graft.shingle_df_cap")) seen.put(k, row.getLong(0))
+        }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      assert(graft.ops.Dedup.ngramJaccardPairs(docs).count() == 0)
+      // QueryExecutionListener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val vals = scala.jdk.CollectionConverters
+        .MapHasAsScala(seen).asScala.values.toSeq
+      assert(vals.contains(1L),
+        s"exactly one hot shingle must be reported capped, got $seen")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("semanticDedup skew guard fails loudly; scaled variant bounds fan-out") {
+    import spark.implicits._
+    // skewed fixture: 200 vectors in 3 tight clusters under any first-k
+    // codebook; with a tiny pair cap the op must REFUSE up front (r4
+    // verdict: Θ(n²/k) used to fail only by timeout at scale)
+    val vecs = (0L until 200L)
+      .map(i => (i, Array(1.0f, 0.001f * (i % 3))))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.semanticDedup(vecs, k = 4, threshold = 0.99,
+        maxClusterPairs = 1000L)
+    }
+    assert(e.getMessage.contains("raise k"))
+    // the scaled entry point derives k from n and runs under the
+    // default cap; identical-in-cluster vectors collapse to the lowest
+    // id per cluster
+    val kept = graft.ops.Dedup
+      .semanticDedupScaled(vecs, targetClusterSize = 10, threshold = 0.4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(0L, 1L, 2L), s"got $kept")
+    // the codebook collect stays bounded: a k beyond maxK is refused
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.semanticDedupScaled(vecs, targetClusterSize = 1,
+        maxK = 100)
+    }
+    assert(e2.getMessage.contains("maxK"))
   }
 
   test("q89 containment catches a quote-wrap pair that Jaccard misses") {
@@ -1308,9 +1368,13 @@ class SparkEntrySpec extends AnyFunSuite {
         if (tf == 0L) 0L
         else {
           val dl = toks.size.toLong
-          val idf6 = (2L * (n - dfs(term)) + 1L) * 1000000L / (2L * dfs(term) + 1L)
+          // r5 contract: ⌊log₂⌋+1 of the 2¹⁰-scaled idf rational
+          // (len-of-binary-string — the same integer log both engines
+          // compute via length(bin(x)))
+          val ratio10 = (2L * (n - dfs(term)) + 1L) * 1024L / (2L * dfs(term) + 1L)
+          val idfBits = java.lang.Long.toBinaryString(ratio10).length.toLong
           val norm1000 = 250L + 750L * dl * 1000L / adl1000
-          idf6 * (tf * 2200000L / (tf * 1000L + 12L * norm1000 / 10L)) / 1000L
+          idfBits * (tf * 2200000L / (tf * 1000L + 12L * norm1000 / 10L))
         }
       }.sum
       if (s > 0L) Some(id -> s) else None

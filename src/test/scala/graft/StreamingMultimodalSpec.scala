@@ -117,21 +117,27 @@ class StreamingMultimodalSpec extends AnyFunSuite {
 
   test("multimodal decode/features/frames are deterministic and shaped") {
     import spark.implicits._
+    import graft.ops.MediaHeaders
     val media = Seq(
-      (1L, "image", Array.tabulate(1000)(_.toByte)),
-      (2L, "video", Array.tabulate(5000)(i => (i * 7).toByte)),
-      (3L, "audio", Array.tabulate(300)(i => (i * 3).toByte)))
+      (1L, "image", MediaHeaders.jpegBytes(640, 480)),
+      (2L, "video", MediaHeaders.aviBytes(1280, 720, 40000L, 250L)),
+      (3L, "audio", MediaHeaders.wavBytes(16000, 1, 2000L)),
+      (4L, "image", Array.tabulate(1000)(_.toByte))) // not a container
       .toDF("doc_id", "kind", "media")
     val info = Multimodal.decode(media).collect().sortBy(_.doc_id)
-    assert(info.map(_.n_bytes).toSeq == Seq(1000L, 5000L, 300L))
-    assert(info.forall(i => i.width >= 64 && i.height >= 64))
-    assert(info.filter(_.kind == "image").forall(_.duration_ms == 0L))
+    assert(info.map(_.container).toSeq == Seq("jpeg", "avi", "wav", "unknown"))
+    assert(info(0).width == 640 && info(0).height == 480
+      && info(0).duration_ms == 0L)
+    assert(info(1).width == 1280 && info(1).height == 720
+      && info(1).duration_ms == 10000L)
+    assert(info(2).width == 0 && info(2).duration_ms == 2000L)
+    assert(info(3).width == 0 && info(3).n_bytes == 1000L)
     // determinism: second run produces identical rows
     assert(Multimodal.decode(media).collect().sortBy(_.doc_id).toSeq ==
       info.toSeq)
 
     val feats = Multimodal.features(media, dim = 8).collect()
-    assert(feats.length == 3)
+    assert(feats.length == 4)
     assert(feats.forall(_.getAs[Seq[Float]]("feature").size == 8))
 
     val frames = Multimodal.sampleFrames(media, n = 4)
@@ -139,7 +145,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(fr.length == 4 && fr.forall(_.getAs[Long]("doc_id") == 2L))
 
     // size balancing keeps all rows
-    assert(Multimodal.balanceBySize(media, 2).count() == 3)
+    assert(Multimodal.balanceBySize(media, 2).count() == 4)
   }
 
   test("registered SQL functions back the same core implementations") {

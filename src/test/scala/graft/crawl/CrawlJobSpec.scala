@@ -72,6 +72,50 @@ class CrawlJobSpec extends AnyFunSuite {
       s"the linked-to host must win the budgeted frontier, got $admitted")
   }
 
+  test("--apportion: the wave budget splits proportionally and conserves") {
+    val budget = 10
+    // unbudgeted baseline on the same fixture: per-host availability
+    // and rank weights for the independent Hamilton oracle below
+    val dirFree = Files.createTempDirectory("jobfree").toString
+    CrawlJob.run(spark, base + ("store" -> dirFree) + ("waves" -> "1"))
+    val free = new SnapshotStore(dirFree).read(spark, "frontier", 0)
+      .select("host", "rank").collect()
+    val avail = free.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    val ranks = free.map(r => r.getString(0) -> r.getInt(1).toLong).toMap
+    // independent largest-remainder implementation (the q95 contract)
+    val n = ranks.values.sum
+    val baseQ = ranks.map { case (h, w) => h -> budget * w / n }
+    val rem = ranks.map { case (h, w) => h -> budget * w % n }
+    val leftover = (budget - baseQ.values.sum).toInt
+    val bonus = ranks.keys.toSeq.sortBy(h => (-rem(h), h)).take(leftover).toSet
+    val alloc = ranks.keys.map(h =>
+      h -> (baseQ(h) + (if (bonus(h)) 1L else 0L))).toMap
+    assert(alloc.values.sum == budget, "Hamilton quotas must conserve")
+
+    val dir = Files.createTempDirectory("jobapp").toString
+    val r = CrawlJob.run(spark, base + ("store" -> dir) + ("waves" -> "1")
+      + ("max-tasks" -> budget.toString) + ("apportion" -> "true"))
+    val sched = new SnapshotStore(dir).read(spark, "frontier", 0)
+      .select("host").collect().groupBy(_.getString(0))
+      .view.mapValues(_.length.toLong).toMap
+    // per-host: exactly min(quota, availability); in total: conserved
+    ranks.keys.foreach { h =>
+      assert(sched.getOrElse(h, 0L) == math.min(alloc(h), avail(h)),
+        s"$h: scheduled ${sched.getOrElse(h, 0L)}, quota ${alloc(h)}, " +
+          s"avail ${avail(h)}")
+    }
+    // keysIterator, not keys: mapping over the key SET would dedup the
+    // per-host minima before summing
+    val expectTotal =
+      ranks.keysIterator.map(h => math.min(alloc(h), avail(h))).sum
+    assert(r.head.scheduled == expectTotal,
+      s"ranks=$ranks avail=$avail alloc=$alloc sched=$sched")
+    // fairness property: the same budget under the rank-ORDERED cut goes
+    // to the single top host; apportioned, it spreads
+    assert(sched.count(_._2 > 0) > 1,
+      s"proportional split must reach several hosts, got $sched")
+  }
+
   test("flag validation: missing --store, unknown store-kind, iceberg delete") {
     assertThrows[RuntimeException](CrawlJob.run(spark, base))
     assertThrows[RuntimeException](CrawlJob.run(spark,

@@ -648,6 +648,61 @@ class WaveEdgeSpec extends AnyFunSuite {
       st2.fieldIndex("fetch_ewma_ms")), "resume over a legacy state must not crash")
   }
 
+  test("S5 seam: a browser-ruled host fetches articles through the bound RenderFetcher") {
+    import spark.implicits._
+    val host = "js.example.com"
+    val rule = RuleSpec("XPath", "//ul[@class='list']/li[*]/a",
+      browser_fetch = true)
+    val hosts = spark.createDataset(Seq(
+      HostConfig(1, host, s"http://$host/", 1, enabled = true, 100L, 1,
+        rule = Some(rule))))
+    val robots = spark.createDataset(Seq(FixtureGen.RobotsRow(host, "")))
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val home = Page(s"http://$host/", ts,
+      ("""<html><body><ul class="list">""" +
+        (0 until 3).map(j =>
+          s"""<li><a href="http://$host/a/$j.html">Story $j</a>""" +
+            """<span>2024-02-01 10:00</span></li>""").mkString +
+        "</ul></body></html>").getBytes("UTF-8"), "", "en")
+    // the SNAPSHOT deliberately lacks the article pages — only the
+    // service can produce them, so any article row proves the route.
+    // Top-level class, not an anonymous one: that would capture the
+    // (non-serializable) suite in the executor closure.
+    val fake = new FakeRenderFetcher(ts.getTime)
+    val s = newStore()
+    val r = WaveEngine.runWave(spark, s, spark.createDataset(Seq(home)),
+      hosts, robots, 0, cc.copy(renderFetcher = Some(fake)))
+    assert(r.fetched == 2 && r.inserted == 2 && r.failed == 1,
+      s"2 rendered + 1 service miss expected, got $r")
+    val arts = s.read(spark, "articles", 0)
+      .select("url", "content").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(arts.keySet == Set(s"http://$host/a/0.html", s"http://$host/a/1.html"))
+    assert(arts.values.forall(_.contains("rendered-")),
+      "content must come from the service's rendered HTML")
+    // unbound service: the flagged host falls back to the snapshot —
+    // with no article pages in it, everything is a plain fetch failure
+    val s2 = newStore()
+    val r2 = WaveEngine.runWave(spark, s2, spark.createDataset(Seq(home)),
+      hosts, robots, 0, cc)
+    assert(r2.inserted == 0 && r2.failed == 3,
+      s"unbound fetcher must degrade to snapshot fetch, got $r2")
+  }
+
+  test("seenurls digest write is knob-gated: default path stores null digests") {
+    // r4 shipped the md5 digest projection unconditionally — the one
+    // feature that escaped its knob gate, paying md5-over-every-body on
+    // the default wave path (suspected in the r4 bench task-CPU rise).
+    // With revalidateOnRecrawl=false the rows must carry NULL digests
+    // (and a later revalidating run treats them as changed — the
+    // documented legacy fallback, pinned by the reval tests below).
+    val su = oneWave.readWaveBuckets(spark, "seenurls", 0,
+      0 until cc.hostBuckets * cc.salt).get.select("digest").collect()
+    assert(su.nonEmpty)
+    assert(su.forall(_.isNullAt(0)),
+      "default config must not pay the md5 digest projection")
+  }
+
   test("recrawl revalidation: unchanged expired pages refresh TTL without re-storing") {
     import spark.implicits._
     val host = "reval.example.com"
@@ -829,5 +884,26 @@ class WaveEdgeSpec extends AnyFunSuite {
     assert(crawled.contains(clean), "an unflagged scanned host must crawl")
     assert(crawled.contains(FixtureGen.hostName(0)),
       "a host absent from the trap scan must crawl normally")
+  }
+}
+
+/** Deterministic fake render service for the S5 seam test — top-level
+  * so the executor closure captures only this (Serializable) instance,
+  * never the scalatest suite. Fails url .../a/2.html to exercise the
+  * service-miss → fetch_failed path. */
+class FakeRenderFetcher(tsMs: Long) extends RenderFetcher {
+  def fetch(url: String): Option[RenderFetcher.Rendered] = {
+    val j = url.split('/').last.stripSuffix(".html").toInt
+    if (j == 2) None
+    else {
+      val html = "<html><body><h1>Rendered</h1><div>" +
+        (0 until 5).map(k =>
+          s"<p>The rendered-$j body paragraph $k carries enough narrative " +
+            "sentences that the density extractor treats it as the real " +
+            "article content, produced only by the JS render service.</p>")
+          .mkString + "</div></body></html>"
+      Some(RenderFetcher.Rendered(html.getBytes("UTF-8"),
+        new java.sql.Timestamp(tsMs)))
+    }
   }
 }
