@@ -344,6 +344,17 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("maxK"))
   }
 
+  test("q23 baseline refuses corpora beyond its O(n^2) bound") {
+    import spark.implicits._
+    val vecs = (0L until 20L).map(i => (i, Array(1.0f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.embeddingNearDups(vecs, 0.9, maxVectors = 10L)
+    }
+    assert(e.getMessage.contains("embeddingNearDupsLsh"),
+      "the failure must point at the scale path")
+  }
+
   test("q89 containment catches a quote-wrap pair that Jaccard misses") {
     import spark.implicits._
     val body = (1 to 12).map(i => s"w$i").mkString(" ")

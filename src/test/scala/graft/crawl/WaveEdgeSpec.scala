@@ -648,6 +648,37 @@ class WaveEdgeSpec extends AnyFunSuite {
       st2.fieldIndex("fetch_ewma_ms")), "resume over a legacy state must not crash")
   }
 
+  test("apportioned budget: all-zero ranks fall back to the ordered cut") {
+    import spark.implicits._
+    // budgetApportion requires a positive weight total, so the engine's
+    // --apportion branch must detect Σrank = 0 and take the rank-ordered
+    // top-N instead of erroring the wave
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    def mkHost(i: Int) = HostConfig(i, s"z$i.example.com",
+      s"http://z$i.example.com/", 0, enabled = true, 100L, 1)
+    val hosts = spark.createDataset(Seq(mkHost(1), mkHost(2)))
+    val robots = spark.createDataset(
+      (1 to 2).map(i => FixtureGen.RobotsRow(s"z$i.example.com", "")))
+    def art(h: String, j: Int) = Page(s"http://$h/a/$j.html", ts,
+      ("<html><body><h1>Story</h1><div>" + (0 until 4).map(k =>
+        s"<p>The $h report $j part $k carries several full sentences " +
+          "of narrative so the density extractor finds real content " +
+          "and keeps this paragraph in the extracted body text.</p>")
+        .mkString + "</div></body></html>").getBytes("UTF-8"), "", "en")
+    def home(h: String) = Page(s"http://$h/", ts,
+      ("<html><body><ul>" + (0 until 3).map(j =>
+        s"""<li><a href="http://$h/a/$j.html">Story number $j</a>""" +
+          s"""<span>2024-02-0${j + 1} 10:00</span></li>""").mkString +
+        "</ul></body></html>").getBytes("UTF-8"), "", "en")
+    val pages = Seq("z1.example.com", "z2.example.com").flatMap(h =>
+      home(h) +: (0 until 3).map(j => art(h, j)))
+    val s = newStore()
+    val r = WaveEngine.runWave(spark, s, spark.createDataset(pages),
+      hosts, robots, 0,
+      cc.copy(maxTasksPerWave = 4, apportionTasksPerWave = true))
+    assert(r.scheduled == 4, s"ordered-cut fallback must cap the wave: $r")
+  }
+
   test("S5 seam: a browser-ruled host fetches articles through the bound RenderFetcher") {
     import spark.implicits._
     val host = "js.example.com"
