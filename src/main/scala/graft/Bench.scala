@@ -273,10 +273,40 @@ object Bench {
     def qsAt(dec: Int): String = results.map { case (k, v) =>
       "\"" + shortQ(k) + (if (dec >= 2) f"\":$v%.2f" else f"\":$v%.1f")
     }.mkString("{", ",", "}")
-    val qErrs = errs.map { case (k, v) => s""""${shortQ(k)}":"$v"""" }
-      .mkString("{", ",", "}")
+    // error map bounded too: a mass failure (bad SF dir → ~100 entries)
+    // must degrade to a counted truncation, not push the line over the
+    // stdout window
+    def qErrsAt(maxEntries: Int): String = {
+      val entries = errs.take(maxEntries)
+        .map { case (k, v) => s""""${shortQ(k)}":"$v"""" }.toSeq
+      val more = errs.size - math.min(errs.size, maxEntries)
+      (entries ++ (if (more > 0) Seq(s""""_more":$more""") else Nil))
+        .mkString("{", ",", "}")
+    }
     val total = results.map(_._2).sum
-    snapshot = render(total, qsAt(2), qErrs, sfDir, None, elapsed, partial = true)
+
+    /** Render under the stdout budget (see render's scaladoc). The
+      * crawl block arrives as a by-max-samples function so every call
+      * site — including the part-1 snapshot with no crawl block —
+      * goes through the same degrade ladder: 2→1-decimal timings,
+      * capped sample arrays, capped error map, and as a last resort an
+      * elided queries map (valid JSON always beats full detail the
+      * driver's tail cut would corrupt). */
+    def renderBounded(crawlFn: Option[Int => String],
+                      partial: Boolean): String = {
+      def attempt(dec: Int, maxSamples: Int, maxErrs: Int) =
+        render(total, qsAt(dec), qErrsAt(maxErrs), sfDir,
+          crawlFn.map(f => f(maxSamples)), elapsed, partial)
+      Iterator(
+        attempt(2, Int.MaxValue, Int.MaxValue),
+        attempt(1, Int.MaxValue, Int.MaxValue),
+        attempt(1, 2, Int.MaxValue),
+        attempt(1, 2, 8))
+        .find(_.length <= LineBudget)
+        .getOrElse(render(total, s"""{"_elided":${results.size}}""",
+          qErrsAt(3), sfDir, crawlFn.map(f => f(1)), elapsed, partial))
+    }
+    snapshot = renderBounded(None, partial = true)
 
     // ---- part 2: crawl scaling N=1 vs 4N=4 cores ---------------------
     // Methodology (see BASELINE.md): shared-VM CPU drifts 2-5× over
@@ -382,23 +412,6 @@ object Bench {
         f""""samples_n":${arr(aLo)},"samples_4n":${arr(aHi)}}"""
     }
 
-    /** Render under the stdout budget: full detail → 1-decimal query
-      * timings → capped sample arrays (see render's scaladoc). */
-    def renderBounded(crawl: Option[(Array[Run], Array[Run])],
-                      partial: Boolean): String = {
-      val candidates = Iterator(
-        render(total, qsAt(2), qErrs, sfDir,
-          crawl.map { case (a, b) => crawlJson(a, b) }, elapsed, partial),
-        render(total, qsAt(1), qErrs, sfDir,
-          crawl.map { case (a, b) => crawlJson(a, b) }, elapsed, partial),
-        render(total, qsAt(1), qErrs, sfDir,
-          crawl.map { case (a, b) => crawlJson(a, b, maxSamples = 2) },
-          elapsed, partial))
-      candidates.find(_.length <= LineBudget)
-        .getOrElse(render(total, qsAt(1), qErrs, sfDir,
-          crawl.map { case (a, b) => crawlJson(a, b, maxSamples = 1) },
-          elapsed, partial))
-    }
 
     // ---- bad-window wait gate ---------------------------------------
     // A measurement pair burns ~900 s when the host is in a slow window
@@ -453,7 +466,8 @@ object Bench {
       lo += Run(sLo, rLo, cLo); hi += Run(sHi, rHi, cHi)
       rep += 1
       lastPairSec = (System.nanoTime() - tPair) / 1e9
-      snapshot = renderBounded(Some((lo.result(), hi.result())), partial = true)
+      snapshot = renderBounded(
+        Some(ms => crawlJson(lo.result(), hi.result(), ms)), partial = true)
       // stop gates, in order:
       //  - TWO pairs are the mandatory floor (r4 verdict: a single pair
       //    left the 4-core task-CPU reading unconfirmable against host
@@ -478,6 +492,7 @@ object Bench {
       go = rep < reps && !targetMet &&
         (budgetSec - elapsed) > lastPairSec * 1.25
     }
-    emitOnce(renderBounded(Some((lo.result(), hi.result())), partial = false))
+    emitOnce(renderBounded(
+      Some(ms => crawlJson(lo.result(), hi.result(), ms)), partial = false))
   }
 }

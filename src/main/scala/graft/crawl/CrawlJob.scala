@@ -76,6 +76,27 @@ object CrawlJob {
     try run(spark, opts) finally spark.stop()
   }
 
+  /** Read a HostConfig seed list from parquet, backfilling nested rule
+    * fields added AFTER the table was written — the fetch_ewma_ms
+    * precedent for the state table: a seed list persisted before the
+    * r5 `browser_fetch` flag must keep loading (as flag=false), not
+    * fail encoder resolution on the missing struct field.
+    * `withField` is null-struct-safe (a null rule stays null). */
+  private[crawl] def loadHosts(spark: SparkSession,
+      path: String): org.apache.spark.sql.Dataset[HostConfig] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.StructType
+    import spark.implicits._
+    val raw = spark.read.parquet(path)
+    val patched = raw.schema.find(_.name == "rule").map(_.dataType) match {
+      case Some(st: StructType) if !st.fieldNames.contains("browser_fetch") =>
+        raw.withColumn("rule",
+          col("rule").withField("browser_fetch", lit(false)))
+      case _ => raw
+    }
+    patched.as[HostConfig]
+  }
+
   /** The job body, session-agnostic for tests (main owns the session
     * lifecycle). Returns one [[WaveEngine.WaveResult]] per crawled wave. */
   def run(spark: SparkSession,
@@ -126,7 +147,7 @@ object CrawlJob {
     // seed list + robots: real tables when supplied (the production
     // pairing for --pages), else the synthetic fixture's
     val hostsDs = opts.get("hosts-table")
-      .map(p => spark.read.parquet(p).as[HostConfig])
+      .map(p => loadHosts(spark, p))
       .getOrElse(FixtureGen.hosts(spark, fx))
     val robotsDs = opts.get("robots-table")
       .map(p => spark.read.parquet(p).as[RobotsRow])

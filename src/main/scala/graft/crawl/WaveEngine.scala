@@ -453,24 +453,25 @@ object WaveEngine {
         // Hamilton-split the budget across the batch's hosts ∝ rank,
         // then keep each host's first `alloc` tasks in schedule order.
         // Weights are host-sized (aggregated off the cached outcomes);
-        // budgetApportion requires a positive total, so an all-zero-rank
-        // batch falls back to the rank-ordered cut below.
+        // apportionOrNone aggregates the total ONCE for both the
+        // zero-weight guard and the quota math — an all-zero-rank
+        // batch yields None and falls back to the rank-ordered cut.
         val weights = tasksAll.toDF().groupBy($"host")
           .agg(max($"rank").as("w"))
-        val totW = weights.agg(coalesce(sum($"w"), lit(0L))).head().getLong(0)
-        if (totW > 0) {
-          val quotas = graft.ops.LinkGraph.budgetApportion(
-            weights, $"host", $"w", cfg.maxTasksPerWave.toLong)
-            .select($"item".as("host"), $"alloc")
-          val perHost = org.apache.spark.sql.expressions.Window
-            .partitionBy($"host").orderBy($"seq")
-          tasksAll.toDF()
-            .withColumn("rn", row_number().over(perHost))
-            .join(broadcast(quotas), Seq("host"), "left")
-            .where($"rn" <= coalesce($"alloc", lit(0L)))
-            .drop("rn", "alloc").as[FetchTask]
-        } else tasksAll.orderBy($"rank".desc, $"host", $"seq")
-          .limit(cfg.maxTasksPerWave).as[FetchTask]
+        graft.ops.LinkGraph.apportionOrNone(
+            weights, $"host", $"w", cfg.maxTasksPerWave.toLong) match {
+          case Some(q) =>
+            val quotas = q.select($"item".as("host"), $"alloc")
+            val perHost = org.apache.spark.sql.expressions.Window
+              .partitionBy($"host").orderBy($"seq")
+            tasksAll.toDF()
+              .withColumn("rn", row_number().over(perHost))
+              .join(broadcast(quotas), Seq("host"), "left")
+              .where($"rn" <= coalesce($"alloc", lit(0L)))
+              .drop("rn", "alloc").as[FetchTask]
+          case None => tasksAll.orderBy($"rank".desc, $"host", $"seq")
+            .limit(cfg.maxTasksPerWave).as[FetchTask]
+        }
       } else if (cfg.maxTasksPerWave > 0)
         tasksAll.orderBy($"rank".desc, $"host", $"seq")
           .limit(cfg.maxTasksPerWave).as[FetchTask]

@@ -271,16 +271,27 @@ object LinkGraph {
     * unique item key — plan shape pinned in PlanSpec against
     * [[apportionPlan]]. */
   def budgetApportion(weights: DataFrame, item: Column, weight: Column,
-                      budget: Long): DataFrame = {
+                      budget: Long): DataFrame =
+    apportionOrNone(weights, item, weight, budget).getOrElse(
+      throw new IllegalArgumentException(
+        "requirement failed: budgetApportion: total weight must be " +
+          "positive; an empty/zero-weight wave has no proportional " +
+          "split — guard at the call site (or use apportionOrNone)"))
+
+  /** [[budgetApportion]] that returns None on a zero/empty weight
+    * total instead of throwing — the call-site-guard form for engine
+    * paths (WaveEngine's `--apportion` branch), which ALSO saves those
+    * callers re-aggregating the total just to decide whether to call:
+    * the one total aggregation here serves both the guard and the
+    * quota math. */
+  def apportionOrNone(weights: DataFrame, item: Column, weight: Column,
+                      budget: Long): Option[DataFrame] = {
     val w = weights.select(item.cast("string").as("item"),
       weight.cast("long").as("w")).cache()
     try {
       val n = w.agg(coalesce(sum(col("w")), lit(0L))).head().getLong(0)
-      require(n > 0,
-        s"budgetApportion: total weight must be positive (got $n); " +
-          "an empty/zero-weight wave has no proportional split — guard at " +
-          "the call site")
-      apportionPlan(w, budget, n).localCheckpoint(true)
+      if (n <= 0) None
+      else Some(apportionPlan(w, budget, n).localCheckpoint(true))
     } finally w.unpersist()
   }
 

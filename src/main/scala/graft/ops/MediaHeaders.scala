@@ -63,9 +63,13 @@ object MediaHeaders {
 
   def pngProbe(b: Array[Byte]): Option[Probe] =
     if (b.length >= 24 && (0 until 8).forall(i => b(i) == PngSig(i)) &&
-        be32(b, 8) == 13L && tag(b, 12, "IHDR"))
-      Some(Probe("png", be32(b, 16).toInt, be32(b, 20).toInt, 0L))
-    else None
+        be32(b, 8) == 13L && tag(b, 12, "IHDR")) {
+      val w = be32(b, 16); val h = be32(b, 20)
+      // the PNG spec caps dimensions at 2³¹−1 — a larger declared value
+      // is malformed and must fail closed, not wrap Int negative
+      if (w > Int.MaxValue || h > Int.MaxValue) None
+      else Some(Probe("png", w.toInt, h.toInt, 0L))
+    } else None
 
   // ---- JPEG ---------------------------------------------------------
   def jpegProbe(b: Array[Byte]): Option[Probe] = {
@@ -131,8 +135,13 @@ object MediaHeaders {
           if (tag(b, j, "avih") && j + 8 + 40 <= b.length) {
             val usPerFrame = le32(b, j + 8)
             val frames = le32(b, j + 8 + 16)
-            return Some(Probe("avi",
-              le32(b, j + 8 + 32).toInt, le32(b, j + 8 + 36).toInt,
+            val w = le32(b, j + 8 + 32); val h = le32(b, j + 8 + 36)
+            // hostile 32-bit maxima would wrap the duration product
+            // (2³²·2³² > 2⁶³) or the Int dims — malformed fails closed
+            if (w > Int.MaxValue || h > Int.MaxValue ||
+                (frames > 0 && usPerFrame > Long.MaxValue / frames))
+              return None
+            return Some(Probe("avi", w.toInt, h.toInt,
               frames * usPerFrame / 1000L))
           }
           val jn = j.toLong + 8L + csz + (csz & 1L)

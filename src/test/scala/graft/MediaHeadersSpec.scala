@@ -106,6 +106,13 @@ class MediaHeadersSpec extends AnyFunSuite {
     val evil = "RIFF".getBytes ++ le32(0xfffffff0L) ++ "WAVE".getBytes ++
       "junk".getBytes ++ le32(0xfffffff0L) ++ new Array[Byte](16)
     assert(MediaHeaders.wavProbe(evil).isEmpty)
+    // hostile 32-bit maxima: AVI duration product would wrap Long, PNG
+    // dims would wrap Int — both must fail closed, never go negative
+    val evilAvi = MediaHeaders.aviBytes(1, 1, 0xffffffffL, 0xffffffffL)
+    assert(MediaHeaders.aviProbe(evilAvi).isEmpty)
+    val evilPng = MediaHeaders.pngBytes(1, 1)
+    evilPng(16) = 0x80.toByte // width 0x80000001 > 2^31-1
+    assert(MediaHeaders.pngProbe(evilPng).isEmpty)
   }
 
   test("probe dispatch: each container routes to its parser") {

@@ -357,8 +357,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("band_hash"), plan.take(3000))
   }
 
-  test("semantic dedup pairs equi-join on cluster — never a cartesian (q63)") {
-    val plan = planOf(SparkEntry.queries("q63_semantic_dedup")(spark, dir))
+  test("semantic dedup pairs equi-join on cluster — never a cartesian (q63 core)") {
+    // pin the pair-stage builder: the public op eagerly materializes
+    // the dropped side (to release its assignment cache), so the
+    // RETURNED plan is an anti-join against an RDD scan — the shape
+    // under test is what runs during that materialization
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val plan = planOf(ops.Dedup.semanticPairPlan(emb, 8, 0.4))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     // the pair stage keys on the cluster assignment column

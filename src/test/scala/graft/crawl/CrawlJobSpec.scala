@@ -72,6 +72,23 @@ class CrawlJobSpec extends AnyFunSuite {
       s"the linked-to host must win the budgeted frontier, got $admitted")
   }
 
+  test("--hosts-table: a legacy seed list without rule.browser_fetch loads") {
+    // a seed list persisted BEFORE the r5 flag existed must keep
+    // loading (backfilled false), not fail encoder resolution on the
+    // missing nested struct field
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("jobleg").toString
+    val hostsPath = s"$dir/_hosts"
+    val fx = FixtureCfg(nHosts = 12, baseArticles = 5, growthPerWave = 2,
+      hotHostFactor = 2)
+    FixtureGen.hosts(spark, fx).toDF()
+      .withColumn("rule", col("rule").dropFields("browser_fetch"))
+      .write.parquet(hostsPath)
+    val r = CrawlJob.run(spark, base + ("store" -> dir) + ("waves" -> "1")
+      + ("hosts-table" -> hostsPath))
+    assert(r.head.inserted > 0, s"legacy seed list must crawl: $r")
+  }
+
   test("--apportion: the wave budget splits proportionally and conserves") {
     val budget = 10
     // unbudgeted baseline on the same fixture: per-host availability
