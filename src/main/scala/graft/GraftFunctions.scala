@@ -41,5 +41,15 @@ object GraftFunctions {
     u.register("simhash60", (s: String) => TextSketch.simhash60(s))
     u.register("minhash_sig", (s: String, n: Int) =>
       TextSketch.minhashSignature(TextSketch.shingleHashes(s, 3), n))
+    // media container probes (r5 — ops.MediaHeaders real header
+    // parsing; total over malformed blobs: unknown/0 rather than error)
+    u.register("media_container", (b: Array[Byte]) =>
+      graft.ops.MediaHeaders.probe(b).map(_.container).getOrElse("unknown"))
+    u.register("media_width", (b: Array[Byte]) =>
+      graft.ops.MediaHeaders.probe(b).map(_.width).getOrElse(0))
+    u.register("media_height", (b: Array[Byte]) =>
+      graft.ops.MediaHeaders.probe(b).map(_.height).getOrElse(0))
+    u.register("media_duration_ms", (b: Array[Byte]) =>
+      graft.ops.MediaHeaders.probe(b).map(_.durationMs).getOrElse(0L))
   }
 }

@@ -160,6 +160,20 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(r.getString(1) == "b.com")
     assert(r.getString(2) == "a b")
     assert(r.getString(3) == "T1")
+    // media probes route to MediaHeaders and fail closed in SQL too
+    import spark.implicits._
+    val m = Seq((graft.ops.MediaHeaders.jpegBytes(320, 200),
+        "not a container".getBytes("UTF-8")))
+      .toDF("jpg", "junk")
+    m.createOrReplaceTempView("media_probe_fixture")
+    val p = spark.sql(
+      """SELECT media_container(jpg) AS c, media_width(jpg) AS w,
+        |       media_height(jpg) AS h, media_duration_ms(jpg) AS d,
+        |       media_container(junk) AS junk_c, media_width(junk) AS junk_w
+        |FROM media_probe_fixture""".stripMargin).head()
+    assert(p.getString(0) == "jpeg" && p.getInt(1) == 320
+      && p.getInt(2) == 200 && p.getLong(3) == 0L)
+    assert(p.getString(4) == "unknown" && p.getInt(5) == 0)
   }
 
   test("kmv sketch aggregates in a streaming query (frontier cardinality monitor)") {
