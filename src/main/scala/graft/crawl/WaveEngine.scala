@@ -343,21 +343,52 @@ object WaveEngine {
     // COMPOUND across waves). This side is host-sized after the join,
     // so the always-on window is free: newest snapshot wins, md5(html)
     // tiebreak keeps the pick deterministic.
+    // S5 seam (same routing as the article stage below): with a
+    // RenderFetcher bound, browser-ruled hosts' HOME fetches also go
+    // through the service — the reference proxies EVERY page of a
+    // BrowserProxy site, and a JS-rendered catalog is usually the whole
+    // point. Unbound (the default), every host takes the snapshot path.
+    val (snapTargets, browserTargets) = cfg.renderFetcher match {
+      case None => (homeTargets, None)
+      case Some(_) =>
+        val flagged = homeTargets.withColumn("_browser",
+          coalesce($"rule".getField("browser_fetch"), lit(false)))
+        (flagged.where(!$"_browser").drop("_browser"),
+          Some(flagged.where($"_browser").drop("_browser")))
+    }
     val homeUniqW = org.apache.spark.sql.expressions.Window
       .partitionBy($"host").orderBy($"fetched_ts".desc, md5($"html"))
     val homesOk = pages.toDF()
       .select($"url".as("home_canon"), $"html", $"warc_ts".as("fetched_ts"))
-      .join(broadcast(homeTargets), Seq("home_canon"), "inner")
+      .join(broadcast(snapTargets), Seq("home_canon"), "inner")
       .withColumn("rn", row_number().over(homeUniqW))
       .where($"rn" === 1).drop("rn")
       .cache() // host-sized after the join; saves a second full pages scan
-    val homesMissing = homeTargets
+    val homesMissing = snapTargets
       .join(homesOk.select($"host".as("ok_host")),
         $"host" === $"ok_host", "left_anti")
       .withColumn("html", lit(null).cast("binary"))
       .withColumn("fetched_ts", lit(null).cast("timestamp"))
-    val fetchedHomes = homesOk.drop("home_canon")
-      .unionByName(homesMissing.drop("home_canon"))
+    val homesRendered = (cfg.renderFetcher, browserTargets) match {
+      case (Some(rf), Some(bt)) =>
+        // service fetch per host (host-sized); a miss yields null html
+        // and flows into the same broken-host path as a snapshot miss
+        val fetched = bt.select($"host".as("rhost"), $"home_canon")
+          .as[(String, String)]
+          .mapPartitions(_.map { case (h, u) =>
+            rf.fetch(u) match {
+              case Some(r) => (h, r.html, r.fetchedAt)
+              case None => (h, null: Array[Byte], null: Timestamp)
+            }
+          }).toDF("rhost", "html", "fetched_ts")
+        Some(bt.join(broadcast(fetched), $"host" === $"rhost", "left")
+          .drop("rhost"))
+      case _ => None
+    }
+    val fetchedHomes = homesRendered.foldLeft(
+      homesOk.drop("home_canon")
+        .unionByName(homesMissing.drop("home_canon")))(
+      (acc, r) => acc.unionByName(r.drop("home_canon")))
 
     val work = fetchedHomes.select(
       $"host", $"host_id", $"home", $"rank",

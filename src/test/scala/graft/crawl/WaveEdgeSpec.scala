@@ -689,19 +689,19 @@ class WaveEdgeSpec extends AnyFunSuite {
         rule = Some(rule))))
     val robots = spark.createDataset(Seq(FixtureGen.RobotsRow(host, "")))
     val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
-    val home = Page(s"http://$host/", ts,
-      ("""<html><body><ul class="list">""" +
-        (0 until 3).map(j =>
-          s"""<li><a href="http://$host/a/$j.html">Story $j</a>""" +
-            """<span>2024-02-01 10:00</span></li>""").mkString +
-        "</ul></body></html>").getBytes("UTF-8"), "", "en")
-    // the SNAPSHOT deliberately lacks the article pages — only the
-    // service can produce them, so any article row proves the route.
+    val homeHtml = """<html><body><ul class="list">""" +
+      (0 until 3).map(j =>
+        s"""<li><a href="http://$host/a/$j.html">Story $j</a>""" +
+          """<span>2024-02-01 10:00</span></li>""").mkString +
+      "</ul></body></html>"
+    // the SNAPSHOT is EMPTY — home catalog AND articles exist only on
+    // the render service (the reference proxies every page of a
+    // BrowserProxy site), so every stored row proves the route.
     // Top-level class, not an anonymous one: that would capture the
     // (non-serializable) suite in the executor closure.
-    val fake = new FakeRenderFetcher(ts.getTime)
+    val fake = new FakeRenderFetcher(ts.getTime, homeHtml)
     val s = newStore()
-    val r = WaveEngine.runWave(spark, s, spark.createDataset(Seq(home)),
+    val r = WaveEngine.runWave(spark, s, spark.emptyDataset[Page],
       hosts, robots, 0, cc.copy(renderFetcher = Some(fake)))
     assert(r.fetched == 2 && r.inserted == 2 && r.failed == 1,
       s"2 rendered + 1 service miss expected, got $r")
@@ -712,11 +712,11 @@ class WaveEdgeSpec extends AnyFunSuite {
     assert(arts.values.forall(_.contains("rendered-")),
       "content must come from the service's rendered HTML")
     // unbound service: the flagged host falls back to the snapshot —
-    // with no article pages in it, everything is a plain fetch failure
+    // empty here, so the home fetch fails like any down host
     val s2 = newStore()
-    val r2 = WaveEngine.runWave(spark, s2, spark.createDataset(Seq(home)),
+    val r2 = WaveEngine.runWave(spark, s2, spark.emptyDataset[Page],
       hosts, robots, 0, cc)
-    assert(r2.inserted == 0 && r2.failed == 3,
+    assert(r2.inserted == 0 && r2.failed == 1 && r2.scheduled == 0,
       s"unbound fetcher must degrade to snapshot fetch, got $r2")
   }
 
@@ -920,10 +920,14 @@ class WaveEdgeSpec extends AnyFunSuite {
 
 /** Deterministic fake render service for the S5 seam test — top-level
   * so the executor closure captures only this (Serializable) instance,
-  * never the scalatest suite. Fails url .../a/2.html to exercise the
+  * never the scalatest suite. Serves the home catalog for the site
+  * root, renders articles, and fails url .../a/2.html to exercise the
   * service-miss → fetch_failed path. */
-class FakeRenderFetcher(tsMs: Long) extends RenderFetcher {
+class FakeRenderFetcher(tsMs: Long, homeHtml: String) extends RenderFetcher {
   def fetch(url: String): Option[RenderFetcher.Rendered] = {
+    if (url.endsWith("/"))
+      return Some(RenderFetcher.Rendered(homeHtml.getBytes("UTF-8"),
+        new java.sql.Timestamp(tsMs)))
     val j = url.split('/').last.stripSuffix(".html").toInt
     if (j == 2) None
     else {
