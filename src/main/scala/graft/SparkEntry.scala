@@ -103,6 +103,26 @@ object SparkEntry {
       dir
     })
 
+  /** Memoized q97 WET output: the documents table's extracted text
+    * archived as `conversion` segments by the distributed
+    * `Warc.writeWet` (same url/ts arithmetic as the q74 sink, so the
+    * DuckDB oracle reconstructs every record from `documents`). */
+  private val wetDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def wetFixture(s: SparkSession, sfDir: String): String =
+    wetDirs.computeIfAbsent(sfDir, _ => {
+      val dir = TempDirs.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("entrywet").toString)
+      val texts = t(s, sfDir, "documents").select(
+        concat(lit("http://"), col("source"), lit(".example.org/doc/"),
+          col("doc_id")).as("url"),
+        expr("timestampadd(MINUTE, doc_id % 1440, " +
+          "timestamp'2024-01-01 00:00:00')").as("warc_ts"),
+        col("text"))
+      sources.Warc.writeWet(texts.repartition(4, col("url")), dir)
+      dir
+    })
+
   /** Memoized sitemap fixture for q75 — three urlset segments plus one
     * sitemapindex, synthesized deterministically from the sf dir's
     * `documents` table (see [[sources.Sitemap.synthesizeFromDocs]]). */
@@ -832,6 +852,19 @@ object SparkEntry {
           md5(col("html")).as("digest"))
         .orderBy("url")
     }),
+    "q97_wet_sink" -> ((s, d) => // WET round trip: the engine's
+      // byte-identical extracted text archived as Common-Crawl-style
+      // `conversion` segments by the DISTRIBUTED writeWet, then
+      // stream-parsed back by the SAME reader as q72 (no special
+      // casing — conversion payloads pass through verbatim); the
+      // oracle reconstructs every record from `documents`, so a
+      // one-byte framing or encoding slip breaks the digest match.
+      sources.Warc.read(s, wetFixture(s, d) + "/*")
+        .where(col("rec_type") === "conversion")
+        .select(col("url"), col("warc_ts"),
+          length(col("html")).as("n_bytes"),
+          md5(col("html")).as("digest"))
+        .orderBy("url")),
     "q75_sitemap_read" -> ((s, d) => { // sitemap ingestion: robots.txt
       // names sitemap files, a <sitemapindex> fans out to <urlset>
       // segments carrying the frontier's freshness hints. Fixture: 3
@@ -2346,6 +2379,18 @@ object SparkEntry {
     "q70_trap_detect" -> trapOracleSql,
     "q71_redirect_resolve" -> redirectOracleSql,
     "q72_warc_read" -> warcReadOracleSql,
+    // q97: conversion-record (WET) round trip — url/ts arithmetic is
+    // q74's, the payload is the raw `text` column (the byte-identical
+    // extracted-text invariant), so n_bytes/digest reconstruct from
+    // the table alone.
+    "q97_wet_sink" ->
+      """SELECT 'http://' || source || '.example.org/doc/' ||
+        |    CAST(doc_id AS VARCHAR) AS url,
+        |  TIMESTAMP '2024-01-01 00:00:00'
+        |    + (doc_id % 1440) * INTERVAL 1 MINUTE AS warc_ts,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY url""".stripMargin,
     "q73_warc_cdx" -> warcCdxOracleSql,
     // identical reconstruction oracle: the sink must produce records
     // the (fixture-proven) reader maps back to exactly these rows

@@ -311,6 +311,70 @@ object Warc {
     }
   }
 
+  /** One WET `conversion` record: the url, fetch time ISO, and the
+    * EXTRACTED TEXT bytes (plain UTF-8, no HTTP envelope). */
+  final case class WetDoc(url: String, tsIso: String, text: Array[Byte])
+
+  /** Serialize WET `conversion` records — ISO 28500 §6.8's conversion
+    * type in the layout of Common Crawl's `.wet.gz` extracted-text
+    * sidecars: the payload is the page's extracted plain text, framed
+    * identically to every other WARC record, so [[read]] parses WET
+    * segments with no special casing (rec_type = `conversion`, payload
+    * passed through verbatim). */
+  def writeWetRecords(out: OutputStream, docs: Iterator[WetDoc],
+                      gzipPerRecord: Boolean = false): Unit =
+    docs.foreach { d =>
+      val sink = if (gzipPerRecord) new GZIPOutputStream(out, 1 << 16) else out
+      val header =
+        ("WARC/1.0\r\n" +
+          "WARC-Type: conversion\r\n" +
+          s"WARC-Record-ID: <urn:md5:${md5Hex(d.text)}>\r\n" +
+          s"WARC-Date: ${d.tsIso}\r\n" +
+          s"WARC-Target-URI: ${d.url}\r\n" +
+          "Content-Type: text/plain\r\n" +
+          s"Content-Length: ${d.text.length}\r\n" +
+          "\r\n").getBytes(UTF_8)
+      sink.write(header)
+      sink.write(d.text)
+      sink.write(CRLF); sink.write(CRLF)
+      sink match { case g: GZIPOutputStream => g.finish() case _ => }
+    }
+
+  /** Distributed WET sink — the extracted-text sidecar of [[write]]:
+    * archive `(url string, warc_ts timestamp, text string)` as
+    * record-per-member `.wet.gz` segments, one per non-empty
+    * partition. This is the "publish the corpus" path: the engine's
+    * byte-identical extracted text (the per-row invariant the whole
+    * pipeline is pinned to) becomes the training-data artifact a
+    * Common-Crawl-style consumer actually downloads. Same
+    * per-partition streaming shape as [[write]]: Hadoop FileSystem
+    * API, no driver collection, no extra shuffle; segment count/size
+    * via the caller's `repartition`. */
+  def writeWet(df: DataFrame, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, date_format, encode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = df.select(
+        col("url").cast("string"),
+        date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        encode(col("text"), "UTF-8"))
+      .as[(String, String, Array[Byte])]
+    rows.foreachPartition { (it: Iterator[(String, String, Array[Byte])]) =>
+      if (it.hasNext) {
+        val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        val path = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.wet.gz")
+        val fs = path.getFileSystem(hadoopConf.value)
+        fs.setWriteChecksum(false)
+        val out = fs.create(path, true)
+        try writeWetRecords(out,
+          it.map { case (u, ts, b) => WetDoc(u, ts, b) }, gzipPerRecord = true)
+        finally out.close()
+      }
+    }
+  }
+
   // ---- revisit-record dedup (archive-level storage dedup) ------------
 
   /** Classify captures into `response` vs `revisit` records — the WARC

@@ -304,6 +304,13 @@ class SparkEntrySpec extends AnyFunSuite {
           e: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
+    // AQE off for the observed-metric assertion: under AQE the
+    // CollectMetrics node can land inside an eagerly-built broadcast
+    // query stage whose metrics the final QueryExecution traversal
+    // misses (observe + AQE rough edge) — the metric is a monitoring
+    // aid, and the plan-level pin lives in PlanSpec either way
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       assert(graft.ops.Dedup.ngramJaccardPairs(docs).count() == 0)
       // QueryExecutionListener delivery is async — poll briefly
@@ -313,7 +320,10 @@ class SparkEntrySpec extends AnyFunSuite {
         .MapHasAsScala(seen).asScala.values.toSeq
       assert(vals.contains(1L),
         s"exactly one hot shingle must be reported capped, got $seen")
-    } finally spark.listenerManager.unregister(listener)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.listenerManager.unregister(listener)
+    }
   }
 
   test("semanticDedup skew guard fails loudly; scaled variant bounds fan-out") {

@@ -218,4 +218,32 @@ class WarcSpec extends AnyFunSuite {
       .toDF("url", "h")
     assert(back.except(want).isEmpty && want.except(back).isEmpty)
   }
+
+  test("WET sink round-trips conversion records through the same reader") {
+    import spark.implicits._
+    // the extracted-text sidecar: conversion records, plain-text
+    // payload, parsed by the SAME reader with no special casing —
+    // including multi-byte UTF-8 (Content-Length counts BYTES)
+    val df = Seq(
+      ("http://a.example.org/1",
+        java.sql.Timestamp.valueOf("2024-01-01 00:05:00"),
+        "plain text body"),
+      ("http://b.example.org/2",
+        java.sql.Timestamp.valueOf("2024-01-01 00:06:00"),
+        "\u4e2d\u6587 text \u20ac"))
+      .toDF("url", "warc_ts", "text")
+    val dir = java.nio.file.Files.createTempDirectory("wettest").toString
+    Warc.writeWet(df.repartition(2), dir)
+    val back = Warc.read(spark, dir + "/*").collect()
+    assert(back.length == 2)
+    assert(back.forall(_.getAs[String]("rec_type") == "conversion"))
+    assert(back.forall(r => r.isNullAt(r.fieldIndex("http_status"))),
+      "conversion records carry no HTTP envelope")
+    val byUrl = back.map(r => r.getAs[String]("url") ->
+      new String(r.getAs[Array[Byte]]("html"), UTF_8)).toMap
+    assert(byUrl("http://a.example.org/1") == "plain text body")
+    assert(byUrl("http://b.example.org/2") == "\u4e2d\u6587 text \u20ac")
+    val ts = back.map(_.getAs[java.sql.Timestamp]("warc_ts")).map(_.toString).sorted
+    assert(ts.toSeq == Seq("2024-01-01 00:05:00.0", "2024-01-01 00:06:00.0"))
+  }
 }
