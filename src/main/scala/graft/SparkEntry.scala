@@ -123,6 +123,30 @@ object SparkEntry {
       dir
     })
 
+  /** Memoized q98 WAT output: per-document metadata (title + two
+    * arithmetic outlinks) archived as `metadata` records by the
+    * distributed `Warc.writeWat`; url/ts arithmetic is q74/q97's, so
+    * the oracle reconstructs the canonical JSON payload by plain
+    * concatenation. */
+  private val watDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def watFixture(s: SparkSession, sfDir: String): String =
+    watDirs.computeIfAbsent(sfDir, _ => {
+      val dir = TempDirs.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("entrywat").toString)
+      def u(idExpr: org.apache.spark.sql.Column) =
+        concat(lit("http://"), col("source"),
+          lit(".example.org/doc/"), idExpr)
+      val meta = t(s, sfDir, "documents").select(
+        u(col("doc_id")).as("url"),
+        expr("timestampadd(MINUTE, doc_id % 1440, " +
+          "timestamp'2024-01-01 00:00:00')").as("warc_ts"),
+        concat(lit("doc "), col("doc_id")).as("title"),
+        array(u(col("doc_id") + 1), u(col("doc_id") * 2 + 7)).as("links"))
+      sources.Warc.writeWat(meta.repartition(4, col("url")), dir)
+      dir
+    })
+
   /** Memoized sitemap fixture for q75 — three urlset segments plus one
     * sitemapindex, synthesized deterministically from the sf dir's
     * `documents` table (see [[sources.Sitemap.synthesizeFromDocs]]). */
@@ -864,6 +888,21 @@ object SparkEntry {
         .select(col("url"), col("warc_ts"),
           length(col("html")).as("n_bytes"),
           md5(col("html")).as("digest"))
+        .orderBy("url")),
+    "q98_wat_sink" -> ((s, d) => // WAT round trip completing the
+      // WARC/WAT/WET sidecar trio: per-page metadata (title + two
+      // arithmetic outlinks) archived as `metadata` records by the
+      // distributed writeWat, stream-parsed back by the q72 reader,
+      // and the JSON payload both digest-checked (byte-exact canonical
+      // construction) AND field-extracted via get_json_object — a
+      // framing, escaping, or key-order slip breaks the gate.
+      sources.Warc.read(s, watFixture(s, d) + "/*")
+        .where(col("rec_type") === "metadata")
+        .select(col("url"), col("warc_ts"),
+          length(col("html")).as("n_bytes"),
+          md5(col("html")).as("digest"),
+          get_json_object(decode(col("html"), "UTF-8"), "$.title").as("title"),
+          get_json_object(decode(col("html"), "UTF-8"), "$.links[1]").as("link2"))
         .orderBy("url")),
     "q75_sitemap_read" -> ((s, d) => { // sitemap ingestion: robots.txt
       // names sitemap files, a <sitemapindex> fans out to <urlset>
@@ -2379,6 +2418,37 @@ object SparkEntry {
     "q70_trap_detect" -> trapOracleSql,
     "q71_redirect_resolve" -> redirectOracleSql,
     "q72_warc_read" -> warcReadOracleSql,
+    // q98: metadata-record (WAT) round trip — the canonical JSON
+    // payload (fixed key order, fixture strings escape-free) is
+    // rebuilt by plain concatenation, so its byte length and digest
+    // reconstruct from `documents` alone; title/link2 re-extract the
+    // fields the Spark side pulls back out with get_json_object.
+    "q98_wat_sink" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    'http://' || source || '.example.org/doc/' ||
+        |      CAST(doc_id AS VARCHAR) AS url,
+        |    TIMESTAMP '2024-01-01 00:00:00'
+        |      + (doc_id % 1440) * INTERVAL 1 MINUTE AS warc_ts,
+        |    strftime(TIMESTAMP '2024-01-01 00:00:00'
+        |      + (doc_id % 1440) * INTERVAL 1 MINUTE,
+        |      '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
+        |    'doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |    'http://' || source || '.example.org/doc/' ||
+        |      CAST(doc_id + 1 AS VARCHAR) AS l1,
+        |    'http://' || source || '.example.org/doc/' ||
+        |      CAST(doc_id * 2 + 7 AS VARCHAR) AS l2
+        |  FROM documents),
+        |p AS (
+        |  SELECT *,
+        |    '{"url":"' || url || '","ts":"' || ts_iso ||
+        |      '","title":"' || title || '","links":["' || l1 ||
+        |      '","' || l2 || '"]}' AS payload
+        |  FROM m)
+        |SELECT url, warc_ts,
+        |  CAST(octet_length(encode(payload)) AS INT) AS n_bytes,
+        |  md5(payload) AS digest, title, l2 AS link2
+        |FROM p ORDER BY url""".stripMargin,
     // q97: conversion-record (WET) round trip — url/ts arithmetic is
     // q74's, the payload is the raw `text` column (the byte-identical
     // extracted-text invariant), so n_bytes/digest reconstruct from

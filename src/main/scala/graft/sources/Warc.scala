@@ -375,6 +375,96 @@ object Warc {
     }
   }
 
+  /** Canonical WAT payload JSON — FIXED key order and minimal escaping
+    * (quote, backslash, control chars), so the payload bytes are a
+    * deterministic function of the fields and an external SQL oracle
+    * can reconstruct them by plain concatenation (fixture strings stay
+    * escape-free there; the escape path itself is spec-pinned through
+    * a MiniJson re-parse in WarcSpec). Full Common-Crawl WAT nests the
+    * complete WARC/HTTP envelope; this carries the fields a frontier
+    * pipeline actually consumes — url, ts, title, outlinks — under the
+    * same record framing. */
+  def watJson(url: String, tsIso: String, title: String,
+              links: Seq[String]): String = {
+    def esc(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length + 8)
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+    s"""{"url":"${esc(url)}","ts":"$tsIso","title":"${esc(title)}",""" +
+      links.map(l => "\"" + esc(l) + "\"")
+        .mkString("\"links\":[", ",", "]}")
+  }
+
+  /** One WAT `metadata` record: the capture url/ts and its canonical
+    * JSON payload bytes. */
+  final case class WatDoc(url: String, tsIso: String, json: Array[Byte])
+
+  /** Serialize WAT `metadata` records (ISO 28500 §6.6, Common Crawl's
+    * `.wat.gz` sidecar shape): JSON payload, same framing as every
+    * other record, so [[read]] parses WAT segments with no special
+    * casing (rec_type = `metadata`, payload passed through). */
+  def writeWatRecords(out: OutputStream, docs: Iterator[WatDoc],
+                      gzipPerRecord: Boolean = false): Unit =
+    docs.foreach { d =>
+      val sink = if (gzipPerRecord) new GZIPOutputStream(out, 1 << 16) else out
+      val header =
+        ("WARC/1.0\r\n" +
+          "WARC-Type: metadata\r\n" +
+          s"WARC-Record-ID: <urn:md5:${md5Hex(d.json)}>\r\n" +
+          s"WARC-Date: ${d.tsIso}\r\n" +
+          s"WARC-Target-URI: ${d.url}\r\n" +
+          "Content-Type: application/json\r\n" +
+          s"Content-Length: ${d.json.length}\r\n" +
+          "\r\n").getBytes(UTF_8)
+      sink.write(header)
+      sink.write(d.json)
+      sink.write(CRLF); sink.write(CRLF)
+      sink match { case g: GZIPOutputStream => g.finish() case _ => }
+    }
+
+  /** Distributed WAT sink — the metadata sidecar completing the
+    * Common-Crawl artifact trio ([[write]] WARC / this WAT /
+    * [[writeWet]] WET): archive `(url string, warc_ts timestamp,
+    * title string, links array<string>)` as `metadata` records, one
+    * record-per-member `.wat.gz` segment per non-empty partition —
+    * the link-graph/anchor data a frontier pipeline consumes without
+    * downloading page bodies. Same per-partition streaming shape as
+    * the other sinks. */
+  def writeWat(df: DataFrame, dir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = df.select(
+        col("url").cast("string"),
+        date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        col("title").cast("string"),
+        col("links").cast("array<string>"))
+      .as[(String, String, String, Seq[String])]
+    rows.foreachPartition {
+      (it: Iterator[(String, String, String, Seq[String])]) =>
+        if (it.hasNext) {
+          val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
+          val path = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.wat.gz")
+          val fs = path.getFileSystem(hadoopConf.value)
+          fs.setWriteChecksum(false)
+          val out = fs.create(path, true)
+          try writeWatRecords(out,
+            it.map { case (u, ts, t, ls) =>
+              WatDoc(u, ts, watJson(u, ts, t, ls).getBytes(UTF_8)) },
+            gzipPerRecord = true)
+          finally out.close()
+        }
+    }
+  }
+
   // ---- revisit-record dedup (archive-level storage dedup) ------------
 
   /** Classify captures into `response` vs `revisit` records — the WARC

@@ -246,4 +246,28 @@ class WarcSpec extends AnyFunSuite {
     val ts = back.map(_.getAs[java.sql.Timestamp]("warc_ts")).map(_.toString).sorted
     assert(ts.toSeq == Seq("2024-01-01 00:05:00.0", "2024-01-01 00:06:00.0"))
   }
+
+  test("WAT sink round-trips metadata records; escaping survives a JSON re-parse") {
+    import spark.implicits._
+    val df = Seq(
+      ("http://a.example.org/1",
+        java.sql.Timestamp.valueOf("2024-01-01 00:05:00"),
+        """title with "quote" and back\\slash""",
+        Seq("http://a.example.org/2", "http://b.example.org/x")))
+      .toDF("url", "warc_ts", "title", "links")
+    val dir = java.nio.file.Files.createTempDirectory("wattest").toString
+    Warc.writeWat(df, dir)
+    val back = Warc.read(spark, dir + "/*").collect()
+    assert(back.length == 1 && back.head.getAs[String]("rec_type") == "metadata")
+    val json = new String(back.head.getAs[Array[Byte]]("html"), UTF_8)
+    // the canonical payload must re-parse (escape correctness) and carry
+    // the exact fields in the fixed key order
+    val obj = graft.core.MiniJson.parse(json)
+      .asInstanceOf[Map[String, Any]]
+    assert(obj("url") == "http://a.example.org/1")
+    assert(obj("ts") == "2024-01-01T00:05:00Z")
+    assert(obj("title") == """title with "quote" and back\\slash""")
+    assert(obj("links") == Vector("http://a.example.org/2", "http://b.example.org/x"))
+    assert(json.startsWith("""{"url":"""), "fixed key order is the contract")
+  }
 }
