@@ -42,14 +42,20 @@ object GraftFunctions {
     u.register("minhash_sig", (s: String, n: Int) =>
       TextSketch.minhashSignature(TextSketch.shingleHashes(s, 3), n))
     // media container probes (r5 — ops.MediaHeaders real header
-    // parsing; total over malformed blobs: unknown/0 rather than error)
-    u.register("media_container", (b: Array[Byte]) =>
-      graft.ops.MediaHeaders.probe(b).map(_.container).getOrElse("unknown"))
-    u.register("media_width", (b: Array[Byte]) =>
-      graft.ops.MediaHeaders.probe(b).map(_.width).getOrElse(0))
-    u.register("media_height", (b: Array[Byte]) =>
-      graft.ops.MediaHeaders.probe(b).map(_.height).getOrElse(0))
-    u.register("media_duration_ms", (b: Array[Byte]) =>
-      graft.ops.MediaHeaders.probe(b).map(_.durationMs).getOrElse(0L))
+    // parsing; total over malformed AND NULL blobs: unknown/0, never
+    // an error — Scala UDFs receive null for reference-typed params,
+    // so the guard lives here, not in the parsers). `media_probe`
+    // returns the whole (container, width, height, durationMs) struct
+    // from ONE parse — prefer it when extracting several fields; the
+    // scalar forms re-parse per call.
+    def probeOf(b: Array[Byte]): graft.ops.MediaHeaders.Probe =
+      if (b == null) graft.ops.MediaHeaders.Probe("unknown", 0, 0, 0L)
+      else graft.ops.MediaHeaders.probe(b)
+        .getOrElse(graft.ops.MediaHeaders.Probe("unknown", 0, 0, 0L))
+    u.register("media_probe", (b: Array[Byte]) => probeOf(b))
+    u.register("media_container", (b: Array[Byte]) => probeOf(b).container)
+    u.register("media_width", (b: Array[Byte]) => probeOf(b).width)
+    u.register("media_height", (b: Array[Byte]) => probeOf(b).height)
+    u.register("media_duration_ms", (b: Array[Byte]) => probeOf(b).durationMs)
   }
 }

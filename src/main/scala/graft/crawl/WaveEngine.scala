@@ -245,6 +245,18 @@ object WaveEngine {
       .join(broadcast(hostRules), Seq("host"), "left")
   }
 
+  /** Split a frame carrying a `rule` struct column into
+    * (snapshot-routed, service-routed) halves on
+    * `RuleSpec.browser_fetch` — ONE definition shared by the home and
+    * article stages, so the same host can never route differently
+    * between them. */
+  private def splitByBrowserFlag(df: DataFrame): (DataFrame, DataFrame) = {
+    val flagged = df.withColumn("_browser",
+      coalesce(col("rule").getField("browser_fetch"), lit(false)))
+    (flagged.where(!col("_browser")).drop("_browser"),
+      flagged.where(col("_browser")).drop("_browser"))
+  }
+
   final case class WaveResult(
       wave: Int,
       scheduled: Long,
@@ -351,10 +363,8 @@ object WaveEngine {
     val (snapTargets, browserTargets) = cfg.renderFetcher match {
       case None => (homeTargets, None)
       case Some(_) =>
-        val flagged = homeTargets.withColumn("_browser",
-          coalesce($"rule".getField("browser_fetch"), lit(false)))
-        (flagged.where(!$"_browser").drop("_browser"),
-          Some(flagged.where($"_browser").drop("_browser")))
+        val (snap, browser) = splitByBrowserFlag(homeTargets)
+        (snap, Some(browser))
     }
     val homeUniqW = org.apache.spark.sql.expressions.Window
       .partitionBy($"host").orderBy($"fetched_ts".desc, md5($"html"))
@@ -372,7 +382,13 @@ object WaveEngine {
     val homesRendered = (cfg.renderFetcher, browserTargets) match {
       case (Some(rf), Some(bt)) =>
         // service fetch per host (host-sized); a miss yields null html
-        // and flows into the same broken-host path as a snapshot miss
+        // and flows into the same broken-host path as a snapshot miss.
+        // NO broadcast hint on the join-back: `fetched` carries full
+        // rendered page bodies, and broadcast() would funnel every
+        // flagged host's catalog HTML through the driver (review
+        // finding) — an unhinted host-keyed equi-join ships the blobs
+        // executor-to-executor once, like every other body-carrying
+        // join in the wave.
         val fetched = bt.select($"host".as("rhost"), $"home_canon")
           .as[(String, String)]
           .mapPartitions(_.map { case (h, u) =>
@@ -381,7 +397,7 @@ object WaveEngine {
               case None => (h, null: Array[Byte], null: Timestamp)
             }
           }).toDF("rhost", "html", "fetched_ts")
-        Some(bt.join(broadcast(fetched), $"host" === $"rhost", "left")
+        Some(bt.join(fetched, $"host" === $"rhost", "left")
           .drop("rhost"))
       case _ => None
     }
@@ -551,12 +567,10 @@ object WaveEngine {
     val fetched = cfg.renderFetcher match {
       case None => fetchJoin(pages.toDF(), tasksDF, hostRules, hintTaskBroadcast)
       case Some(rf) =>
-        val flagged = tasksDF.join(broadcast(hostRules), Seq("host"), "left")
-          .withColumn("_browser",
-            coalesce($"rule".getField("browser_fetch"), lit(false)))
-        val snapTasks = flagged.where(!$"_browser")
-          .drop("_browser", "rule")
-        val rendered = flagged.where($"_browser")
+        val (snapTasks0, browserTasks) = splitByBrowserFlag(
+          tasksDF.join(broadcast(hostRules), Seq("host"), "left"))
+        val snapTasks = snapTasks0.drop("rule")
+        val rendered = browserTasks
           .select($"url", $"host", $"wave", $"seq", $"cat_title",
             $"published", $"rule")
           .as[(String, String, Int, Int, String, Option[Timestamp],

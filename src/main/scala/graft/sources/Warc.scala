@@ -235,6 +235,54 @@ object Warc {
     java.security.MessageDigest.getInstance("MD5").digest(b)
       .map(x => f"$x%02x").mkString
 
+  /** One gzip MEMBER over a shared underlying stream: `close()` would
+    * close the whole segment after the first record, so members call
+    * `finish()` + [[endDeflater]] — finish writes the trailer but only
+    * `Deflater.end` releases the native zlib state, and per-record
+    * members that rely on GC for that leak native memory faster than
+    * heap pressure triggers collection (r5 review finding). */
+  private final class MemberGzip(out: OutputStream)
+      extends GZIPOutputStream(out, 1 << 16) {
+    def endDeflater(): Unit = `def`.end()
+  }
+
+  /** Frame ONE record (header bytes + payload parts + CRLF CRLF trailer)
+    * onto `out`, as its own gzip member when `gzipPerRecord` — the one
+    * definition of record framing shared by every serializer below. */
+  private def writeFramed(out: OutputStream, gzipPerRecord: Boolean,
+                          header: Array[Byte], parts: Array[Byte]*): Unit = {
+    val sink = if (gzipPerRecord) new MemberGzip(out) else out
+    sink.write(header)
+    parts.foreach(sink.write)
+    sink.write(CRLF); sink.write(CRLF)
+    sink match { case g: MemberGzip => g.finish(); g.endDeflater() case _ => }
+  }
+
+  /** The shared per-partition segment writer behind [[write]],
+    * [[writeWet]], [[writeWat]] and [[archiveDeduped]]: one
+    * `$dir/part-NNNNN.$ext` per non-empty partition, streamed through
+    * the Hadoop FileSystem API with the SESSION's conf shipped to the
+    * tasks (a bare `new Configuration()` executor-side would drop every
+    * `spark.hadoop.*` setting — object-store credentials, endpoints —
+    * silently breaking s3a/abfs targets on a real cluster), and no
+    * `.crc` sidecars (gzip already detects corruption per member). */
+  private def writeSegments[T](rows: org.apache.spark.sql.Dataset[T],
+      dir: String, ext: String)(
+      serialize: (OutputStream, Iterator[T]) => Unit): Unit = {
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      rows.sparkSession.sparkContext.hadoopConfiguration)
+    rows.foreachPartition { (it: Iterator[T]) =>
+      if (it.hasNext) {
+        val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        val path = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.$ext")
+        val fs = path.getFileSystem(hadoopConf.value)
+        fs.setWriteChecksum(false)
+        val out = fs.create(path, true)
+        try serialize(out, it) finally out.close()
+      }
+    }
+  }
+
   /** Serialize `response` records in spec layout. With
     * `gzipPerRecord=true` each record is its own gzip member
     * (Common Crawl's `.warc.gz` layout — members concatenate into one
@@ -242,7 +290,6 @@ object Warc {
   def writeRecords(out: OutputStream, docs: Iterator[Doc],
                    gzipPerRecord: Boolean = false): Unit =
     docs.foreach { d =>
-      val sink = if (gzipPerRecord) new GZIPOutputStream(out, 1 << 16) else out
       val httpHead =
         "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
           .getBytes(UTF_8)
@@ -256,11 +303,7 @@ object Warc {
           "Content-Type: application/http; msgtype=response\r\n" +
           s"Content-Length: $payloadLen\r\n" +
           "\r\n").getBytes(UTF_8)
-      sink.write(header)
-      sink.write(httpHead)
-      sink.write(d.html)
-      sink.write(CRLF); sink.write(CRLF)
-      sink match { case g: GZIPOutputStream => g.finish() case _ => }
+      writeFramed(out, gzipPerRecord, header, httpHead, d.html)
     }
 
   /** Distributed WARC sink — the inverse of [[read]]: archive a page
@@ -283,31 +326,14 @@ object Warc {
     import org.apache.spark.sql.functions.{col, date_format}
     val spark = df.sparkSession
     import spark.implicits._
-    // Ship the SESSION's Hadoop conf to the tasks — a bare
-    // `new Configuration()` executor-side would drop every
-    // `spark.hadoop.*` setting (object-store credentials, endpoints),
-    // silently breaking s3a/abfs targets on a real cluster.
-    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
     val rows = df.select(
         col("url").cast("string"),
         date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
         col("html").cast("binary"))
       .as[(String, String, Array[Byte])]
-    rows.foreachPartition { (it: Iterator[(String, String, Array[Byte])]) =>
-      if (it.hasNext) {
-        val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
-        val path = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.warc.gz")
-        val fs = path.getFileSystem(hadoopConf.value)
-        // no .crc sidecars on ChecksumFileSystems (local): gzip already
-        // detects corruption per member, and a corpus dir shouldn't
-        // double its file count
-        fs.setWriteChecksum(false)
-        val out = fs.create(path, true)
-        try writeRecords(out,
-          it.map { case (u, ts, b) => Doc(u, ts, b) }, gzipPerRecord = true)
-        finally out.close()
-      }
+    writeSegments(rows, dir, "warc.gz") { (out, it) =>
+      writeRecords(out,
+        it.map { case (u, ts, b) => Doc(u, ts, b) }, gzipPerRecord = true)
     }
   }
 
@@ -324,7 +350,6 @@ object Warc {
   def writeWetRecords(out: OutputStream, docs: Iterator[WetDoc],
                       gzipPerRecord: Boolean = false): Unit =
     docs.foreach { d =>
-      val sink = if (gzipPerRecord) new GZIPOutputStream(out, 1 << 16) else out
       val header =
         ("WARC/1.0\r\n" +
           "WARC-Type: conversion\r\n" +
@@ -334,10 +359,7 @@ object Warc {
           "Content-Type: text/plain\r\n" +
           s"Content-Length: ${d.text.length}\r\n" +
           "\r\n").getBytes(UTF_8)
-      sink.write(header)
-      sink.write(d.text)
-      sink.write(CRLF); sink.write(CRLF)
-      sink match { case g: GZIPOutputStream => g.finish() case _ => }
+      writeFramed(out, gzipPerRecord, header, d.text)
     }
 
   /** Distributed WET sink — the extracted-text sidecar of [[write]]:
@@ -351,27 +373,19 @@ object Warc {
     * API, no driver collection, no extra shuffle; segment count/size
     * via the caller's `repartition`. */
   def writeWet(df: DataFrame, dir: String): Unit = {
-    import org.apache.spark.sql.functions.{col, date_format, encode}
+    import org.apache.spark.sql.functions.{coalesce, col, date_format, encode, lit}
     val spark = df.sparkSession
     import spark.implicits._
-    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
     val rows = df.select(
         col("url").cast("string"),
         date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
-        encode(col("text"), "UTF-8"))
+        // total over nullable real-crawl text: a null extraction
+        // archives as an empty conversion record, never a task NPE
+        encode(coalesce(col("text"), lit("")), "UTF-8"))
       .as[(String, String, Array[Byte])]
-    rows.foreachPartition { (it: Iterator[(String, String, Array[Byte])]) =>
-      if (it.hasNext) {
-        val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
-        val path = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.wet.gz")
-        val fs = path.getFileSystem(hadoopConf.value)
-        fs.setWriteChecksum(false)
-        val out = fs.create(path, true)
-        try writeWetRecords(out,
-          it.map { case (u, ts, b) => WetDoc(u, ts, b) }, gzipPerRecord = true)
-        finally out.close()
-      }
+    writeSegments(rows, dir, "wet.gz") { (out, it) =>
+      writeWetRecords(out,
+        it.map { case (u, ts, b) => WetDoc(u, ts, b) }, gzipPerRecord = true)
     }
   }
 
@@ -412,7 +426,6 @@ object Warc {
   def writeWatRecords(out: OutputStream, docs: Iterator[WatDoc],
                       gzipPerRecord: Boolean = false): Unit =
     docs.foreach { d =>
-      val sink = if (gzipPerRecord) new GZIPOutputStream(out, 1 << 16) else out
       val header =
         ("WARC/1.0\r\n" +
           "WARC-Type: metadata\r\n" +
@@ -422,10 +435,7 @@ object Warc {
           "Content-Type: application/json\r\n" +
           s"Content-Length: ${d.json.length}\r\n" +
           "\r\n").getBytes(UTF_8)
-      sink.write(header)
-      sink.write(d.json)
-      sink.write(CRLF); sink.write(CRLF)
-      sink match { case g: GZIPOutputStream => g.finish() case _ => }
+      writeFramed(out, gzipPerRecord, header, d.json)
     }
 
   /** Distributed WAT sink — the metadata sidecar completing the
@@ -437,31 +447,26 @@ object Warc {
     * downloading page bodies. Same per-partition streaming shape as
     * the other sinks. */
   def writeWat(df: DataFrame, dir: String): Unit = {
-    import org.apache.spark.sql.functions.{col, date_format}
+    import org.apache.spark.sql.functions.{array, coalesce, col, date_format, lit}
     val spark = df.sparkSession
     import spark.implicits._
-    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
     val rows = df.select(
         col("url").cast("string"),
         date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
-        col("title").cast("string"),
-        col("links").cast("array<string>"))
+        // total over nullable real-crawl metadata: a page with no
+        // extractable title / no outlinks archives as ""/[] — a task
+        // NPE on routine null columns is not an option for the
+        // corpus-publishing path
+        coalesce(col("title").cast("string"), lit("")),
+        coalesce(col("links").cast("array<string>"),
+          array().cast("array<string>")))
       .as[(String, String, String, Seq[String])]
-    rows.foreachPartition {
-      (it: Iterator[(String, String, String, Seq[String])]) =>
-        if (it.hasNext) {
-          val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
-          val path = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.wat.gz")
-          val fs = path.getFileSystem(hadoopConf.value)
-          fs.setWriteChecksum(false)
-          val out = fs.create(path, true)
-          try writeWatRecords(out,
-            it.map { case (u, ts, t, ls) =>
-              WatDoc(u, ts, watJson(u, ts, t, ls).getBytes(UTF_8)) },
-            gzipPerRecord = true)
-          finally out.close()
-        }
+    writeSegments(rows, dir, "wat.gz") { (out, it) =>
+      writeWatRecords(out,
+        it.map { case (u, ts, t, ls) =>
+          WatDoc(u, ts, watJson(u, ts, t,
+            ls.filter(_ != null)).getBytes(UTF_8)) },
+        gzipPerRecord = true)
     }
   }
 
@@ -537,8 +542,6 @@ object Warc {
         writeRecords(out, Iterator(Doc(r.url, r.tsIso, r.html)),
           gzipPerRecord)
       else {
-        val sink = if (gzipPerRecord) new GZIPOutputStream(out, 1 << 16)
-          else out
         val header =
           ("WARC/1.0\r\n" +
             "WARC-Type: revisit\r\n" +
@@ -552,9 +555,7 @@ object Warc {
             s"WARC-Refers-To-Date: ${r.refersToTsIso}\r\n" +
             "Content-Length: 0\r\n" +
             "\r\n").getBytes(UTF_8)
-        sink.write(header)
-        sink.write(CRLF); sink.write(CRLF)
-        sink match { case g: GZIPOutputStream => g.finish() case _ => }
+        writeFramed(out, gzipPerRecord, header)
       }
     }
 
@@ -587,26 +588,13 @@ object Warc {
         org.apache.spark.sql.functions.date_format(col("refers_to_ts"),
           "yyyy-MM-dd'T'HH:mm:ss'Z'").as("refers_ts_iso"))
       .repartition(segments, col("url"))
-    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    joined.as[(String, String, Array[Byte], String, String, String, String)]
-      .foreachPartition {
-        (it: Iterator[(String, String, Array[Byte], String, String,
-          String, String)]) =>
-        if (it.hasNext) {
-          val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
-          val path = new org.apache.hadoop.fs.Path(
-            f"$dir/part-$pid%05d.warc.gz")
-          val fs = path.getFileSystem(hadoopConf.value)
-          fs.setWriteChecksum(false)
-          val out = fs.create(path, true)
-          try writeClassifiedRecords(out,
-            it.map { case (u, ts, b, k, dg, ru, rts) =>
-              ArchiveRec(u, ts, b, k, dg, ru, rts) },
-            gzipPerRecord = true)
-          finally out.close()
-        }
-      }
+    writeSegments(joined.as[(String, String, Array[Byte], String, String,
+        String, String)], dir, "warc.gz") { (out, it) =>
+      writeClassifiedRecords(out,
+        it.map { case (u, ts, b, k, dg, ru, rts) =>
+          ArchiveRec(u, ts, b, k, dg, ru, rts) },
+        gzipPerRecord = true)
+    }
     cls
   }
 

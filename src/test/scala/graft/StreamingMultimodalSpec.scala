@@ -165,15 +165,23 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val m = Seq((graft.ops.MediaHeaders.jpegBytes(320, 200),
         "not a container".getBytes("UTF-8")))
       .toDF("jpg", "junk")
-    m.createOrReplaceTempView("media_probe_fixture")
+    m.withColumn("nul",
+        org.apache.spark.sql.functions.lit(null).cast("binary"))
+      .createOrReplaceTempView("media_probe_fixture")
     val p = spark.sql(
       """SELECT media_container(jpg) AS c, media_width(jpg) AS w,
         |       media_height(jpg) AS h, media_duration_ms(jpg) AS d,
-        |       media_container(junk) AS junk_c, media_width(junk) AS junk_w
+        |       media_container(junk) AS junk_c, media_width(junk) AS junk_w,
+        |       media_container(nul) AS nul_c,
+        |       media_probe(jpg).container AS pc, media_probe(jpg).width AS pw
         |FROM media_probe_fixture""".stripMargin).head()
     assert(p.getString(0) == "jpeg" && p.getInt(1) == 320
       && p.getInt(2) == 200 && p.getLong(3) == 0L)
     assert(p.getString(4) == "unknown" && p.getInt(5) == 0)
+    // NULL blob: unknown/0, never an NPE (reference-typed UDF params
+    // receive null); the struct probe parses once for all fields
+    assert(p.getString(6) == "unknown")
+    assert(p.getString(7) == "jpeg" && p.getInt(8) == 320)
   }
 
   test("kmv sketch aggregates in a streaming query (frontier cardinality monitor)") {
